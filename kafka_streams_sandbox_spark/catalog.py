@@ -1,0 +1,64 @@
+"""Table catalog: parquet-backed tables per scale-factor directory.
+
+The driver generates deterministic TPC-H-ish tables (TESTDATA.md) at
+``/root/testdata/sf{0.001,0.01,0.1}``; every query function receives a
+``sf_dir`` and loads through here so the scan layer is one code path.
+
+Scale notes: ``spark.read.parquet`` gives Catalyst a relation it can
+push filters/projections into (check ``PushedFilters``/``ReadSchema``
+in ``df.explain``). At 100 TB the same call reads a partitioned
+directory tree; nothing in the query layer changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.session import configure
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always be broadcast in joins
+# (region: 5 rows, nation: 25 rows, supplier/part: O(100) rows at any
+# realistic SF — dims don't scale with fact data).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
+        # raw int64 (nanosAsLong conf, session.py); truncate to
+        # microseconds exactly as DuckDB/Arrow do so both engines see
+        # identical values. DIV is integer division (ts is epoch-ns,
+        # always positive here).
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,76 @@
+"""SparkSession factory and per-session configuration.
+
+The reference configures its runtime via a properties file
+(``/root/reference/configuration/dev.properties`` loaded at
+``KStreamsToKTable.java:143-150``); here the analog is a SparkSession
+builder with scale-oriented defaults.
+
+Scale notes (100 TB design intent, tested on local[32]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast demotion replace hand-tuning.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on
+  a real cluster set it ~2-3x total cores and let AQE coalesce.
+- Arrow enabled so any pandas-UDF path (similarity, multimodal) moves
+  batches, not rows, across the JVM/Python boundary.
+- Session timezone pinned to UTC so timestamp semantics are identical
+  across engines (and to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session we are handed (the
+# correctness driver owns its own SparkSession; these are safe to set
+# after startup, unlike e.g. spark.sql.extensions).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events table is written as parquet TIMESTAMP(NANOS),
+    # which Spark has no native type for; read the raw int64 and the
+    # catalog converts ns -> microsecond timestamp (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable on this build — keep going
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kafka-streams-sandbox-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
