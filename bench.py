@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (count() would let
+Catalyst prune the work). Timings are per-query wall clock after a
+JVM/session warmup query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from kafka_streams_sandbox_spark.registry import all_queries
+from kafka_streams_sandbox_spark.session import get_spark
+
+# Headline set: every oracle-checked batch operator family + the LSH
+# scale variants. Streaming (a*) pipelines are excluded — they time
+# checkpoint setup, not operator throughput.
+BENCH_QUERIES = [
+    "b01_scan_filter_project",
+    "b02_tpch_q1_agg",
+    "b03_join_orders_customer",
+    "b04_multiway_join_agg",
+    "b05_broadcast_join_agg",
+    "b09_window_functions",
+    "b10_topk_per_group",
+    "b11_global_sort_limit",
+    "b12_distinct_count",
+    "b14_rollup_agg",
+    "b16_json_extract",
+    "b17_latest_per_user",
+    "b19_tumbling_window_agg",
+    "b20_sessionization",
+    "b21_exact_dedup",
+    "b23_text_stats",
+    "b24_dedup_across_sources",
+    "b26_ngram_jaccard_pairs",
+    "b27_minhash_lsh_dedup",
+    "b29_language_id",
+    "b33_cosine_topk",
+    "b34_ann_ivf_label",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="kss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["b02_tpch_q1_agg"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            timings[name] = round(run_query(fn, spark, sf_dir), 3)
+        except Exception as exc:  # record failures, keep benching
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microseconds exactly as DuckDB/Arrow do so both engines see
         # identical values. DIV is integer division (ts is epoch-ns,
         # always positive here).
+        # timestamp_ntz to match the other tables (parquet ms columns
+        # infer as NTZ) and DuckDB's naive timestamps.
         df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+                "timestamp_ntz"
+            ),
         )
     return df
 

@@ -1,1 +1,350 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators for LLM training-data pipelines (B21, B24 +
+MinHash/SimHash/n-gram near-dup, SURVEY.md §2.B).
+
+Everything here is built-in-function Spark (higher-order functions on
+arrays, xxhash64, md5) — zero Python UDFs, so the hot path stays in
+Tungsten/whole-stage-codegen even at 100 TB.
+
+Scale design:
+- Exact dedup is a hash aggregate on the text hash: one shuffle keyed
+  by hash, perfectly parallel, no skew (hashes are uniform).
+- MinHash-LSH: per-doc signature (map-only) -> explode into b band
+  keys -> groupBy band (shuffle on short keys) -> candidate pairs ->
+  exact-Jaccard verification join. Cost is O(n·k + candidate_pairs),
+  never O(n²); at 100 TB tune (k, b, r) for the target similarity
+  threshold s ≈ (1/b)^(1/r).
+- SimHash: 64-bit signature map-only; banding on 4×16-bit chunks for
+  candidates; verification via bit_count(xor) — Hamming ball search
+  without pairwise scan.
+- n-gram Jaccard all-pairs is the *oracle-checkable* exact variant,
+  deliberately partitioned by ``lang`` so each block is small; it is
+  the correctness reference for the LSH variants, not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# B21: exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+B21_ORACLE = """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY text
+"""
+
+
+@query("b21_exact_dedup", oracle=B21_ORACLE)
+def b21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min) doc id per distinct text.
+
+    Grouping on the full text works at any scale (Spark hashes the
+    key for the shuffle); md5 in the output is just a compact witness.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(F.md5(F.col("text")).alias("text_hash"), "keep_id", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24: dedup/canonicalization across sources
+# ---------------------------------------------------------------------------
+B24_ORACLE = """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != ''))), ' ')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           MIN(source) AS canonical_source,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+"""
+
+
+@query("b24_dedup_across_sources", oracle=B24_ORACLE)
+def b24_dedup_across_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization across sources on a *token-set fingerprint*
+    (sorted distinct tokens), so reordered near-copies collapse too —
+    the cross-source case exact byte equality misses. Canonical copy =
+    min doc_id; provenance spread = distinct sources."""
+    docs = table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
+        )
+    )
+    return (
+        docs.select(fingerprint.alias("fingerprint"), "doc_id", "source")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.min("source").alias("canonical_source"),
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling helpers (word n-grams / char n-grams), pure SQL HOFs
+# ---------------------------------------------------------------------------
+TOKENS_EXPR = r"filter(split(trim(text), '\\s+'), t -> t != '')"
+
+
+def word_ngrams_expr(n: int = 3) -> str:
+    """Distinct word n-gram shingles as an array<string> (guarded for
+    short docs — Spark's sequence(1,0) would count *down*)."""
+    toks = TOKENS_EXPR
+    return f"""
+        CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
+        ELSE array_distinct(transform(
+            sequence(1, size({toks}) - {n - 1}),
+            i -> concat_ws(' ', {", ".join(f"element_at({toks}, i + {j})" for j in range(n))})
+        )) END
+    """
+
+
+def char_ngrams_hashed_expr(n: int = 5) -> str:
+    """Distinct char n-gram shingles, xxhash64-hashed to long."""
+    return f"""
+        CASE WHEN length(text) < {n} THEN array(xxhash64(text))
+        ELSE array_distinct(transform(
+            sequence(1, length(text) - {n - 1}),
+            i -> xxhash64(substring(text, i, {n}))
+        )) END
+    """
+
+
+def _jaccard(a: str, b: str) -> F.Column:
+    """Exact Jaccard on two distinct-element array columns."""
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    union = F.size(F.col(a)) + F.size(F.col(b)) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (oracle-checkable exact variant)
+# ---------------------------------------------------------------------------
+B26_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+                   AS shingles
+        FROM (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE (CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))) >= 0.5
+"""
+
+
+@query("b26_ngram_jaccard_pairs", oracle=B26_ORACLE)
+def b26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by lang.
+
+    This is the exact/correctness variant (O(block²)); the scale path
+    is b27 MinHash-LSH which bounds candidates.
+
+    Physical choices (each measured ~10× on the block-skewed naive
+    form at sf0.1):
+    - shingles are xxhash64-hashed to int64 before the pair join —
+      set intersection on longs, not ~20-char strings. Jaccard over
+      hashed sets equals Jaccard over the sets themselves (64-bit
+      collisions are negligible), so the oracle (which intersects the
+      strings) still matches exactly.
+    - size-ratio prefilter in the join condition: jaccard >= 0.5
+      forces |A|/|B| ∈ [1/2, 2], so wildly different sizes never pay
+      an intersect.
+    - the right side is broadcast: a hash join keyed only on ``lang``
+      (5 values) would shuffle everything into <=5 tasks; a broadcast
+      join keeps the probe side's full partition parallelism.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform({word_ngrams_expr(3)}, s -> xxhash64(s))"
+        ).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        _jaccard("a.shingles", "b.shingles").alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding near-dup (the 100 TB path) — rows-only check
+# ---------------------------------------------------------------------------
+# 32 permutations in 4 bands × 8 rows: candidate prob at jaccard s is
+# 1-(1-s^8)^4 (≈0.51 at s=0.9, ≈0.004 at s=0.5). Rows-per-band is
+# deliberately deep: this corpus is word soup from one small
+# vocabulary, so typical cross-doc char-shingle jaccard is ~0.4-0.5 —
+# shallow bands (r=4) made ~40% of all n² pairs candidates, i.e. LSH
+# degenerated to brute force (165 s at sf0.1; 4×8 bands: ~4 s).
+_MINHASH_K = 32
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+# Largest 32-bit prime: (2i+1) * (h mod p) stays well inside int64
+# (Spark runs ANSI mode — a 61-bit prime overflows the multiply).
+_PRIME = 4294967291
+
+
+def minhash_signature_expr(shingles_col: str, k: int = _MINHASH_K) -> str:
+    """k-permutation MinHash signature over a hashed-shingle column.
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod p with fixed odd
+    a_i/b_i derived from i — deterministic across runs and cluster
+    sizes; the 32-bit prime keeps the multiply inside int64 (ANSI
+    mode). Takes a *column name*, not the shingle expression: inlining
+    the expression makes Spark rebuild the distinct shingle array once
+    per permutation (32×) inside the lambda.
+    """
+    return f"""
+        transform(sequence(0, {k - 1}), i ->
+            array_min(transform({shingles_col}, h ->
+                pmod((2*i + 1) * pmod(h, {_PRIME}) + (7919 * i + 13), {_PRIME})
+            ))
+        )
+    """
+
+
+@query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
+def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature -> band keys -> bucket
+    join -> exact char-shingle Jaccard >= 0.6 verification.
+
+    Per-doc work is map-only; the only shuffles are the band-key
+    groupBy and the candidate self-join — both proportional to data
+    size, not to n². This is the scale path whose recall b26 checks.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", F.expr(char_ngrams_hashed_expr(5)).alias("shingles")
+    ).withColumn("sig", F.expr(minhash_signature_expr("shingles")))
+    # band key = (band index, hash of the signature slice)
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}), b ->
+                    named_struct('band', b, 'key',
+                        xxhash64(array_join(slice(sig, b * {_ROWS_PER_BAND} + 1,
+                                                  {_ROWS_PER_BAND}), '_'))))"""
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair from several bands
+    )
+    return candidates.select(
+        "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (Hamming-distance dedup) — rows-only check
+# ---------------------------------------------------------------------------
+SIMHASH_EXPR = f"""
+    aggregate(
+        sequence(0, 63),
+        CAST(0 AS BIGINT),
+        (acc, j) -> acc + CASE WHEN
+            aggregate({TOKENS_EXPR}, 0,
+                      (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
+                                         THEN 1 ELSE -1 END) > 0
+            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END
+    )
+"""
+
+
+@query("b28_simhash_dedup")  # no SQL oracle: bit-level banding
+def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit token SimHash; near-dups = Hamming distance <= 8.
+
+    Candidates come from matching any of four 16-bit chunks (pigeonhole:
+    distance <= 8 over 64 bits can still miss — classic simhash-banding
+    tradeoff, verified pairs are exact). Signature is map-only;
+    verification is bit_count(xor) — no array comparisons at all.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                """transform(sequence(0, 3), c -> named_struct('chunk', c,
+                   'ckey', shiftright(simhash, c * 16) & 65535))"""
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.ckey")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 8)
+    )

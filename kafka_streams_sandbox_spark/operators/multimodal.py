@@ -1,1 +1,177 @@
-"""Placeholder — populated in this round."""
+"""Multimodal (binary) column operators.
+
+The driver corpus has no real image/audio bytes, so the binary column
+is derived (utf-8 bytes of ``text``) — but everything Spark-side is
+the real production shape: opaque ``binary`` payloads + typed
+metadata, JVM-side byte ops where possible, and Arrow-batched
+``mapInPandas`` for the decode path. The actual codec call is stubbed
+(this container ships no PIL/ffmpeg): ``decode_image_batch`` raises
+``NotImplementedError`` unless the deterministic fake decoder is
+requested — the plumbing (schema, batch iteration, partition-size
+independence) is what's tested.
+
+Scale notes: binary payloads dominate row size, so the parquet layout
+matters more than the compute — keep payloads in their own column
+chunk (columnar pruning skips them when a query touches only
+metadata), and bound ``spark.sql.files.maxPartitionBytes`` so a task's
+batch of blobs fits executor memory. mapInPandas streams Arrow record
+batches — it never materializes a whole partition of blobs at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.registry import query
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """documents + synthetic binary payload column (utf-8 of text)."""
+    return docs.withColumn("blob", F.encode("text", "utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Metadata extraction over binary columns (oracle-checked: byte math
+# is engine-independent)
+# ---------------------------------------------------------------------------
+B36_ORACLE = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           substring(lower(hex(encode(text))), 1, 16) AS magic_prefix,
+           CAST(64 + (octet_length(encode(text)) % 64) * 16 AS INTEGER) AS fake_width,
+           CAST(64 + (octet_length(encode(text)) % 48) * 16 AS INTEGER) AS fake_height
+    FROM documents
+"""
+
+
+@query("b36_multimodal_metadata", oracle=B36_ORACLE)
+def b36_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque blob column: size, content hash,
+    magic-byte prefix, and (deterministically fake) decoded
+    dimensions. All JVM byte ops — the common 'catalog the corpus
+    without decoding it' pass."""
+    docs = with_blob(table(spark, sf_dir, "documents"))
+    n_bytes = F.length("blob").cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5("blob").alias("content_hash"),
+        F.substring(F.lower(F.hex("blob")), 1, 16).alias("magic_prefix"),
+        (64 + (n_bytes % 64) * 16).cast("int").alias("fake_width"),
+        (64 + (n_bytes % 48) * 16).cast("int").alias("fake_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract via Arrow-batched mapInPandas (rows-only)
+# ---------------------------------------------------------------------------
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def decode_image_batch(blob: bytes, fake: bool = True) -> dict[str, Any]:
+    """Decode one image payload.
+
+    A real deployment plugs PIL/turbojpeg in here; this container has
+    no codec libs, so only the deterministic fake path is available.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding needs PIL/libjpeg, not present in this "
+            "container; use fake=True (deterministic stub)"
+        )
+    width = 64 + (len(blob) % 64) * 16
+    height = 64 + (len(blob) % 48) * 16
+    # "luma" = mean byte value; deterministic and cheap.
+    mean = (sum(blob) / len(blob)) if blob else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "mean_luma": mean,
+    }
+
+
+@query("b37_image_decode_stub")  # rows-only: stubbed codec, no SQL twin
+def b37_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline: Arrow batches of (doc_id, blob) in,
+    typed feature rows out. Batch-at-a-time so a partition of large
+    blobs never lives in memory at once."""
+    docs = with_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_batch(b) for b in pdf["blob"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs.mapInPandas(decode, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling over "video" payloads (rows-only)
+# ---------------------------------------------------------------------------
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+_FRAME_SIZE = 64
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@query("b38_frame_sample")  # rows-only: byte-chunk framing, no SQL twin
+def b38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each blob as a frame stream (fixed 64-byte 'frames'),
+    sample every 4th frame. One row in -> many rows out via
+    mapInPandas — the video-sampling shape (ffmpeg replaces the
+    slicing in production; partitioning/batching is identical)."""
+    docs = with_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = max(len(blob) // _FRAME_SIZE, 1)
+                for idx in range(0, n_frames, _FRAME_STRIDE):
+                    frame = bytes(blob[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": frame,
+                            "frame_hash": zlib.crc32(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(sample, FRAME_SCHEMA)

@@ -1,0 +1,78 @@
+"""Deterministic stream sources.
+
+The reference consumes a Kafka topic of (String key, String value)
+records (``builder.stream(inputTopic, Consumed.with(STRING_SER_DE,
+STRING_SER_DE))``, KStreamsToKTable.java:75-76). For hermetic tests we
+replay the driver's ``events`` parquet through Spark's *file* stream
+source, shaped to exactly the Kafka source schema — so every
+downstream operator is source-agnostic, and swapping in the real
+``format("kafka")`` reader (sources/kafka.py) changes one line.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_sandbox_spark.session import configure
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> int64
+# under the nanosAsLong conf; see catalog.table).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over events.parquet (typed columns)."""
+    configure(spark)
+    # FileStreamSource wants a *directory*; stage a symlink dir around
+    # the single parquet file (testdata is read-only).
+    stage = tempfile.mkdtemp(prefix="kss-events-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn(
+        "ts",
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+            "timestamp_ntz"
+        ),
+    )
+
+
+def events_as_kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source-shaped stream: (key string, value string, timestamp).
+
+    key = user id, value = JSON payload — the structured stand-in for
+    the reference's console-producer ``key:value`` messages
+    (README.md:19-22 in the reference).
+    """
+    ev = events_stream(spark, sf_dir)
+    return ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("event_id", "event_type", "value", "props")
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+    )

@@ -1,0 +1,78 @@
+"""Layer A streaming semantics — including the reference's core
+invariant: stream-table duality (the streaming latest-by-key table
+equals the batch window-rank form)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.registry import all_queries
+from kafka_streams_sandbox_spark.streaming.ktable import ParquetKTableStore
+
+
+def _sorted_rows(df, cols):
+    return sorted(df.select(*cols).collect(), key=lambda r: tuple(str(x) for x in r))
+
+
+def test_stream_table_duality(spark, sf_dir):
+    """A2 streaming toTable == B17 batch latest-per-key (SURVEY §5.2)."""
+    qs = all_queries()
+    streamed = qs["a02_stream_table_latest"](spark, sf_dir)
+    batch = qs["b17_latest_per_user"](spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_filtered_table_matches_batch_filter(spark, sf_dir):
+    """A4 streaming filter-after-upsert == B18 batch form; non-matching
+    keys are present but tombstoned (is_delete), matching KTable
+    filter semantics (emit tombstone, don't silently drop)."""
+    qs = all_queries()
+    streamed = qs["a04_stream_filtered_table"](spark, sf_dir)
+    batch = qs["b18_table_filter_key_eq_value"](spark, sf_dir)
+    survivors = streamed.filter(~F.col("is_delete"))
+    cols = ["user_id", "event_id", "event_type", "k", "v"]
+    assert _sorted_rows(survivors, cols) == _sorted_rows(batch, cols)
+    # every key appears exactly once in the changelog (it's a table)
+    n_keys = streamed.select("user_id").distinct().count()
+    assert streamed.count() == n_keys
+
+
+def test_tombstone_store_deletes_error_keys(spark, sf_dir):
+    """A8: keys whose latest event is an error are deleted from the
+    materialized store; all others hold their latest row."""
+    qs = all_queries()
+    store = qs["a08_stream_tombstone_store"](spark, sf_dir)
+    latest = qs["b17_latest_per_user"](spark, sf_dir)
+    expected = latest.filter(F.col("event_type") != "error")
+    assert store.count() == expected.count()
+    assert (
+        _sorted_rows(store, ["user_id", "event_id"])
+        == _sorted_rows(expected, ["user_id", "event_id"])
+    )
+
+
+def test_store_merge_upsert_and_delete(spark, tmp_path):
+    """ParquetKTableStore unit semantics across two batches: upsert
+    then tombstone-delete (the KTable changelog contract)."""
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="k")
+    b1 = spark.createDataFrame(
+        [("a", 1, False), ("b", 2, False)], "k string, v int, is_delete boolean"
+    )
+    store.merge_batch(b1, 0)
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 1, "b": 2}
+    b2 = spark.createDataFrame(
+        [("a", 9, False), ("b", 0, True), ("c", 3, False)],
+        "k string, v int, is_delete boolean",
+    )
+    store.merge_batch(b2, 1)
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 9, "c": 3}
+
+
+def test_passthrough_preserves_every_record(spark, sf_dir):
+    """A6: the raw sink is append-only passthrough — no upsert."""
+    qs = all_queries()
+    out = qs["a01_stream_passthrough"](spark, sf_dir)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_events
+    assert set(out.columns) == {"key", "value", "timestamp"}
