@@ -295,6 +295,71 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup over the vector column)
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+_NEARDUP_COS = 0.3  # corpus is random vectors (max pairwise cos ≈ 0.48);
+# a production semantic-dedup threshold is ~0.95 — the plan is identical.
+
+B39_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x), 'sum')) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (list_aggregate(list_transform(range(1, {_EMB_DIM + 1}),
+                                          i -> a.e[i] * b.e[i]), 'sum')
+            / (a.nrm * b.nrm)) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE (list_aggregate(list_transform(range(1, {_EMB_DIM + 1}),
+                                         i -> a.e[i] * b.e[i]), 'sum')
+           / (a.nrm * b.nrm)) >= {_NEARDUP_COS}
+"""
+
+
+@query("b39_embedding_neardup", oracle=B39_ORACLE)
+def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs: cos >= threshold.
+
+    Exact all-pairs is the correctness reference; cosine values are
+    bit-identical to DuckDB because dots are sequential folds
+    (functions/vectors.py). Physical plan: broadcast one side (a
+    vector table of ids+norms+arrays is small relative to the fact
+    corpus it deduplicates), stream the other — never materialize the
+    n² matrix. The 100 TB path replaces all-pairs candidate
+    generation with b35's random-projection buckets (or b34's IVF
+    cells) and keeps this exact-cosine verification join unchanged.
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        dot,
+        norm2,
+        to_double_array,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("nrm", norm2("e"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup (Hamming-distance dedup) — rows-only check
 # ---------------------------------------------------------------------------
 SIMHASH_EXPR = f"""

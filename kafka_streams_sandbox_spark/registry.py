@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.text",
     "kafka_streams_sandbox_spark.operators.multimodal",
     "kafka_streams_sandbox_spark.streaming.ktable",
+    "kafka_streams_sandbox_spark.streaming.windows",
 )
 
 _loaded = False

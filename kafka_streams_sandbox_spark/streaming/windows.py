@@ -1,0 +1,201 @@
+"""Streaming window operators: the event-time twins of the batch
+analytics (B19 tumbling, B20 sessionization) plus a custom stateful
+operator on the applyInPandasWithState path.
+
+The reference's only stateful operator is latest-by-key
+(KStreamsToKTable.java:78-81 → streaming/ktable.py); these extend the
+same update-mode aggregation machinery to windowed event-time state,
+which is what a production stream of the driver's ``events`` table
+needs (late data bounded by watermark, state evicted per window).
+
+Scale notes: windowed aggregation state is keyed by (window, key) and
+hash-partitioned across executors; the watermark bounds state size —
+without it an unbounded-key stream at 100 TB/day OOMs the state store.
+availableNow replay keeps tests hermetic; a real deployment swaps the
+file source for sources/kafka.kafka_stream and nothing downstream
+changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from kafka_streams_sandbox_spark.functions.numeric import dsum
+from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.sources.replay import events_stream
+
+
+def run_to_memory(df: DataFrame, mode: str) -> str:
+    """Run a streaming DF availableNow into a memory-sink view."""
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def tumbling_window_stream(
+    events: DataFrame, size: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (B19's streaming twin).
+
+    The watermark bounds how late an event may arrive and still be
+    folded into its window — and therefore bounds state: windows older
+    than (max event time - watermark) are finalized and evicted.
+
+    Watermarks require a zoned TIMESTAMP column; with the session
+    timezone pinned to UTC (session.py) the ntz->timestamp cast is a
+    value-identity, and the window bounds are cast back to ntz so the
+    output schema matches the batch twin (B19) exactly.
+    """
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based session windows (B20's streaming twin) via the native
+    ``session_window`` operator — Spark merges overlapping per-event
+    [ts, ts+gap) windows in the state store, the exact streaming analog
+    of the batch lag/cumsum recipe."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("a19_stream_tumbling_window")  # rows-only: streaming, no SQL twin
+def a19_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows over the replayed events stream.
+
+    Update mode so every window is visible in the hermetic single-batch
+    replay; tests/test_streaming.py pins equality with batch B19 —
+    the windowed form of the stream-table duality invariant.
+    """
+    win = tumbling_window_stream(events_stream(spark, sf_dir))
+    return spark.table(run_to_memory(win, "update"))
+
+
+@query("a20_stream_session_window")  # rows-only: streaming, no SQL twin
+def a20_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization over the events stream;
+    equality with batch B20 pinned by tests (session bounds + sizes).
+    Session windows merge in-flight, so Spark only allows append /
+    complete output; complete keeps the hermetic replay observable."""
+    win = session_window_stream(events_stream(spark, sf_dir))
+    return spark.table(run_to_memory(win, "complete"))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampNTZType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("last_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _running_stats(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running (count, sum, latest event) — the custom-operator
+    shape Spark's built-in aggs can't express when the update logic
+    gets imperative (model-state, decaying counters, ...). State is one
+    tiny row per key; Arrow moves batches, not rows."""
+    (n, s, last_us, last_type) = (
+        state.get if state.exists else (0, 0.0, -1, "")
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        us = (pdf["ts"].astype("int64") // 1000).max()
+        if us > last_us:
+            row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
+            last_us, last_type = int(us), str(row["event_type"])
+    state.update((n, s, last_us, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 6)],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def running_stats_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState pipeline: per-user running stats."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_stats,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("a21_stream_running_stats")  # rows-only: custom stateful operator
+def a21_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count/sum/latest. Tests pin it against the batch
+    groupBy equivalent."""
+    out = running_stats_stream(events_stream(spark, sf_dir))
+    return spark.table(run_to_memory(out, "update"))

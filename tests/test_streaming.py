@@ -76,3 +76,39 @@ def test_passthrough_preserves_every_record(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.count() == n_events
     assert set(out.columns) == {"key", "value", "timestamp"}
+
+
+def test_tumbling_window_duality(spark, sf_dir):
+    """A19 streaming watermarked tumbling agg == B19 batch windows."""
+    qs = all_queries()
+    streamed = qs["a19_stream_tumbling_window"](spark, sf_dir)
+    batch = qs["b19_tumbling_window_agg"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_session_window_duality(spark, sf_dir):
+    """A20 native session_window == B20 lag/cumsum sessionization on
+    session starts and sizes (the native form's session_end is
+    last-event + gap; the batch form records last-event itself)."""
+    qs = all_queries()
+    streamed = qs["a20_stream_session_window"](spark, sf_dir)
+    batch = qs["b20_sessionization"](spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_running_stats_matches_batch(spark, sf_dir):
+    """A21 applyInPandasWithState running stats == batch groupBy."""
+    qs = all_queries()
+    streamed = qs["a21_stream_running_stats"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    cols = ["user_id", "n_events"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+    latest = qs["b17_latest_per_user"](spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("last_event_type")
+    )
+    assert _sorted_rows(
+        streamed.select("user_id", "last_event_type"), ["user_id", "last_event_type"]
+    ) == _sorted_rows(latest, ["user_id", "last_event_type"])
