@@ -107,10 +107,15 @@ def b24_dedup_across_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKENS_EXPR = r"filter(split(trim(text), '\\s+'), t -> t != '')"
 
 
-def word_ngrams_expr(n: int = 3) -> str:
+def word_ngrams_expr(n: int = 3, toks: str = TOKENS_EXPR) -> str:
     """Distinct word n-gram shingles as an array<string> (guarded for
-    short docs — Spark's sequence(1,0) would count *down*)."""
-    toks = TOKENS_EXPR
+    short docs — Spark's sequence(1,0) would count *down*).
+
+    ``toks`` should be a *column name* holding the pre-split token
+    array whenever the expression feeds a transform: inlining the
+    regex-split expression makes every ``element_at`` re-split the
+    document (O(tokens × n) regex runs per doc — measured 6× on b26).
+    """
     return f"""
         CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' '))
         ELSE array_distinct(transform(
@@ -169,45 +174,76 @@ B26_ORACLE = """
 def b26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs, blocked by lang.
 
-    This is the exact/correctness variant (O(block²)); the scale path
-    is b27 MinHash-LSH which bounds candidates.
+    This is the exact/correctness variant; the probabilistic scale
+    path is b27 MinHash-LSH. Exact does NOT mean all-pairs, though:
+    the plan is an inverted index —
 
-    Physical choices (each measured ~10× on the block-skewed naive
-    form at sf0.1):
-    - shingles are xxhash64-hashed to int64 before the pair join —
-      set intersection on longs, not ~20-char strings. Jaccard over
-      hashed sets equals Jaccard over the sets themselves (64-bit
-      collisions are negligible), so the oracle (which intersects the
-      strings) still matches exactly.
-    - size-ratio prefilter in the join condition: jaccard >= 0.5
-      forces |A|/|B| ∈ [1/2, 2], so wildly different sizes never pay
-      an intersect.
-    - the right side is broadcast: a hash join keyed only on ``lang``
-      (5 values) would shuffle everything into <=5 tasks; a broadcast
-      join keeps the probe side's full partition parallelism.
+        explode shingles -> postings (shingle_hash, doc, set_size)
+        groupBy shingle  -> per-shingle doc bucket      (ONE shuffle)
+        emit ordered pairs within each bucket (HOFs, in-memory)
+        groupBy (doc_a, doc_b) count  ==  |A ∩ B|
+        jaccard = inter / (n_a + n_b - inter)
+
+    so a pair only ever exists if it shares >= 1 shingle, and the
+    intersection size falls out of a count — no per-pair
+    array_intersect. (Measured at sf0.1: broadcast all-pairs with
+    array_intersect 85 s; posting self-join 20 s — constraint
+    inference re-derived ``isnotnull(size(shingles))`` below the
+    projections and re-tokenized every row at the scan; this
+    single-branch bucket form ~2 s, shingle chain computed once.)
+
+    Scale: the one shuffle is keyed by the 64-bit shingle hash —
+    uniform, no lang-key skew; cost is Σ_shingle df(s)² instead of n².
+    Hashing shingles to int64 keeps postings narrow; Jaccard over
+    hashed sets equals Jaccard over the string sets (64-bit collisions
+    negligible), so the string-intersecting oracle matches exactly.
+    The size-ratio filter (jaccard >= 0.5 forces |A|/|B| ∈ [1/2, 2])
+    prunes pairs at emission. At 100 TB additionally cap df per
+    shingle (drop stopword-shingles) — the standard guard against a
+    hot posting list exploding a bucket.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            f"transform({word_ngrams_expr(3)}, s -> xxhash64(s))"
-        ).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(
-        F.broadcast(b),
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
-        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        _jaccard("a.shingles", "b.shingles").alias("jaccard"),
+    sh = (
+        docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
+            ).alias("shingles"),
+        )
+        .withColumn("n_sh", F.size("shingles"))
     )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    posting = sh.select(
+        "lang", "doc_id", "n_sh", F.explode_outer("shingles").alias("sh")
+    )
+    bucket = posting.groupBy("sh", "lang").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("ds")
+    )
+    pairs = bucket.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ds, x ->
+                       filter(transform(ds, y ->
+                                  struct(x.doc_id AS doc_a, x.n_sh AS n_a,
+                                         y.doc_id AS doc_b, y.n_sh AS n_b)),
+                              p -> p.doc_a < p.doc_b
+                                   AND p.n_a <= 2 * p.n_b
+                                   AND p.n_b <= 2 * p.n_a)))"""
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -238,31 +274,44 @@ def minhash_signature_expr(shingles_col: str, k: int = _MINHASH_K) -> str:
     per permutation (32×) inside the lambda.
     """
     return f"""
-        transform(sequence(0, {k - 1}), i ->
-            array_min(transform({shingles_col}, h ->
-                pmod((2*i + 1) * pmod(h, {_PRIME}) + (7919 * i + 13), {_PRIME})
-            ))
-        )
+        aggregate(transform({shingles_col}, h0 -> pmod(h0, {_PRIME})),
+            transform(sequence(0, {k - 1}), i -> CAST({_PRIME} AS BIGINT)),
+            (acc, h) -> zip_with(acc, sequence(0, {k - 1}), (m, i) ->
+                least(m, pmod((2*i + 1) * h + (7919 * i + 13), {_PRIME}))))
     """
 
 
 @query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
 def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature -> band keys -> bucket
-    join -> exact char-shingle Jaccard >= 0.6 verification.
+    grouping -> candidate pairs -> exact char-shingle Jaccard >= 0.8
+    verification.
 
-    Per-doc work is map-only; the only shuffles are the band-key
-    groupBy and the candidate self-join — both proportional to data
-    size, not to n². This is the scale path whose recall b26 checks.
+    Plan shape (same inverted-index discipline as b26):
+      1. per-doc minhash signature (map-only, single fold pass)
+      2. explode band keys; groupBy (band, key) collecting doc ids —
+         ONE narrow shuffle, no self-join of the signature pipeline
+      3. ordered pairs within each bucket + distinct (a pair can
+         surface from several bands)
+      4. two joins back to the shingle table to fetch the arrays,
+         exact-Jaccard verify. Candidates are tiny (that is LSH's
+         whole point), so both joins broadcast the candidate side.
+
+    Per-doc work is map-only; every shuffle is proportional to data
+    size, never n². This is the scale path whose recall b26 checks.
     """
     docs = table(spark, sf_dir, "documents")
+    # signature straight off the text: the fold evaluates the shingle
+    # expression exactly once per row (an earlier per-permutation
+    # transform(array_min(...)) form re-built the shingle array 32×
+    # after project-collapse — 64 s vs 8 s at sf0.1).
     sig = docs.select(
-        "doc_id", F.expr(char_ngrams_hashed_expr(5)).alias("shingles")
-    ).withColumn("sig", F.expr(minhash_signature_expr("shingles")))
-    # band key = (band index, hash of the signature slice)
+        "doc_id",
+        F.expr(minhash_signature_expr(char_ngrams_hashed_expr(5))).alias("sig"),
+    )
     bands = sig.select(
         "doc_id",
-        "shingles",
+        "sig",
         F.explode(
             F.expr(
                 f"""transform(sequence(0, {_BANDS - 1}), b ->
@@ -271,25 +320,36 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   {_ROWS_PER_BAND}), '_'))))"""
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", "bk.band", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ).select("doc_id", "bk.band", "bk.key")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ds"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x AS doc_a, y AS doc_b)),
+                                  p -> p.doc_a < p.doc_b)))"""
+                )
+            ).alias("p")
         )
-        .dropDuplicates(["doc_a", "doc_b"])  # same pair from several bands
+        .select("p.*")
+        .distinct()  # same pair from several bands
     )
-    return candidates.select(
+    # join docs to candidates FIRST, shingle only the survivors — the
+    # shingle expression runs on O(candidates) rows, not the corpus.
+    half = docs.join(
+        F.broadcast(candidates), F.col("doc_id") == F.col("doc_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr(char_ngrams_hashed_expr(5)).alias("sh_a"),
+    )
+    verified = docs.withColumnRenamed("doc_id", "doc_b").join(
+        F.broadcast(half), "doc_b"
+    ).select("doc_a", "doc_b", "sh_a", F.expr(char_ngrams_hashed_expr(5)).alias("sh_b"))
+    return verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
 
