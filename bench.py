@@ -43,9 +43,13 @@ BENCH_QUERIES = [
     "b24_dedup_across_sources",
     "b26_ngram_jaccard_pairs",
     "b27_minhash_lsh_dedup",
+    "b28_simhash_dedup",
     "b29_language_id",
     "b33_cosine_topk",
     "b34_ann_ivf_label",
+    "b35_ann_random_projection",
+    "b36_multimodal_metadata",
+    "b39_embedding_neardup",
 ]
 
 

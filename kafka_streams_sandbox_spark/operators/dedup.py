@@ -398,7 +398,13 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array,
     )
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings")
+    # single-file scans arrive as one partition — widen so the dense
+    # pair kernel parallelizes (no-op at real scale; see similarity.py)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    emb = emb.select(
         "vec_id", to_double_array("embedding").alias("e")
     ).withColumn("nrm", norm2("e"))
     a = emb.select(
@@ -422,15 +428,20 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Hamming-distance dedup) — rows-only check
 # ---------------------------------------------------------------------------
+# Single fold over the hashed tokens updating all 64 bit-counters at
+# once (an earlier per-bit form re-ran the token split 64× per row);
+# the finish lambda turns the counter signs into the 64-bit signature.
 SIMHASH_EXPR = f"""
     aggregate(
-        sequence(0, 63),
-        CAST(0 AS BIGINT),
-        (acc, j) -> acc + CASE WHEN
-            aggregate({TOKENS_EXPR}, 0,
-                      (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
-                                         THEN 1 ELSE -1 END) > 0
-            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END
+        transform({TOKENS_EXPR}, t -> xxhash64(t)),
+        transform(sequence(0, 63), j -> 0),
+        (acc, h) -> zip_with(acc, sequence(0, 63), (c, j) ->
+            c + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+        acc -> aggregate(
+            zip_with(acc, sequence(0, 63), (c, j) ->
+                CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+                     ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (s, x) -> s + x)
     )
 """
 
@@ -441,8 +452,10 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from matching any of four 16-bit chunks (pigeonhole:
     distance <= 8 over 64 bits can still miss — classic simhash-banding
-    tradeoff, verified pairs are exact). Signature is map-only;
-    verification is bit_count(xor) — no array comparisons at all.
+    tradeoff, verified pairs are exact). Signature is map-only; the
+    signature is one long, so it rides inside the bucket structs and
+    verification is pure ``bit_count(xor)`` — no joins at all after
+    the single (chunk, ckey) shuffle.
     """
     docs = table(spark, sf_dir, "documents")
     sig = docs.select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
@@ -456,20 +469,25 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.ckey")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    pairs = (
+        chunks.groupBy("chunk", "ckey")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x.doc_id AS doc_a, x.simhash AS sim_a,
+                                             y.doc_id AS doc_b, y.simhash AS sim_b)),
+                                  p -> p.doc_a < p.doc_b)))"""
+                )
+            ).alias("p")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 8)
+        .select("p.*")
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair from several chunks
     )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+    ).filter(F.col("hamming") <= 8)

@@ -32,8 +32,18 @@ DIM = 64
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with widened double array + precomputed norm."""
+    """embeddings with widened double array + precomputed norm.
+
+    The corpus side of every pairwise op streams through a dense
+    per-pair kernel, so its partition count caps the parallelism. A
+    small parquet file arrives as ONE partition — widen it to the
+    session's parallelism. At real scale the scan is already wide and
+    this is a no-op (no shuffle added).
+    """
     emb = table(spark, sf_dir, "embeddings")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
     return emb.select(
         "vec_id",
         "label",

@@ -1,0 +1,96 @@
+"""Physical-plan pins: the properties that decide 100 TB viability.
+
+Correctness tests prove the operators compute the right answer;
+these prove Catalyst compiled them to the plan we designed for —
+pushdown reaching the scan, broadcast where a dim is small, rank
+filters fused into the window sort, no row-at-a-time Python anywhere,
+and no shuffle where the plan shouldn't need one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_sandbox_spark.plans.inspect import (
+    count_shuffles,
+    has_operator,
+    plan_string,
+    read_schema_columns,
+    scans_with_pushed_filters,
+    uses_row_python_udf,
+)
+from kafka_streams_sandbox_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(queries, spark, sf_dir):
+    """B1's predicate must appear as PushedFilters on the parquet scan
+    — at 100 TB that's the difference between reading row groups and
+    skipping them via statistics."""
+    df = queries["b01_scan_filter_project"](spark, sf_dir)
+    assert scans_with_pushed_filters(df) >= 1, plan_string(df)
+
+
+def test_column_pruning_reaches_scan(queries, spark, sf_dir):
+    """B1 projects a handful of lineitem columns; the scan must not
+    read the other ~12 (ReadSchema == what the query touches)."""
+    df = queries["b01_scan_filter_project"](spark, sf_dir)
+    cols = read_schema_columns(df, "lineitem")
+    assert 0 < len(cols) <= 8, cols
+
+
+def test_broadcast_join_is_broadcast(queries, spark, sf_dir):
+    """B5 joins lineitem to the part dim — must compile to a
+    BroadcastHashJoin, never a shuffle of the fact side."""
+    df = queries["b05_broadcast_join_agg"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
+
+
+def test_topk_uses_window_group_limit(queries, spark, sf_dir):
+    """B10/B17 rank<=k filters must fuse into WindowGroupLimit so each
+    partition keeps k rows during the sort instead of ranking
+    everything and filtering after."""
+    for name in ("b10_topk_per_group", "b17_latest_per_user"):
+        df = queries[name](spark, sf_dir)
+        assert has_operator(df, "WindowGroupLimit"), (name, plan_string(df))
+
+
+def test_no_row_python_udfs_anywhere(queries, spark, sf_dir):
+    """No registered batch query may fall back to row-at-a-time Python
+    (BatchEvalPython). Arrow-batched pandas ops are allowed; everything
+    else must stay in the JVM."""
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        if name.startswith("a"):  # streaming pipelines execute on build
+            continue
+        df = fn(spark, sf_dir)
+        if uses_row_python_udf(df):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_global_sort_limit_is_takeordered(queries, spark, sf_dir):
+    """B11 orderBy().limit() must compile to TakeOrderedAndProject —
+    a per-partition top-N + merge, not a global sort."""
+    df = queries["b11_global_sort_limit"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject"), plan_string(df)
+
+
+def test_exact_dedup_single_shuffle(queries, spark, sf_dir):
+    """B21 exact dedup is one hash-aggregate: exactly one Exchange in
+    the plan (the groupBy on text), nothing more."""
+    df = queries["b21_exact_dedup"](spark, sf_dir)
+    assert count_shuffles(df) == 1, plan_string(df)
+
+
+def test_map_only_text_ops_have_no_shuffle(queries, spark, sf_dir):
+    """Per-document text analysis must stay embarrassingly parallel —
+    zero Exchange operators in the plan."""
+    for name in ("b23_text_stats", "b29_language_id", "b30_quality_score",
+                 "b31_token_count", "b32_fingerprint", "b36_multimodal_metadata"):
+        plan = plan_string(queries[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
