@@ -1,0 +1,285 @@
+"""Extended relational + pipeline operators (beyond SURVEY §2.B's
+B1–B25 core): as-of join, pivot, scalar-subquery shape, grouping
+sets, Arrow-path cosine, and sketch aggregates.
+
+These round out what a production analytics engine on the driver's
+tables needs; each is designed around the same scale discipline as
+the core set (single shuffle where one is inherent, broadcast for
+small sides, JVM built-ins on the hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.functions.numeric import dsum, sql_dsum
+from kafka_streams_sandbox_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# B40: as-of join (click -> purchase attribution on the events table)
+# ---------------------------------------------------------------------------
+B40_ORACLE = """
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+"""
+
+
+@query("b40_asof_join", oracle=B40_ORACLE)
+def b40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (classic attribution; the operator Spark
+    has no primitive for).
+
+    The scalable plan is the union-sort trick, NOT a range join: tag
+    and union both sides, sort by (user, ts), carry the last click
+    forward with ``last(ignorenulls)``. One shuffle + sort, linear in
+    events — where a per-user range join is O(clicks × purchases) in
+    the worst (power-user) partition. Tie at equal ts: the sort places
+    clicks before purchases (a click AT the purchase timestamp
+    matches) and later click ids win, mirroring the oracle's
+    (ts DESC, event_id DESC) pick.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_purchase"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("is_purchase") == 0, F.struct("event_id", "ts")
+    )
+    carried = tagged.withColumn(
+        "last_click", F.last(click_struct, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("last_click.event_id").alias("click_id"),
+        F.col("last_click.ts").alias("click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B41: pivot (event_type counts per user)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+B41_ORACLE = f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query("b41_pivot_event_counts", oracle=B41_ORACLE)
+def b41_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — listing the pivot values
+    keeps the plan a single pass (no extra distinct-values job) and
+    the output schema static, which is what a 100 TB pipeline wants.
+    """
+    ev = table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# B42: scalar-subquery shape (above-nation-average account balance)
+# ---------------------------------------------------------------------------
+B42_ORACLE = f"""
+    WITH nation_avg AS (
+        SELECT c_nationkey,
+               ({sql_dsum("c_acctbal", 2)} / COUNT(*)) AS nation_avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.nation_avg_bal
+    FROM customer c JOIN nation_avg n USING (c_nationkey)
+    WHERE c.c_acctbal > n.nation_avg_bal
+"""
+
+
+@query("b42_above_avg_customers", oracle=B42_ORACLE)
+def b42_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape, decorrelated by hand into
+    aggregate + broadcast join (exactly what Catalyst's subquery
+    decorrelation produces — written out so the plan is explicit).
+    The per-nation aggregate is tiny -> broadcast; the fact side
+    never shuffles.
+    """
+    cust = table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (dsum("c_acctbal", 2) / F.count(F.lit(1))).alias("nation_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B43: grouping sets
+# ---------------------------------------------------------------------------
+B43_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_quantity", 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("b43_grouping_sets", oracle=B43_ORACLE)
+def b43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (the DataFrame API exposes only
+    rollup/cube; arbitrary sets are a SQL-level feature). Single
+    expand + aggregate — same physical shape as rollup."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B44: cosine top-k on the Arrow/numpy path (rows-only: BLAS sums in
+# SIMD order, so values differ from the sequential fold in last ulps)
+# ---------------------------------------------------------------------------
+B44_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+)
+
+
+@query("b44_cosine_topk_arrow")  # rows-only: BLAS summation order
+def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 via mapInPandas + numpy: the corpus streams
+    through Arrow batches, each batch does one (batch × queries)
+    matmul, emits per-batch top-k, and a final window takes the
+    global top-k per query.
+
+    This is the high-throughput twin of b33 (JVM fold): ~10-100×
+    faster per pair at 100 TB, at the cost of bit-exactness vs the
+    DuckDB oracle (hence rows-only). Queries are collected to the
+    driver and shipped in the closure — the query side of a top-k
+    search is small by construction.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+
+    qrows = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, queries)
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            k = min(5, len(ids))
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand = np.argsort(-col[mask])[:k]
+                sel = np.flatnonzero(mask)[cand]
+                out["query_id"].extend([qid] * len(sel))
+                out["neighbor_id"].extend(ids[sel])
+                out["cos_sim"].extend(col[sel])
+            yield pd.DataFrame(out)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        topk_batches, B44_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B45: sketch aggregates (HLL distinct, approximate percentiles)
+# ---------------------------------------------------------------------------
+@query("b45_sketch_aggregates")  # rows-only: sketches are engine-specific
+def b45_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) and approx_percentile per
+    returnflag — the fixed-memory path for 100 TB cardinality/quantile
+    questions where exact distinct would shuffle every key. Estimates
+    are engine-specific by nature -> rows-only check; the exact twins
+    (b12) stay oracle-verified.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
+            "price_quantiles"
+        ),
+    )

@@ -23,6 +23,7 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.relational",
+    "kafka_streams_sandbox_spark.operators.extended",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.dedup",
     "kafka_streams_sandbox_spark.operators.similarity",

@@ -199,3 +199,24 @@ def a21_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy equivalent."""
     out = running_stats_stream(events_stream(spark, sf_dir))
     return spark.table(run_to_memory(out, "update"))
+
+
+@query("a22_stream_static_join")  # rows-only: streaming, no SQL twin
+def a22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream left-joined to the
+    customer dim (user_id -> c_custkey). The static side is planned as
+    a broadcast per micro-batch — no stream-side shuffle and no
+    streaming state at all, which is why stream-static is the
+    preferred join shape at 100 TB (vs stateful stream-stream).
+    Tests pin equality with the batch join.
+    """
+    from kafka_streams_sandbox_spark.catalog import table as _table
+
+    ev = events_stream(spark, sf_dir)
+    dim = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return spark.table(run_to_memory(joined, "append"))

@@ -112,3 +112,18 @@ def test_running_stats_matches_batch(spark, sf_dir):
     assert _sorted_rows(
         streamed.select("user_id", "last_event_type"), ["user_id", "last_event_type"]
     ) == _sorted_rows(latest, ["user_id", "last_event_type"])
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """A22 stream-static broadcast join == the same join in batch."""
+    qs = all_queries()
+    streamed = qs["a22_stream_static_join"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS user_id", "c_name", "c_mktsegment"
+    )
+    batch = ev.join(cust, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    cols = ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
