@@ -263,22 +263,10 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
 _PRIME = 4294967291
 
 
-def minhash_signature_expr(shingles_col: str, k: int = _MINHASH_K) -> str:
-    """k-permutation MinHash signature over a hashed-shingle column.
-
-    Universal hashing h_i(x) = (a_i*x + b_i) mod p with fixed odd
-    a_i/b_i derived from i — deterministic across runs and cluster
-    sizes; the 32-bit prime keeps the multiply inside int64 (ANSI
-    mode). Takes a *column name*, not the shingle expression: inlining
-    the expression makes Spark rebuild the distinct shingle array once
-    per permutation (32×) inside the lambda.
-    """
-    return f"""
-        aggregate(transform({shingles_col}, h0 -> pmod(h0, {_PRIME})),
-            transform(sequence(0, {k - 1}), i -> CAST({_PRIME} AS BIGINT)),
-            (acc, h) -> zip_with(acc, sequence(0, {k - 1}), (m, i) ->
-                least(m, pmod((2*i + 1) * h + (7919 * i + 13), {_PRIME}))))
-    """
+# MinHash permutations are universal hashes h_i(x) = (a_i*x + b_i)
+# mod p with fixed odd a_i / b_i derived from i — deterministic across
+# runs and cluster sizes; the 32-bit prime keeps the multiply inside
+# int64 (Spark runs ANSI mode — a 61-bit prime overflows).
 
 
 @query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
@@ -301,13 +289,32 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never n². This is the scale path whose recall b26 checks.
     """
     docs = table(spark, sf_dir, "documents")
-    # signature straight off the text: the fold evaluates the shingle
-    # expression exactly once per row (an earlier per-permutation
+    # Signature as 32 plain min() aggregates over exploded shingle
+    # hashes: every permutation update is straight-line codegen (no
+    # per-element array rebuild — the HOF fold form allocs a k-array
+    # per shingle and measured 3× slower; the per-permutation
     # transform(array_min(...)) form re-built the shingle array 32×
-    # after project-collapse — 64 s vs 8 s at sf0.1).
-    sig = docs.select(
+    # after project-collapse, 64 s vs 2.6 s at sf0.1). A doc's
+    # shingles never span partitions, so map-side partial aggregation
+    # collapses the exploded postings before the shuffle — the
+    # exchange moves one row per doc.
+    posting = docs.select(
         "doc_id",
-        F.expr(minhash_signature_expr(char_ngrams_hashed_expr(5))).alias("sig"),
+        F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
+    ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
+    sig = (
+        posting.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.expr(f"pmod({2 * i + 1} * h + {7919 * i + 13}, {_PRIME})")
+                ).alias(f"m{i}")
+                for i in range(_MINHASH_K)
+            ]
+        )
+        .select(
+            "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_K)]).alias("sig")
+        )
     )
     bands = sig.select(
         "doc_id",
