@@ -283,3 +283,127 @@ def b45_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B46: range join (price-band classification)
+# ---------------------------------------------------------------------------
+_PRICE_BANDS = [
+    ("penny", 0.0, 500.0),
+    ("low", 500.0, 1500.0),
+    ("mid", 1500.0, 4000.0),
+    ("high", 4000.0, 20000.0),
+    ("lux", 20000.0, 1e12),
+]
+
+B46_ORACLE = f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l_extendedprice", 2)} AS sum_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+"""
+
+
+@query("b46_range_join_bands", oracle=B46_ORACLE)
+def b46_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts matched to [lo, hi) intervals.
+
+    With a tiny interval table the right plan IS the broadcast
+    nested-loop — each row tests a handful of intervals in-core, and
+    the fact side never shuffles. For a large interval table the play
+    is interval bucketing (explode intervals into fixed-width buckets,
+    equi-join on bucket, re-check the bounds) — noted here, not needed
+    for a dim of five rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B48: hybrid (filtered semantic) search — documents ⋈ embeddings
+# ---------------------------------------------------------------------------
+_B48_DIM = 64
+
+B48_ORACLE = f"""
+    WITH joined AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(e.embedding AS DOUBLE[]) AS vec
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en' AND d.n_chars >= 200
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+          FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT j.doc_id, j.source,
+               (list_aggregate(list_transform(range(1, {_B48_DIM + 1}),
+                                              i -> j.vec[i] * q.qvec[i]), 'sum')
+                / (sqrt(list_aggregate(list_transform(j.vec, x -> x*x), 'sum'))
+                   * sqrt(list_aggregate(list_transform(q.qvec, x -> x*x), 'sum'))))
+                   AS cos_sim
+        FROM joined j CROSS JOIN q
+        WHERE j.doc_id != 0
+    )
+    SELECT doc_id, source, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+@query("b48_hybrid_search", oracle=B48_ORACLE)
+def b48_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: metadata predicates prune the corpus BEFORE the
+    vector math — the pattern that makes semantic search affordable at
+    100 TB (filter + join cut the candidate set; only survivors pay
+    the dot product). Top-k via rank over a single window, which Spark
+    executes as per-partition top-k then merge (WindowGroupLimit).
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        dot,
+        norm2,
+        to_double_array,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("qvec")
+    )
+    joined = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .filter(F.col("doc_id") != 0)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "source", to_double_array("embedding").alias("vec"))
+    )
+    scored = joined.crossJoin(F.broadcast(qvec)).select(
+        "doc_id",
+        "source",
+        (dot("vec", "qvec") / (norm2("vec") * norm2("qvec"))).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "source", "cos_sim", F.col("rnk").cast("bigint"))
+    )

@@ -220,3 +220,52 @@ def a22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
     )
     return spark.table(run_to_memory(joined, "append"))
+
+
+@query("a23_stream_stream_join")  # rows-only: streaming, no SQL twin
+def a23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks within the preceding hour. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can evict buffered rows once the watermark passes — the
+    state-bounding discipline that makes stream-stream joins viable
+    on an unbounded stream. Tests pin equality with the identical
+    batch interval join.
+    """
+    ev1 = events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev2 = events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    return spark.table(run_to_memory(joined, "append"))

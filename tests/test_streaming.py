@@ -127,3 +127,32 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     )
     cols = ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"]
     assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """A23 watermarked interval join == the same join in batch."""
+    qs = all_queries()
+    streamed = qs["a23_stream_stream_join"](spark, sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts",
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+            "timestamp_ntz"
+        ),
+    )
+    p = raw.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
+    )
+    c = raw.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS c_ts"
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).selectExpr(
+        "purchase_id", "p_user AS user_id", "p_ts AS purchase_ts",
+        "click_id", "c_ts AS click_ts",
+    )
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
