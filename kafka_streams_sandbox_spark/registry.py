@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.multimodal",
     "kafka_streams_sandbox_spark.streaming.ktable",
     "kafka_streams_sandbox_spark.streaming.windows",
+    "kafka_streams_sandbox_spark.streaming.app",
 )
 
 _loaded = False
