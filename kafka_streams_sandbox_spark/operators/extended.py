@@ -407,3 +407,43 @@ def b48_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "source", "cos_sim", F.col("rnk").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B50: skew-resistant two-phase (salted) aggregation
+# ---------------------------------------------------------------------------
+_SALT_BUCKETS = 16
+
+B50_ORACLE = f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_extendedprice", 2)} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("b50_salted_agg", oracle=B50_ORACLE)
+def b50_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key
+    (l_returnflag has ~3 values — every row funnels into 3 reduce
+    tasks in a naive plan). Phase 1 groups on (key, salt) spreading
+    each hot key over {_SALT_BUCKETS} partial aggregates; phase 2
+    merges the partials. Result is identical to the direct groupBy
+    (the oracle IS the direct form) because count/decimal-sum are
+    associative. At 100 TB this is the manual fallback when AQE's
+    skew handling can't apply (e.g., skewed aggregation rather than
+    skewed join).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", (F.crc32(F.col("l_orderkey").cast("string")) % _SALT_BUCKETS)
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("ps").cast("double").alias("sum_price"),
+    )

@@ -175,3 +175,57 @@ def b38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction over "audio" payloads (rows-only)
+# ---------------------------------------------------------------------------
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+_SAMPLE_RATE = 16_000  # fake PCM interpretation of the blob bytes
+_WINDOW = 400  # 25 ms at 16 kHz
+
+
+@query("b49_audio_features")  # rows-only: stubbed codec, no SQL twin
+def b49_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: interpret each blob as 8-bit PCM and
+    compute duration/RMS/peak/window counts per clip via numpy over
+    Arrow batches. A real deployment swaps the byte view for an
+    ffmpeg/soundfile decode — the Spark plumbing (schema, batching,
+    per-clip vectorized math) is exactly this."""
+    import numpy as np
+
+    docs = with_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                pcm = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                n = len(pcm)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "duration_s": round(n / _SAMPLE_RATE, 6),
+                        "rms": round(float(np.sqrt(np.mean(pcm**2))), 6)
+                        if n
+                        else 0.0,
+                        "peak": int(np.abs(pcm).max()) if n else 0,
+                        "n_windows": max((n + _WINDOW - 1) // _WINDOW, 0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(features, AUDIO_SCHEMA)

@@ -1,0 +1,101 @@
+"""Property-based invariants (SURVEY §5.2 item 5) — hypothesis
+generates small keyed datasets; Spark must uphold the operator
+contracts on every one of them.
+
+Example counts are kept low: each example is a full Spark job, so the
+value is in odd shapes (empty, single key, all-duplicates, tie
+timestamps), which hypothesis finds quickly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.operators.semantic import latest_per_key
+from kafka_streams_sandbox_spark.streaming.ktable import (
+    key_eq_value_predicate,
+    ktable_filter,
+)
+
+KV = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key  (few values -> collisions)
+    st.integers(min_value=0, max_value=50),  # ts   (ties likely)
+    st.text(alphabet="abcAB", min_size=0, max_size=3),  # value
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    data = [(k, t, i, v) for i, (k, t, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, value string"
+    )
+
+
+@given(rows=st.lists(KV, min_size=0, max_size=30))
+@SETTINGS
+def test_latest_per_key_contract(spark, rows):
+    """latest_per_key: one row per key, each row IS the input row with
+    the max (ts, event_id) for that key; idempotent."""
+    df = _df(spark, rows)
+    out = latest_per_key(df, key="user_id", ts="ts", tiebreak="event_id")
+    got = {r.user_id: (r.ts, r.event_id, r.value) for r in out.collect()}
+    expected = {}
+    for i, (k, t, v) in enumerate(rows):
+        cur = expected.get(k)
+        if cur is None or (t, i) > (cur[0], cur[1]):
+            expected[k] = (t, i, v)
+    assert got == expected
+    again = latest_per_key(out, key="user_id", ts="ts", tiebreak="event_id")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+@given(rows=st.lists(KV, min_size=0, max_size=30))
+@SETTINGS
+def test_exact_dedup_partition_property(spark, rows):
+    """Hash-groupBy dedup: every input row lands in exactly one group;
+    group sizes sum to the input count; keep_id is a real member."""
+    df = _df(spark, rows)
+    out = (
+        df.groupBy("value")
+        .agg(
+            F.min("event_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    )
+    assert sum(r.dup_count for r in out) == len(rows)
+    values = [v for (_, _, v) in rows]
+    for r in out:
+        assert values[r.keep_id] == r.value  # keep_id indexes an input row
+
+
+@given(rows=st.lists(KV, min_size=0, max_size=30))
+@SETTINGS
+def test_ktable_filter_partitions_not_drops(spark, rows):
+    """A4 tombstone filter: never drops rows — it labels them; the
+    is_delete split is exactly the predicate's complement."""
+    df = _df(spark, rows).withColumn("k", F.col("value"))
+    flagged = ktable_filter(df, key_eq_value_predicate("k", "value"))
+    assert flagged.count() == len(rows)
+    # k == value by construction -> survivors are rows with non-null k
+    assert flagged.filter(F.col("is_delete")).count() == 0
+    mixed = ktable_filter(
+        df.withColumn("k", F.upper("value")),
+        key_eq_value_predicate("k", "value"),
+    )
+    # case-insensitive: upper(value) ==ic value always -> no deletes
+    assert mixed.filter(F.col("is_delete")).count() == 0
+    broken = ktable_filter(
+        df.withColumn("k", F.concat(F.col("value"), F.lit("x"))),
+        key_eq_value_predicate("k", "value"),
+    )
+    # appending 'x' breaks equality for every row -> all tombstones
+    assert broken.filter(~F.col("is_delete")).count() == 0
