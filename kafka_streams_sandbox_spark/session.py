@@ -35,6 +35,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # which Spark has no native type for; read the raw int64 and the
     # catalog converts ns -> microsecond timestamp (catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Streaming state off-heap in RocksDB: the in-memory HDFS-backed
+    # provider holds every key in executor heap — fine for tests,
+    # OOM at a 100 TB keyspace. Read per query start (runtime-settable).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 
