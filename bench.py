@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "b35_ann_random_projection",
     "b36_multimodal_metadata",
     "b39_embedding_neardup",
+    "b40_asof_join",
+    "b41_pivot_event_counts",
+    "b43_grouping_sets",
+    "b44_cosine_topk_arrow",
+    "b46_range_join_bands",
+    "b48_hybrid_search",
+    "b50_salted_agg",
 ]
 
 
