@@ -447,3 +447,89 @@ def b50_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("ps").cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B51: sliding (hopping) window aggregation — 10 min windows every 5 min
+# ---------------------------------------------------------------------------
+B51_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 300000000) AS BIGINT)
+                              * 300000000) AS bucket,
+               event_type, value
+        FROM events
+    ), assigned AS (
+        SELECT unnest([bucket, bucket - INTERVAL 5 MINUTE]) AS window_start,
+               event_type, value
+        FROM bucketed
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value", 6)} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+"""
+
+
+@query("b51_sliding_window_agg", oracle=B51_ORACLE)
+def b51_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (size 10 min, slide 5 min): every event lands in
+    size/slide = 2 windows. Spark's F.window replicates rows at the
+    Expand operator — input amplification is exactly size/slide, so at
+    100 TB keep the ratio small (the oracle reproduces the assignment
+    by unnesting the two aligned buckets per event).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B52: unpivot / melt (wide measures -> long rows)
+# ---------------------------------------------------------------------------
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+B52_ORACLE = f"""
+    WITH long AS (
+        {" UNION ALL ".join(
+            f"SELECT l_returnflag, '{m}' AS measure, {m} AS val FROM lineitem"
+            for m in _MEASURES)}
+    )
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           {sql_dsum("val", 6)} AS sum_val
+    FROM long
+    GROUP BY 1, 2
+"""
+
+
+@query("b52_unpivot_measures", oracle=B52_ORACLE)
+def b52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide measure columns to (measure, value)
+    rows inside the projection — one pass, no join, the Expand-based
+    dual of b41's pivot."""
+    li = table(spark, sf_dir, "lineitem")
+    stacked = li.selectExpr(
+        "l_returnflag",
+        "stack({}, {}) AS (measure, val)".format(
+            len(_MEASURES),
+            ", ".join(f"'{m}', {m}" for m in _MEASURES),
+        ),
+    )
+    return stacked.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        dsum("val", 6).alias("sum_val"),
+    )

@@ -288,3 +288,40 @@ def b32_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(distinct_sorted, " ")).alias("fingerprint"),
         F.size(F.array_distinct(toks)).alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (polynomial / Rabin-Karp style)
+# ---------------------------------------------------------------------------
+_RH_PRIME = 1_000_000_007
+_RH_BASE = 31
+
+B33RH_ORACLE = f"""
+    SELECT doc_id,
+           list_reduce(
+               [CAST(0 AS BIGINT)] || list_transform(
+                   regexp_split_to_array(text, ''), c -> CAST(ord(c) AS BIGINT)),
+               (h, c) -> (h * {_RH_BASE} + c) % {_RH_PRIME}) AS rolling_hash,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+    FROM documents
+"""
+
+
+@query("b53_rolling_hash", oracle=B33RH_ORACLE)
+def b53_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the character stream (Rabin-Karp
+    form): h = (h*B + code) mod P folded left-to-right — the primitive
+    under substring fingerprinting/winnowing. One fold pass per doc,
+    map-only; the modulus keeps every step inside int64 under ANSI
+    arithmetic, and the left fold is order-deterministic so the value
+    is engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    fold = (
+        f"aggregate(split(text, ''), CAST(0 AS BIGINT), "
+        f"(h, c) -> pmod(h * {_RH_BASE} + ascii(c), {_RH_PRIME}))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(fold).alias("rolling_hash"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    )
