@@ -533,3 +533,156 @@ def b52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vals"),
         dsum("val", 6).alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B54: MERGE / upsert emulation (CDC apply without a table format)
+# ---------------------------------------------------------------------------
+B54_ORACLE = """
+    WITH changes AS (
+        SELECT user_id AS c_custkey, value AS new_bal
+        FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(ch.new_bal, c.c_acctbal) AS c_acctbal,
+           (ch.c_custkey IS NOT NULL) AS updated
+    FROM customer c LEFT JOIN changes ch USING (c_custkey)
+"""
+
+
+@query("b54_merge_upsert", oracle=B54_ORACLE)
+def b54_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WHEN MATCHED THEN UPDATE, emulated on plain parquet:
+    outer-join target to the change set and coalesce columns — the
+    batch pattern behind ParquetKTableStore's streaming upsert (a
+    table format's MERGE INTO does the same join under the hood; on
+    plain files the full rewrite is the price). Change set is the
+    latest event per key (window rank), exactly the CDC-compaction
+    step a streaming changelog needs before applying.
+    """
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("value").alias("new_bal"),
+        )
+    )
+    return cust.join(F.broadcast(changes), "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("new_bal", "c_acctbal").alias("c_acctbal"),
+        F.col("new_bal").isNotNull().alias("updated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B55: dedup clusters — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+B55_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY node
+"""
+
+
+@query("b55_dedup_clusters", oracle=B55_ORACLE)
+def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: connected components by
+    iterated min-label propagation (each node adopts the smallest id
+    reachable; loop until fixpoint). cluster_id = min doc_id of the
+    component — the canonical survivor an LLM dedup pipeline keeps.
+
+    Iterative-algorithm shape on DataFrames: the loop runs on the
+    driver but every iteration is one distributed join + aggregate;
+    rounds needed = graph diameter in label-hops (log-ish for the
+    star/path graphs exact-dup clusters form). The DuckDB oracle is a
+    recursive CTE computing the same min-reachable label. Edges here
+    come from exact-text equality (deterministic, so the oracle can
+    rebuild the identical pair set); the same loop consumes b26/b27
+    pair output unchanged.
+    """
+    docs = table(spark, sf_dir, "documents")
+    dup = docs.groupBy("text").agg(
+        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") > 1)
+    pairs = (
+        dup.select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ids, x ->
+                           filter(transform(ids, y ->
+                                      struct(x AS doc_a, y AS doc_b)),
+                                  p -> p.doc_a < p.doc_b)))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    # min-label propagation to fixpoint (bounded: label strictly
+    # decreases; exact-dup components have diameter <= 2 via the pair
+    # expansion, so a handful of rounds suffices even adversarially)
+    for _ in range(10):
+        propagated = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(propagated, labels.node == propagated.src, "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # truncate lineage each round: without this the plan re-derives
+        # every previous iteration (exponential at depth) — the classic
+        # iterative-DataFrame trap; checkpoint() on a real cluster
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
