@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "b50_salted_agg",
     "b51_sliding_window_agg",
     "b52_unpivot_measures",
+    "b53_rolling_hash",
+    "b54_merge_upsert",
+    "b55_dedup_clusters",
 ]
 
 
