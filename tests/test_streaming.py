@@ -156,3 +156,101 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
     assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_multi_batch_store_merge_equals_batch(spark, sf_dir, tmp_path):
+    """KTable upsert semantics across MANY micro-batches: split events
+    into 4 files, force one file per trigger, MERGE each batch into
+    the parquet store — the final store must equal the single-shot
+    batch latest-per-key (B17). This exercises cross-batch overwrite
+    ordering, which the single-file availableNow replay never does."""
+    from kafka_streams_sandbox_spark.streaming.ktable import (
+        ParquetKTableStore,
+        latest_by_key_stream,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import EVENTS_RAW_SCHEMA
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    # deterministic 4-way split ordered by event_id so later files hold
+    # later events (the realistic arrival order)
+    ev.withColumn("part", F.col("event_id") % 4).write.partitionBy(
+        "part"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src + "/part=*")
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+                "timestamp_ntz"
+            ),
+        )
+    )
+    tbl = latest_by_key_stream(stream).withColumn("is_delete", F.lit(False))
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="user_id")
+    q = (
+        tbl.writeStream.foreachBatch(store.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = store.read().drop("__batch")
+    expected = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+                "timestamp_ntz"
+            ),
+        )
+    )
+    from kafka_streams_sandbox_spark.operators.semantic import latest_per_key
+
+    exp = latest_per_key(expected)
+    cols = ["user_id", "event_id"]
+    assert _sorted_rows(got, cols) == _sorted_rows(exp, cols)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Exactly-once append sink across a restart: run to completion,
+    add more input, restart from the SAME checkpoint — previously
+    processed files must not be re-emitted."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_file(name, start, n):
+        spark.range(start, start + n).toDF("v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        stream = (
+            spark.readStream.schema("v long")
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("f1", 0, 100)
+    run()
+    assert spark.read.parquet(out).count() == 100
+    write_file("f2", 100, 50)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 150  # no re-emission of f1
+    assert got.agg(F.countDistinct("v")).collect()[0][0] == 150
