@@ -686,3 +686,32 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B56: exact percentiles / median per group
+# ---------------------------------------------------------------------------
+B56_ORACLE = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("b56_exact_percentiles", oracle=B56_ORACLE)
+def b56_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Both engines use the
+    same linear-interpolation definition, so values are bit-exact and
+    oracle-checkable. Exact percentile sorts each group's values —
+    affordable per-group; for the corpus-wide single-pass variant at
+    100 TB use b45's approx_percentile sketch instead.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    )
