@@ -16,12 +16,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_streams_sandbox_spark import registry
-from kafka_streams_sandbox_spark.operators.relational import b02_tpch_q1_agg
 from kafka_streams_sandbox_spark.session import configure
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-shape agg, SURVEY.md §2.B B2) on sf0.001."""
+    """Flagship query (TPC-H Q1-shape agg, SURVEY.md §2.B B2) on sf0.001.
+
+    The import is deliberately lazy: a top-level import of the
+    relational module would register its queries ahead of the
+    registry's curated module order (which front-loads the queries the
+    driver's time budget must not cut off).
+    """
+    from kafka_streams_sandbox_spark.operators.relational import b02_tpch_q1_agg
+
     configure(spark)
     return b02_tpch_q1_agg(spark, "/root/testdata/sf0.001")
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
 from kafka_streams_sandbox_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -104,7 +105,8 @@ def b24_dedup_across_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shared shingling helpers (word n-grams / char n-grams), pure SQL HOFs
 # ---------------------------------------------------------------------------
-TOKENS_EXPR = r"filter(split(trim(text), '\\s+'), t -> t != '')"
+# TOKENS_EXPR lives in functions/tokens.py (registry-neutral home) and
+# is re-exported here for the operators that historically import it.
 
 
 def word_ngrams_expr(n: int = 3, toks: str = TOKENS_EXPR) -> str:

@@ -273,15 +273,20 @@ def b45_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     returnflag — the fixed-memory path for 100 TB cardinality/quantile
     questions where exact distinct would shuffle every key. Estimates
     are engine-specific by nature -> rows-only check; the exact twins
-    (b12) stay oracle-verified.
+    (b12, b56) stay oracle-verified.
+
+    Quantiles come back as scalar columns (one percentile_approx per
+    target — Catalyst merges them into a single shared sketch pass, so
+    this costs the same as the array form, and the flat schema is what
+    a driver/canonicalizer can hash).
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
     )
 
 
@@ -591,11 +596,20 @@ def b54_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B55: dedup clusters — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
+_B55_MAX_ROUNDS = 50
+
 B55_ORACLE = """
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM documents a JOIN documents b
-          ON a.text = b.text AND a.doc_id < b.doc_id
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
     ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -624,15 +638,29 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver but every iteration is one distributed join + aggregate;
     rounds needed = graph diameter in label-hops (log-ish for the
     star/path graphs exact-dup clusters form). The DuckDB oracle is a
-    recursive CTE computing the same min-reachable label. Edges here
-    come from exact-text equality (deterministic, so the oracle can
-    rebuild the identical pair set); the same loop consumes b26/b27
-    pair output unchanged.
+    recursive CTE computing the same min-reachable label. Edges come
+    from the b24 token-set fingerprint (deterministic, so the oracle
+    rebuilds the identical pair set, and — unlike exact-text equality —
+    the sf0.01 corpus actually contains such groups, so the check is
+    non-vacuous); the same loop consumes b26/b27 pair output unchanged.
     """
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+
     docs = table(spark, sf_dir, "documents")
-    dup = docs.groupBy("text").agg(
-        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("n")
-    ).filter(F.col("n") > 1)
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
+        )
+    )
+    dup = (
+        docs.select(fingerprint.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.collect_list("doc_id").alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
     pairs = (
         dup.select(
             F.explode(
@@ -652,10 +680,13 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    # min-label propagation to fixpoint (bounded: label strictly
-    # decreases; exact-dup components have diameter <= 2 via the pair
-    # expansion, so a handful of rounds suffices even adversarially)
-    for _ in range(10):
+    # min-label propagation to fixpoint. Fingerprint components have
+    # diameter <= 2 (every member pairs with every other), but the loop
+    # must not *silently* stop early when fed long-chain pair sets
+    # (b26/b27 output) — so run to a verified fixpoint and refuse to
+    # return an under-converged labeling.
+    converged = False
+    for _ in range(_B55_MAX_ROUNDS):
         propagated = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -682,7 +713,13 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"b55 label propagation did not converge in {_B55_MAX_ROUNDS} "
+            "rounds — graph diameter exceeds the bound; raise _B55_MAX_ROUNDS"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )

@@ -395,13 +395,16 @@ B13_ORACLE = """
 
 @query("b13_set_operations", oracle=B13_ORACLE)
 def b13_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops with SQL semantics: subtract() IS EXCEPT DISTINCT, so
+    the shape stays correct even if the left side carries duplicates
+    (exceptAll().distinct() only coincides when it doesn't)."""
     c = table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     return (
         a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
         .unionAll(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
-        .unionAll(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+        .unionAll(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import table
-from kafka_streams_sandbox_spark.operators.dedup import TOKENS_EXPR
+from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
 from kafka_streams_sandbox_spark.registry import query
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.

@@ -21,17 +21,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Import order IS driver execution order (decorators register on
+# import, and the driver walks queries() in registration order under a
+# global time budget — round 1's run was cut off after the 50th query,
+# leaving the tail unverified). So: the multimodal + streaming queries
+# go FIRST (they had no CORRECTNESS row in round 1), the cheap
+# relational/semantic/text oracle set next, and the expensive dedup
+# family — already hash-verified in round 1 — absorbs any budget cut
+# at the end.
 _OPERATOR_MODULES = (
-    "kafka_streams_sandbox_spark.operators.relational",
-    "kafka_streams_sandbox_spark.operators.extended",
-    "kafka_streams_sandbox_spark.operators.semantic",
-    "kafka_streams_sandbox_spark.operators.dedup",
-    "kafka_streams_sandbox_spark.operators.similarity",
-    "kafka_streams_sandbox_spark.operators.text",
     "kafka_streams_sandbox_spark.operators.multimodal",
     "kafka_streams_sandbox_spark.streaming.ktable",
     "kafka_streams_sandbox_spark.streaming.windows",
     "kafka_streams_sandbox_spark.streaming.app",
+    "kafka_streams_sandbox_spark.operators.relational",
+    "kafka_streams_sandbox_spark.operators.semantic",
+    "kafka_streams_sandbox_spark.operators.text",
+    "kafka_streams_sandbox_spark.operators.similarity",
+    "kafka_streams_sandbox_spark.operators.extended",
+    "kafka_streams_sandbox_spark.operators.dedup",
 )
 
 _loaded = False

@@ -40,13 +40,27 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+# One staging dir per sf_dir for the process lifetime — repeated query
+# construction (tests, benches, StreamsApp restarts) must not leak a
+# fresh temp dir per call.
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    stage = _STAGE_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="kss-events-src-")
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        _STAGE_CACHE[sf_dir] = stage
+    return stage
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over events.parquet (typed columns)."""
     configure(spark)
     # FileStreamSource wants a *directory*; stage a symlink dir around
     # the single parquet file (testdata is read-only).
-    stage = tempfile.mkdtemp(prefix="kss-events-src-")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_events_dir(sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
