@@ -36,7 +36,6 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.sources.replay import events_as_kafka_records
 from kafka_streams_sandbox_spark.streaming.ktable import (
@@ -44,6 +43,7 @@ from kafka_streams_sandbox_spark.streaming.ktable import (
     key_eq_value_predicate,
     ktable_filter,
     latest_by_key_stream,
+    peek,
 )
 
 
@@ -60,6 +60,9 @@ class AppConfig:
         default_factory=lambda: tempfile.mkdtemp(prefix="kss-app-")
     )
     peek: bool = False  # A3 console tap
+    # test hook: where peek lines go (None = stdout, like the
+    # reference's System.err printf)
+    peek_sink: object = None
 
 
 class StreamsApp:
@@ -108,27 +111,33 @@ class StreamsApp:
         )
         self._queries.append(q_pass)
 
-        # A2: stream -> changelog table (latest value per key)
+        # A2: stream -> changelog table (latest value per key). A
+        # record with a NULL value is a tombstone deleting its key —
+        # KTable upsert semantics (KStreamsToKTable.java:78-81; the
+        # broker's compacted topic drops the key the same way,
+        # docker-compose.yaml:31).
         tbl = latest_by_key_stream(
             records,
             key="key",
             ts="timestamp",
             tiebreak="event_id",
             payload=("value", "timestamp", "event_id"),
+            tombstone_col="value",
         )
 
-        # A3: peek tap (console observer, off the data path)
+        # A3: peek tap — a real observer query, tracked for shutdown
         if cfg.peek:
-            tbl = tbl.transform(self._peeked)
+            self._queries.append(
+                peek(tbl, sink=cfg.peek_sink, checkpoint=self._ckpt("peek"))
+            )
 
         # A9: materialized table store (foreachBatch upsert)
         table_store = ParquetKTableStore(
             self.spark, os.path.join(cfg.state_dir, cfg.table_store), key="key"
         )
         self._stores[cfg.table_store] = table_store
-        changelog = tbl.withColumn("is_delete", F.lit(False))
         q_tbl = (
-            changelog.writeStream.foreachBatch(table_store.foreach_batch())
+            tbl.writeStream.foreachBatch(table_store.foreach_batch())
             .outputMode("update")
             .option("checkpointLocation", self._ckpt("table"))
             .trigger(availableNow=True)
@@ -208,11 +217,6 @@ class StreamsApp:
         return os.path.join(
             self.config.state_dir, f"ckpt-{tag}-{uuid.uuid4().hex[:8]}"
         )
-
-    @staticmethod
-    def _peeked(df: DataFrame) -> DataFrame:
-        """A3 — mapValues(print) tap (KStreamsToKTable.java:85)."""
-        return df  # the peek sink attaches at write time; data path no-op
 
 
 from kafka_streams_sandbox_spark.registry import query  # noqa: E402

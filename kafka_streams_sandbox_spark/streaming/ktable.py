@@ -28,8 +28,10 @@ Semantics carried over exactly:
 
 Scale notes: state is hash-partitioned by key across executors
 (shuffle on groupBy key) — the 3-partition topic of the reference
-generalizes to spark.sql.shuffle.partitions. The parquet store swap
-is per-microbatch and atomic via directory rename.
+generalizes to spark.sql.shuffle.partitions. The parquet store is
+hash-bucketed + versioned: a micro-batch rewrites only the buckets
+holding changed keys, and readers follow an atomically-flipped
+_CURRENT pointer (see ParquetKTableStore).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ def latest_by_key_stream(
     ts: str = "ts",
     tiebreak: str = "event_id",
     payload: tuple[str, ...] = EVENT_COLS,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """A2 — KStream.toTable: continuously-updated latest row per key.
 
@@ -66,21 +69,44 @@ def latest_by_key_stream(
     key, updated in place; identical result to the batch
     latest_per_key (operators/semantic.py) — the stream-table duality
     the reference demonstrates, pinned by tests/test_streaming.py.
+
+    ``tombstone_col``: KTable upsert semantics
+    (KStreamsToKTable.java:78-81 + broker compaction,
+    docker-compose.yaml:31) treat a record whose *value* is null as a
+    DELETE of its key. Pass the value column's name and the changelog
+    carries ``is_delete = latest value IS NULL`` — the store MERGE
+    then removes the key, exactly like compaction dropping a
+    null-value record. Left unset for payloads with no tombstone
+    convention (the driver's events replay has non-null values).
     """
     ord_struct = F.struct(F.col(ts), F.col(tiebreak))
-    return (
+    out = (
         events.groupBy(key)
         .agg(F.max_by(F.struct(*payload), ord_struct).alias("latest"))
         .select(key, *[F.col(f"latest.{c}").alias(c) for c in payload])
     )
+    if tombstone_col is not None:
+        out = out.withColumn("is_delete", F.col(tombstone_col).isNull())
+    return out
 
 
 def ktable_filter(ktable: DataFrame, predicate) -> DataFrame:
     """A4 — KTable.filter with tombstone emission: every key stays in
     the changelog, flagged ``is_delete`` when its *latest* row fails
     the predicate (filter-after-upsert; pushing it below the
-    aggregation would be wrong — SURVEY.md §4.1)."""
-    return ktable.withColumn("is_delete", ~predicate)
+    aggregation would be wrong — SURVEY.md §4.1).
+
+    A NULL predicate result (e.g. the key==value test over a null
+    value) is an explicit tombstone, not a silent drop — the
+    reference's boolean predicate returns false for it, and a false
+    predicate on a KTable filter deletes the key downstream. An
+    upstream ``is_delete`` (A2 null-value tombstone) is preserved:
+    a deleted key stays deleted regardless of the predicate.
+    """
+    drop = F.coalesce(~predicate, F.lit(True))
+    if "is_delete" in ktable.columns:
+        drop = F.col("is_delete") | drop
+    return ktable.withColumn("is_delete", drop)
 
 
 def key_eq_value_predicate(k: str = "k", v: str = "v"):
@@ -89,14 +115,39 @@ def key_eq_value_predicate(k: str = "k", v: str = "v"):
     return F.col(k).isNotNull() & (F.lower(F.col(k)) == F.lower(F.col(v)))
 
 
-def peek(df: DataFrame, tag: str = "KTABLE-WATCH") -> DataFrame:
-    """A3 — mapValues debug tap (KStreamsToKTable.java:85): a
-    console-printing foreachBatch observer; no-op on the data path."""
-    def _show(batch: DataFrame, batch_id: int) -> None:
-        print(f"[{tag}] batch={batch_id} rows={batch.count()}")
+def peek(
+    df: DataFrame,
+    tag: str = "KTABLE-WATCH",
+    sink: Callable[[str], None] | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """A3 — mapValues debug tap (KStreamsToKTable.java:85): a real
+    foreachBatch observer query printing every table update, off the
+    data path (the reference discards the mapValues result; this
+    discards nothing — it is a second, side-effect-only sink).
 
-    df.writeStream.outputMode("update").foreachBatch(_show)
-    return df
+    Returns the *started* StreamingQuery — the caller owns tracking
+    and shutdown (StreamsApp appends it to its query list). ``sink``
+    overrides the line consumer for tests.
+    """
+    emit = sink if sink is not None else print
+
+    def _show(batch: DataFrame, batch_id: int) -> None:
+        for row in batch.collect():
+            emit(f"[{tag}] batch={batch_id} {row.asDict()}")
+
+    writer = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_show)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="kss-peek-ckpt-"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 class ParquetKTableStore:
@@ -104,44 +155,143 @@ class ParquetKTableStore:
     tombstone propagation, the custom piece of Layer A).
 
     foreachBatch merges each micro-batch of changelog rows
-    (key, payload..., is_delete) into a parquet directory:
-    upsert latest-per-key, then delete tombstoned keys — the
-    Delta ``MERGE WHEN MATCHED AND src.is_delete THEN DELETE``
-    pattern on plain parquet. Swap is atomic via rename so readers
-    never see a half-written store.
+    (key, payload..., is_delete) into a parquet store: upsert
+    latest-per-key, then delete tombstoned keys — the Delta
+    ``MERGE WHEN MATCHED AND src.is_delete THEN DELETE`` pattern on
+    plain parquet.
+
+    Layout — hash-bucketed and versioned, the two properties a store
+    needs at scale:
+
+        <root>/_CURRENT                 -> names the live version
+        <root>/v<batch>-<nonce>/__bucket=<b>/part-*.parquet
+
+    * Incremental: a micro-batch only REWRITES the buckets containing
+      changed keys (changed buckets are re-merged and re-written;
+      unchanged buckets are carried into the new version as hardlinks
+      — zero data copy). Per-batch cost is bounded by touched buckets,
+      not store size; ``n_buckets`` scales with key cardinality (8
+      here, thousands on a real cluster).
+    * Atomic + reader-safe: readers resolve ``_CURRENT`` (flipped via
+      os.replace, atomic on POSIX) — there is no instant where the
+      store path doesn't exist. The previous version's files are kept
+      until the NEXT merge completes, so a DataFrame handed out just
+      before a flip stays readable through one full merge cycle.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "user_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "user_id",
+        n_buckets: int = 8,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.n_buckets = n_buckets
 
-    def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+    # -- version pointer ---------------------------------------------------
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._current_file()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
             return None
-        return self.spark.read.parquet(self.path)
 
+    def _flip_current(self, version: str) -> None:
+        tmp = os.path.join(self.path, f"._CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._current_file())  # atomic pointer flip
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+
+    # -- reads -------------------------------------------------------------
+    def read(self) -> DataFrame | None:
+        version = self.current_version()
+        if version is None:
+            return None
+        df = self.spark.read.parquet(os.path.join(self.path, version))
+        return df.drop("__bucket")
+
+    # -- merge -------------------------------------------------------------
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         from kafka_streams_sandbox_spark.operators.semantic import latest_per_key
 
-        existing = self.read()
         if "__batch" not in batch.columns:
             batch = batch.withColumn("__batch", F.lit(batch_id))
-        combined = (
-            existing.unionByName(batch) if existing is not None else batch
+        batch = batch.withColumn("__bucket", self._bucket_col())
+        # Changed-bucket set: at most n_buckets small ints — a bounded
+        # driver-side collect by construction.
+        changed = sorted(
+            r["__bucket"]
+            for r in batch.select("__bucket").distinct().collect()
         )
+
+        prev_version = self.current_version()
+        version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(self.path, version)
+        os.makedirs(vdir, exist_ok=True)
+
+        combined = batch
+        if prev_version is not None:
+            prev_dir = os.path.join(self.path, prev_version)
+            existing = self.spark.read.parquet(prev_dir)
+            # partition pruning: only the changed buckets are read back
+            touched = existing.filter(F.col("__bucket").isin(changed))
+            combined = touched.unionByName(batch)
         merged = latest_per_key(
             combined, key=self.key, ts="__batch", tiebreak="__batch"
         )
-        survivors = merged.filter(~F.col("is_delete"))
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        survivors.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        # NULL is_delete is an explicit tombstone (a NULL-predicate row
+        # from ktable_filter means "failed the filter"), never a
+        # silent keep — coalesce makes that visible in the plan.
+        survivors = merged.filter(
+            ~F.coalesce(F.col("is_delete"), F.lit(True))
+        )
+        survivors.write.mode("append").partitionBy("__bucket").parquet(vdir)
+
+        if prev_version is not None:
+            self._link_unchanged(prev_version, version, changed)
+        self._flip_current(version)
+        self._cleanup(keep={version, prev_version})
+
+    def _link_unchanged(
+        self, prev_version: str, version: str, changed: list[int]
+    ) -> None:
+        """Carry unchanged buckets into the new version as hardlinks —
+        no data copy, and the old version stays intact for readers."""
+        prev_dir = os.path.join(self.path, prev_version)
+        vdir = os.path.join(self.path, version)
+        changed_names = {f"__bucket={b}" for b in changed}
+        for name in os.listdir(prev_dir):
+            src = os.path.join(prev_dir, name)
+            if not name.startswith("__bucket=") or not os.path.isdir(src):
+                continue
+            if name in changed_names:
+                continue
+            dst = os.path.join(vdir, name)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.startswith((".", "_")):
+                    continue
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+
+    def _cleanup(self, keep: set[str | None]) -> None:
+        """Drop versions older than (current, previous) — previous is
+        pinned so readers holding a pre-flip DataFrame stay valid for
+        one more merge cycle."""
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("v") and os.path.isdir(full) and name not in keep:
+                shutil.rmtree(full, ignore_errors=True)
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.merge_batch
@@ -209,6 +359,21 @@ def a02_stream_table_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 stream->table: streaming latest-by-key, materialized as a
     queryable memory view (A9). Equals batch b17 (duality test)."""
     tbl = latest_by_key_stream(events_stream(spark, sf_dir))
+    view = _run_to_memory(tbl, "complete")
+    return spark.table(view)
+
+
+@query("a03_stream_peek")  # rows-only (A3 observer tap)
+def a03_stream_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 mapValues console tap (KStreamsToKTable.java:85): a real
+    observer query prints every table update while the table itself
+    materializes unchanged — asserts the tap actually fired (round 1
+    shipped a never-started writer; this guards the regression)."""
+    tbl = latest_by_key_stream(events_stream(spark, sf_dir))
+    lines: list[str] = []
+    q = peek(tbl, sink=lines.append)
+    q.awaitTermination()
+    assert lines, "A3 peek observer captured no updates"
     view = _run_to_memory(tbl, "complete")
     return spark.table(view)
 

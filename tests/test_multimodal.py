@@ -1,0 +1,101 @@
+"""Direct coverage for the multimodal decode/sample/audio operators
+(b37/b38/b49) — schema, row-count expansion, and determinism of the
+stubbed codecs (previously exercised only via registry import)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.operators.multimodal import (
+    AUDIO_SCHEMA,
+    DECODE_SCHEMA,
+    FRAME_SCHEMA,
+    _FRAME_SIZE,
+    _FRAME_STRIDE,
+    _SAMPLE_RATE,
+    b37_image_decode_stub,
+    b38_frame_sample,
+    b49_audio_features,
+    decode_image_batch,
+)
+
+
+def _doc_byte_lens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.length(F.encode("text", "utf-8")).alias("n")
+        ).collect()
+    }
+
+
+def test_b37_schema_rows_and_determinism(spark, sf_dir):
+    out = b37_image_decode_stub(spark, sf_dir)
+    assert out.schema == DECODE_SCHEMA
+    rows1 = {r.doc_id: r for r in out.collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows1) == n_docs  # 1 row in -> 1 row out
+    # deterministic fake decode: re-run must be identical
+    rows2 = {r.doc_id: r for r in b37_image_decode_stub(spark, sf_dir).collect()}
+    assert rows1 == rows2
+    # spot-check the stub geometry against the blob length
+    lens = _doc_byte_lens(spark, sf_dir)
+    for doc_id, r in list(rows1.items())[:20]:
+        n = lens[doc_id]
+        assert r.width == 64 + (n % 64) * 16
+        assert r.height == 64 + (n % 48) * 16
+        assert r.n_pixels == r.width * r.height
+
+
+def test_b37_real_codec_path_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(b"\xff\xd8\xff", fake=False)
+
+
+def test_b38_frame_expansion_counts(spark, sf_dir):
+    """b38 is 1 -> N: per doc, frames = ceil(max(len//64, 1) / stride)."""
+    out = b38_frame_sample(spark, sf_dir)
+    assert out.schema == FRAME_SCHEMA
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    lens = _doc_byte_lens(spark, sf_dir)
+    assert set(per_doc) == set(lens)
+    for doc_id, n_bytes in lens.items():
+        n_frames = max(n_bytes // _FRAME_SIZE, 1)
+        expected = -(-n_frames // _FRAME_STRIDE)  # ceil div
+        assert per_doc[doc_id] == expected, doc_id
+    assert sum(per_doc.values()) > len(per_doc)  # genuinely expanded
+
+
+def test_b38_frames_are_real_slices(spark, sf_dir):
+    row = (
+        b38_frame_sample(spark, sf_dir)
+        .filter(F.col("frame_idx") == 0)
+        .orderBy("doc_id")
+        .first()
+    )
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == row.doc_id)
+        .first()
+        .text
+    )
+    assert bytes(row.frame_bytes) == text.encode("utf-8")[:_FRAME_SIZE]
+
+
+def test_b49_audio_features_deterministic(spark, sf_dir):
+    out = b49_audio_features(spark, sf_dir)
+    assert out.schema == AUDIO_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    lens = _doc_byte_lens(spark, sf_dir)
+    assert set(rows) == set(lens)
+    for doc_id, r in rows.items():
+        assert r.n_samples == lens[doc_id]
+        assert r.duration_s == round(r.n_samples / _SAMPLE_RATE, 6)
+        assert 0 <= r.peak <= 128
+    rows2 = {r.doc_id: r for r in b49_audio_features(spark, sf_dir).collect()}
+    assert rows == rows2

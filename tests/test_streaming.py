@@ -254,3 +254,163 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 150  # no re-emission of f1
     assert got.agg(F.countDistinct("v")).collect()[0][0] == 150
+
+
+# ---------------------------------------------------------------------------
+# Null-value tombstones, peek observer, bucketed store internals
+# ---------------------------------------------------------------------------
+_RECORDS_SCHEMA = "key string, value string, timestamp timestamp, event_id long"
+
+
+def _records_stream(spark, tmp_path, rows, name="records-src"):
+    """Kafka-source-shaped streaming DF from literal rows."""
+    src = str(tmp_path / name)
+    spark.createDataFrame(rows, _RECORDS_SCHEMA).coalesce(1).write.parquet(src)
+    return (
+        spark.readStream.schema(_RECORDS_SCHEMA).format("parquet").load(src)
+    )
+
+
+def _ts(minute):
+    from datetime import datetime
+
+    return datetime(2026, 1, 1, 0, minute, 0)
+
+
+def test_null_value_record_deletes_key(spark, tmp_path):
+    """A2 KTable upsert semantics (KStreamsToKTable.java:78-81): a
+    record with a NULL value is a tombstone — after k:v then k:null,
+    the materialized table no longer contains k."""
+    from kafka_streams_sandbox_spark.streaming.app import AppConfig, StreamsApp
+
+    rows = [
+        ("a", "1", _ts(1), 1),
+        ("b", "2", _ts(1), 2),
+        ("c", "c", _ts(1), 3),
+        ("a", None, _ts(2), 4),  # tombstone: deletes "a"
+        ("d", None, _ts(1), 5),
+        ("d", "d", _ts(2), 6),  # later non-null value resurrects "d"
+    ]
+    app = StreamsApp(spark, AppConfig(state_dir=str(tmp_path / "app")))
+    app.start(records=_records_stream(spark, tmp_path, rows))
+    store = app.store(app.config.table_store)
+    assert {r.key: r.value for r in store.collect()} == {
+        "b": "2",
+        "c": "c",
+        "d": "d",
+    }
+    # filtered store additionally applies key==value (A4): only
+    # survivors of BOTH the tombstone and the predicate remain.
+    filtered = app.store(app.config.filtered_store)
+    live = filtered.filter(~F.col("is_delete"))
+    assert {r.key for r in live.collect()} == {"c", "d"}
+    app.stop()
+
+
+def test_peek_observer_emits_lines(spark, tmp_path):
+    """A3: the peek tap is a real started query — it must capture at
+    least one table update (round 1 shipped a never-started writer)."""
+    from kafka_streams_sandbox_spark.streaming.app import AppConfig, StreamsApp
+
+    lines: list[str] = []
+    rows = [("a", "1", _ts(1), 1), ("b", "2", _ts(1), 2)]
+    app = StreamsApp(
+        spark,
+        AppConfig(
+            state_dir=str(tmp_path / "app"),
+            peek=True,
+            peek_sink=lines.append,
+        ),
+    )
+    app.start(records=_records_stream(spark, tmp_path, rows))
+    app.stop()
+    assert lines, "peek observer captured nothing"
+    assert all("[KTABLE-WATCH]" in ln for ln in lines)
+
+
+def _store_batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, is_delete boolean")
+
+
+def _bucket_of(spark, key, n_buckets):
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key)), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+
+
+def test_store_incremental_bucket_rewrite(spark, tmp_path):
+    """A one-key micro-batch rewrites ONLY that key's bucket: every
+    other bucket is carried as hardlinks to the previous version's
+    files (visible per-bucket writes, per-batch cost bounded by
+    changed buckets)."""
+    import os
+
+    root = str(tmp_path / "store")
+    store = ParquetKTableStore(spark, root, key="k", n_buckets=4)
+    store.merge_batch(
+        _store_batch(spark, [(f"k{i}", i, False) for i in range(20)]), 0
+    )
+    v1 = store.current_version()
+    v1_inodes = {}
+    for bucket in os.listdir(os.path.join(root, v1)):
+        if bucket.startswith("__bucket="):
+            d = os.path.join(root, v1, bucket)
+            v1_inodes[bucket] = {
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            }
+    assert len(v1_inodes) == 4  # 20 keys cover all 4 buckets
+
+    store.merge_batch(_store_batch(spark, [("k3", 99, False)]), 1)
+    v2 = store.current_version()
+    assert v2 != v1
+    changed = f"__bucket={_bucket_of(spark, 'k3', 4)}"
+    for bucket, old_inodes in v1_inodes.items():
+        d = os.path.join(root, v2, bucket)
+        new_inodes = {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        }
+        if bucket == changed:
+            assert new_inodes.isdisjoint(old_inodes), "changed bucket rewritten"
+        else:
+            assert new_inodes == old_inodes, "unchanged bucket hardlinked"
+    got = {r.k: r.v for r in store.read().collect()}
+    assert got["k3"] == 99 and len(got) == 20
+
+    # previous version is pinned for in-flight readers; two merges later
+    # it is reclaimed.
+    assert os.path.isdir(os.path.join(root, v1))
+    store.merge_batch(_store_batch(spark, [("k5", 55, False)]), 2)
+    assert not os.path.isdir(os.path.join(root, v1))
+
+
+def test_store_reader_survives_concurrent_merge(spark, tmp_path):
+    """ADVICE fix: the _CURRENT pointer flip means there is no window
+    where the store doesn't exist, and a DataFrame handed out before a
+    merge stays readable after it (old version retained one cycle)."""
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="k")
+    store.merge_batch(_store_batch(spark, [("a", 1, False), ("b", 2, False)]), 0)
+    snapshot = store.read()
+    store.merge_batch(_store_batch(spark, [("a", 9, False)]), 1)
+    # pre-merge snapshot still collectable (its files weren't renamed away)
+    assert {r.k: r.v for r in snapshot.collect()} == {"a": 1, "b": 2}
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 9, "b": 2}
+
+
+def test_store_null_is_delete_is_explicit_tombstone(spark, tmp_path):
+    """ADVICE fix: a NULL is_delete row (NULL-predicate filter result)
+    deletes the key explicitly rather than silently."""
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="k")
+    store.merge_batch(_store_batch(spark, [("a", 1, False), ("b", 2, False)]), 0)
+    store.merge_batch(_store_batch(spark, [("b", 3, None)]), 1)
+    assert {r.k for r in store.read().collect()} == {"a"}
