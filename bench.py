@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "b35_ann_random_projection",
     "b36_multimodal_metadata",
     "b39_embedding_neardup",
+    "b39_lsh_embedding_neardup",
     "b40_asof_join",
     "b41_pivot_event_counts",
     "b43_grouping_sets",
@@ -75,6 +76,60 @@ def run_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - start)
     return best
+
+
+# -- DuckDB twins -----------------------------------------------------------
+# Same best-of-2 methodology as the Spark side (one warm pass, then
+# timed passes), run per-query in a subprocess so a pathological oracle
+# (b26's all-pairs form exceeds 180 s at sf0.1) can be cut off without
+# killing the bench.
+DUCKDB_TIMEOUT_S = 20.0
+
+
+def _duckdb_one(sf_dir: str, sql: str, q) -> None:
+    import duckdb
+
+    from kafka_streams_sandbox_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    best = float("inf")
+    con.execute(sql).fetchall()  # warm: parquet cache + plan
+    for _ in range(2):
+        start = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - start)
+    q.put(round(best, 3))
+
+
+def duckdb_timings(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Per-query DuckDB wall clock for every headline query that has an
+    oracle twin; -1.0 = exceeded DUCKDB_TIMEOUT_S."""
+    import multiprocessing as mp
+
+    from kafka_streams_sandbox_spark.registry import all_oracles
+
+    oracles = all_oracles()
+    out: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        q: mp.Queue = mp.Queue()
+        p = mp.Process(target=_duckdb_one, args=(sf_dir, sql, q))
+        p.start()
+        p.join(DUCKDB_TIMEOUT_S)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            out[name] = -1.0
+        else:
+            out[name] = q.get() if not q.empty() else -1.0
+    return out
 
 
 def main() -> None:
@@ -108,6 +163,21 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # DuckDB twins + the vs-baseline ratio, computed HERE so every
+    # round's BENCH json carries both engines under one methodology
+    # (best-of-2 each; ratio over the queries both engines complete).
+    duck: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        duck = duckdb_timings(list(timings), sf_dir)
+    shared = [
+        n for n, t in duck.items() if t >= 0 and timings.get(n, -1) >= 0
+    ]
+    spark_shared = round(sum(timings[n] for n in shared), 3)
+    duck_shared = round(sum(duck[n] for n in shared), 3)
+    ratio = (
+        round(spark_shared / duck_shared, 3) if duck_shared > 0 else None
+    )
     print(
         json.dumps(
             {
@@ -116,6 +186,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "duckdb": duck,
+                "shared_total_spark": spark_shared,
+                "shared_total_duckdb": duck_shared,
+                "ratio_vs_duckdb": ratio,
+                "duckdb_timeouts": sorted(
+                    n for n, t in duck.items() if t < 0
+                ),
             }
         )
     )

@@ -40,11 +40,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Analyzed-DataFrame cache per (application, sf_dir, table): parquet
+# footer/schema discovery costs ~50-150 ms per read.parquet call and
+# tables are immutable test fixtures — the moral equivalent of a
+# metastore's cached schema. DataFrames are immutable, so handing the
+# same object to every query is safe.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
@@ -60,6 +72,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "timestamp_ntz"
             ),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -67,3 +80,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_WIDE_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def embeddings_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, widened to the session's parallelism.
+
+    The corpus side of every pairwise vector op streams through a
+    dense per-pair kernel, so its partition count caps parallelism —
+    and a small single-file parquet scan arrives as ONE partition. At
+    real scale the scan is already wide and the repartition is a
+    no-op. Cached per (app, sf_dir): the partition-count probe
+    (``df.rdd.getNumPartitions()``) forces a plan->RDD conversion that
+    costs real driver time, and six registered queries need this exact
+    DataFrame.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WIDE_EMB_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = table(spark, sf_dir, "embeddings")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    _WIDE_EMB_CACHE[key] = emb
+    return emb

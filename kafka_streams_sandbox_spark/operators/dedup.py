@@ -407,13 +407,9 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
-    # single-file scans arrive as one partition — widen so the dense
-    # pair kernel parallelizes (no-op at real scale; see similarity.py)
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
-    emb = emb.select(
+    from kafka_streams_sandbox_spark.catalog import embeddings_wide
+
+    emb = embeddings_wide(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     ).withColumn("nrm", norm2("e"))
     a = emb.select(
@@ -430,6 +426,56 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a",
         "vec_b",
         (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
+
+
+@query("b39_lsh_embedding_neardup")  # rows-only: LSH recall is probabilistic
+def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the 100 TB scale path — the candidate-fed
+    variant b39's docstring promises: candidates from b35's
+    sign-random-projection buckets, exact-cosine verification join
+    unchanged.
+
+    Plan shape: map-only signatures (hash-derived planes, zero driver
+    state) -> ONE narrow shuffle on the bucket key -> in-bucket HOF
+    pair emission -> two broadcast hash joins fetching the candidate
+    pair's vectors -> exact cosine filter. There is NO nested-loop
+    join over the corpus anywhere (pinned by tests/test_plans.py);
+    cost is O(n + Σ bucket²) instead of b39's O(n²). Recall is
+    probabilistic (same-bucket collision prob rises with cosine), so
+    this is rows-only while b39 stays the oracle-checked exact twin.
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import dot
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        _SIGNATURE_EXPR,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir)
+    sig = v.select("vec_id", F.expr(_SIGNATURE_EXPR).alias("sig"))
+    candidates = (
+        sig.groupBy("sig")
+        .agg(F.collect_list("vec_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x AS vec_a, y AS vec_b)),
+                                  p -> p.vec_a < p.vec_b)))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    half = v.join(F.broadcast(candidates), v.vec_id == F.col("vec_a")).select(
+        "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    pairs = v.join(F.broadcast(half), v.vec_id == F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
 

@@ -219,10 +219,9 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings")
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
+    from kafka_streams_sandbox_spark.catalog import embeddings_wide
+
+    emb = embeddings_wide(spark, sf_dir)
 
     qrows = (
         emb.filter(F.col("vec_id") % 10 == 0)
@@ -387,11 +386,10 @@ def b48_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array,
     )
 
+    from kafka_streams_sandbox_spark.catalog import embeddings_wide
+
     docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
+    emb = embeddings_wide(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select(
         to_double_array("embedding").alias("qvec")
     )

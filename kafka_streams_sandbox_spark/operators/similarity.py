@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_sandbox_spark.catalog import table
 from kafka_streams_sandbox_spark.functions.vectors import dot, norm2, to_double_array
 from kafka_streams_sandbox_spark.registry import query
 
@@ -32,19 +31,12 @@ DIM = 64
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with widened double array + precomputed norm.
+    """embeddings with widened double array + precomputed norm
+    (catalog.embeddings_wide handles the partition widening — see its
+    docstring for the single-file-scan rationale)."""
+    from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
-    The corpus side of every pairwise op streams through a dense
-    per-pair kernel, so its partition count caps the parallelism. A
-    small parquet file arrives as ONE partition — widen it to the
-    session's parallelism. At real scale the scan is already wide and
-    this is a no-op (no shuffle added).
-    """
-    emb = table(spark, sf_dir, "embeddings")
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
-    return emb.select(
+    return embeddings_wide(spark, sf_dir).select(
         "vec_id",
         "label",
         to_double_array("embedding").alias("e"),

@@ -46,13 +46,21 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-created session (idempotent)."""
+    """Apply runtime confs to an externally-created session (idempotent).
+
+    Applied once per session object: every conf.set is a py4j round
+    trip and configure() sits on the per-query path via catalog.table —
+    re-applying ~10 confs per table load is pure overhead.
+    """
+    if getattr(spark, "_kss_configured", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # non-runtime-settable on this build — keep going
             pass
+    spark._kss_configured = True
     return spark
 
 

@@ -94,3 +94,13 @@ def test_map_only_text_ops_have_no_shuffle(queries, spark, sf_dir):
                  "b31_token_count", "b32_fingerprint", "b36_multimodal_metadata"):
         plan = plan_string(queries[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
+    """b39_lsh is the scale path: candidates come from LSH buckets and
+    the verify joins broadcast the candidate set — a nested-loop join
+    over the corpus would mean it degenerated to all-pairs."""
+    df = queries["b39_lsh_embedding_neardup"](spark, sf_dir)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan_string(df)
+    assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
