@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "b53_rolling_hash",
     "b54_merge_upsert",
     "b55_dedup_clusters",
+    "b57_train_holdout_split",
+    "b58_tfidf_top_terms",
+    "b59_funnel_conversion",
+    "b60_canonical_assignment",
 ]
 
 

@@ -1,0 +1,283 @@
+"""Training-data pipeline operators beyond the dedup/similarity core:
+deterministic dataset splits, TF-IDF term scoring, funnel analysis,
+and canonical-document assignment.
+
+These are the remaining pieces a 100 TB LLM data pipeline runs between
+ingestion and training: hold out an eval set (reproducibly, with no
+sampling state), surface characteristic terms, measure behavioral
+funnels on the event stream, and rewrite every document's identity to
+its dedup-cluster canonical. All built-in-function Spark — zero
+Python UDFs on any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+from kafka_streams_sandbox_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# B57: deterministic train/holdout split (hash-bucketed sampling)
+# ---------------------------------------------------------------------------
+# 256 buckets from the first two hex chars of md5(doc_id); < 230 ≈ 89.8%
+# train. Content-independent id hashing keeps the split stable under
+# re-partitioning, re-ordering, and incremental appends — the property
+# rand()/sample() lacks (their results depend on partitioning, so a
+# re-run on a different cluster layout silently reshuffles the split).
+_SPLIT_BUCKETS_TRAIN = 230
+
+B57_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT doc_id, lang,
+               16 * (strpos('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {_SPLIT_BUCKETS_TRAIN}
+                THEN 'train' ELSE 'holdout' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM bucketed
+    GROUP BY 1, 2
+"""
+
+
+@query("b57_train_holdout_split", oracle=B57_ORACLE)
+def b57_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/holdout split: bucket = first two hex
+    chars of md5(doc_id). Map-only assignment (the aggregate here just
+    summarizes it per split × lang for verification); at 100 TB the
+    split column is written once and partitions the training read —
+    no sampling state, no seed coordination, stable under appends.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = F.when(bucket < _SPLIT_BUCKETS_TRAIN, "train").otherwise("holdout")
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B58: TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+# idf is the smoothed RATIO (N+1)/(df+1) rather than its logarithm:
+# integer-derived IEEE division is bit-identical across engines where
+# ln() (libm vs JVM StrictMath) need not be — and log is monotone, so
+# per-document term ranking by tf·(N+1)/(df+1) equals ranking by
+# tf-weighted log-idf whenever tf ties break the same way (they break
+# on the term string here, in both engines).
+_B58_TOPK = 3
+
+B58_ORACLE = f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t != '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {_B58_TOPK}
+"""
+
+
+@query("b58_tfidf_top_terms", oracle=B58_ORACLE)
+def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by tf·idf.
+
+    Plan: explode tokens -> (doc, term) counts (ONE shuffle, map-side
+    combined) -> per-term document frequency (second shuffle on term,
+    output is vocabulary-sized) -> broadcast the df table back onto
+    the tf table -> WindowGroupLimit top-k per doc. The corpus-sized
+    data shuffles once; the vocabulary (bounded, Zipf-small relative
+    to the corpus) is what broadcasts. At 100 TB cap the vocabulary by
+    min-df pruning before the broadcast.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: one lightweight count job
+    tokens = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _B58_TOPK)
+        .select(
+            "doc_id", "term", "tf", "df", "score", F.col("rnk").cast("bigint")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B59: funnel conversion (view -> click -> purchase, in order)
+# ---------------------------------------------------------------------------
+B59_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               (first_view IS NOT NULL) AS s1,
+               (first_view IS NOT NULL AND first_click > first_view) AS s2,
+               (first_view IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click) AS s3
+        FROM per_user
+    )
+    SELECT step, n_users FROM (
+        SELECT 1 AS ord, 'view' AS step,
+               CAST(COUNT(*) FILTER (WHERE s1) AS BIGINT) AS n_users FROM flags
+        UNION ALL
+        SELECT 2, 'view>click',
+               CAST(COUNT(*) FILTER (WHERE s2) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 3, 'view>click>purchase',
+               CAST(COUNT(*) FILTER (WHERE s3) AS BIGINT) FROM flags
+    ) ORDER BY ord
+"""
+
+
+@query("b59_funnel_conversion", oracle=B59_ORACLE)
+def b59_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after viewing,
+    then purchased after clicking (first-touch timestamps).
+
+    One shuffle: conditional MIN aggregation per user computes all
+    three first-touch times in a single pass (no self-joins, no
+    per-step scans); the step counts fold to three rows. NULL
+    comparisons propagate NULL -> false in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    s1 = F.col("first_view").isNotNull()
+    s2 = s1 & (F.col("first_click") > F.col("first_view"))
+    s3 = s2 & (F.col("first_purchase") > F.col("first_click"))
+    flags = per_user.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    counts = flags.agg(
+        F.count(F.when(F.col("s1"), 1)).alias("n1"),
+        F.count(F.when(F.col("s2"), 1)).alias("n2"),
+        F.count(F.when(F.col("s3"), 1)).alias("n3"),
+    )
+    return counts.selectExpr(
+        """stack(3, 'view', n1,
+                    'view>click', n2,
+                    'view>click>purchase', n3) AS (step, n_users)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# B60: canonical-document assignment (dedup cluster -> survivor id)
+# ---------------------------------------------------------------------------
+B60_ORACLE = """
+    WITH RECURSIVE fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS canonical_id,
+           (c.cluster_id IS NOT NULL AND c.cluster_id != d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+@query("b60_canonical_assignment", oracle=B60_ORACLE)
+def b60_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that makes dedup actionable: EVERY document mapped to
+    its canonical id — its b55 cluster's min doc_id when it belongs to
+    a duplicate cluster, itself otherwise — plus the keep/drop flag a
+    training-data writer filters on.
+
+    The cluster labeling is corpus-tiny (only docs in duplicate pairs
+    appear), so the assignment join broadcasts it; the corpus side
+    never shuffles.
+    """
+    from kafka_streams_sandbox_spark.operators.extended import (
+        b55_dedup_clusters,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = b55_dedup_clusters(spark, sf_dir)
+    return docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("canonical_id"),
+        (
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id"))
+        ).alias("is_duplicate"),
+    )

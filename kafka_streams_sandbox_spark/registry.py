@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.relational",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.text",
+    "kafka_streams_sandbox_spark.operators.pipeline",
     "kafka_streams_sandbox_spark.operators.similarity",
     "kafka_streams_sandbox_spark.operators.extended",
     "kafka_streams_sandbox_spark.operators.dedup",

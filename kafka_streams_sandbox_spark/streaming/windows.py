@@ -269,3 +269,28 @@ def a23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
     )
     return spark.table(run_to_memory(joined, "append"))
+
+
+@query("a24_stream_dedup_watermark")  # rows-only: streaming, no SQL twin
+def a24_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the Layer-A twin of b21: keep the first
+    occurrence per dedup key with dropDuplicatesWithinWatermark, so
+    state for a key is dropped once the watermark passes it (bounded
+    state at 100 TB — a plain dropDuplicates would hold every key
+    forever). Key = content hash of the payload (md5(props)||type),
+    the streaming analog of b21's text hash; duplicate retransmissions
+    inside the watermark horizon collapse to one row.
+    """
+    # watermarks need TIMESTAMP (ltz); session tz is pinned UTC so the
+    # ntz->ltz cast is value-preserving
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    keyed = ev.withColumn(
+        "dedup_key", F.md5(F.concat_ws("|", "event_type", "props"))
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(["dedup_key"])
+    view = run_to_memory(deduped.select("dedup_key", "event_id", "ts"), "append")
+    return spark.table(view)

@@ -414,3 +414,24 @@ def test_store_null_is_delete_is_explicit_tombstone(spark, tmp_path):
     store.merge_batch(_store_batch(spark, [("a", 1, False), ("b", 2, False)]), 0)
     store.merge_batch(_store_batch(spark, [("b", 3, None)]), 1)
     assert {r.k for r in store.read().collect()} == {"a"}
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """A24 streaming dropDuplicatesWithinWatermark == batch distinct on
+    the same content key (stream-batch duality for exact dedup)."""
+    from kafka_streams_sandbox_spark.registry import all_queries
+
+    qs = all_queries()
+    streamed = qs["a24_stream_dedup_watermark"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_keys = {
+        r.k
+        for r in ev.select(
+            F.md5(F.concat_ws("|", "event_type", "props")).alias("k")
+        )
+        .distinct()
+        .collect()
+    }
+    streamed_keys = {r.dedup_key for r in streamed.collect()}
+    assert streamed_keys == batch_keys
+    assert streamed.count() == len(batch_keys)  # exactly one row per key
