@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "b58_tfidf_top_terms",
     "b59_funnel_conversion",
     "b60_canonical_assignment",
+    "b62_contamination_overlap",
+    "b63_intradoc_repetition",
 ]
 
 

@@ -281,3 +281,145 @@ def b60_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cluster_id") != F.col("doc_id"))
         ).alias("is_duplicate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B62: benchmark-contamination overlap (train set vs held-out benchmark)
+# ---------------------------------------------------------------------------
+# benchmark = every 50th doc (stands in for an eval suite); report
+# training docs covering >= 10% of a benchmark doc's distinct 3-grams.
+_B62_MIN_OVERLAP = 0.1
+
+B62_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingles AS bsh
+              FROM sh WHERE doc_id % 50 = 0)
+    SELECT a.doc_id, b.bench_id,
+           CAST(len(list_intersect(a.shingles, b.bsh)) AS BIGINT) AS n_common,
+           (CAST(len(list_intersect(a.shingles, b.bsh)) AS DOUBLE)
+            / len(b.bsh)) AS overlap
+    FROM sh a JOIN bench b ON a.doc_id != b.bench_id
+    WHERE (CAST(len(list_intersect(a.shingles, b.bsh)) AS DOUBLE)
+           / len(b.bsh)) >= {_B62_MIN_OVERLAP}
+"""
+
+
+@query("b62_contamination_overlap", oracle=B62_ORACLE)
+def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: which corpus documents cover >= 10% of
+    a benchmark document's distinct word-3-grams — the pre-training
+    hygiene check that keeps eval suites out of the training set.
+
+    Same inverted-index discipline as b26 (never all-pairs): corpus
+    shingles explode into postings, the benchmark postings are tiny
+    (1/50th of docs) and broadcast, so the only shuffle is the
+    (doc, bench) pair count whose size is the number of actual
+    collisions. Shingles are xxhash64-hashed: intersection counts over
+    64-bit hashes equal counts over the strings (collisions
+    negligible), so the string-intersecting oracle matches exactly.
+    At 100 TB the benchmark side (an eval suite) is KB-scale — this
+    plan is one map pass over the corpus plus a skinny aggregate.
+    """
+    from kafka_streams_sandbox_spark.operators.dedup import word_ngrams_expr
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
+        ).alias("shingles"),
+    )
+    corpus_posting = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    bench_posting = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.size("shingles").alias("n_b"),
+            F.explode("shingles").alias("sh"),
+        )
+    )
+    matched = corpus_posting.join(F.broadcast(bench_posting), "sh").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    counts = matched.groupBy("doc_id", "bench_id", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        counts.withColumn(
+            "overlap",
+            F.col("n_common").cast("double") / F.col("n_b").cast("double"),
+        )
+        .filter(F.col("overlap") >= _B62_MIN_OVERLAP)
+        .select("doc_id", "bench_id", "n_common", "overlap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B63: intra-document repetition (boilerplate / degenerate-text signal)
+# ---------------------------------------------------------------------------
+B63_ORACLE = """
+    SELECT doc_id,
+           CAST(len(tg) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct,
+           (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+               AS repetition_ratio
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               END AS tg
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+    )
+"""
+
+
+@query("b63_intradoc_repetition", oracle=B63_ORACLE)
+def b63_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio per document (1 - distinct/total) — the
+    standard degenerate-text / boilerplate quality signal an LLM
+    pipeline filters on. Pure map-only HOF expression: zero shuffles,
+    zero Python; the trigram array is materialized once in its own
+    projection (the CollapseProject re-evaluation trap —
+    memory: inlined exprs re-run per element access)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    trig = toks.select(
+        "doc_id",
+        F.expr(
+            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+               ELSE transform(sequence(1, size(toks) - 2),
+                    i -> concat_ws(' ', element_at(toks, i),
+                                   element_at(toks, i + 1),
+                                   element_at(toks, i + 2)))
+               END"""
+        ).alias("tg"),
+    )
+    n_t = F.size("tg")
+    n_d = F.size(F.array_distinct("tg"))
+    return trig.select(
+        "doc_id",
+        n_t.cast("bigint").alias("n_trigrams"),
+        n_d.cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0) - n_d.cast("double") / n_t.cast("double")
+        ).alias("repetition_ratio"),
+    )
