@@ -314,25 +314,33 @@ B46_ORACLE = f"""
 
 @query("b46_range_join_bands", oracle=B46_ORACLE)
 def b46_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (band) join: facts matched to [lo, hi) intervals.
+    """Range (band) join: facts matched to [lo, hi) intervals —
+    compiled to an EQUI-join via interval indexing.
 
-    With a tiny interval table the right plan IS the broadcast
-    nested-loop — each row tests a handful of intervals in-core, and
-    the fact side never shuffles. For a large interval table the play
-    is interval bucketing (explode intervals into fixed-width buckets,
-    equi-join on bucket, re-check the bounds) — noted here, not needed
-    for a dim of five rows.
+    Non-overlapping contiguous intervals admit a derived join key:
+    band_idx = #{lo bounds <= price} - 1, a branch-free fold over the
+    (tiny, literal) bounds array inside whole-stage codegen. The join
+    is then a broadcast HASH join instead of a broadcast nested-loop
+    whose per-row interval scan sits outside codegen — same result,
+    hash-join throughput. This is the bucketing scale path for
+    interval joins generally (for big/overlapping interval tables:
+    explode intervals into fixed-width buckets, equi-join on bucket,
+    re-check bounds).
     """
     li = table(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
-        _PRICE_BANDS, "band string, lo double, hi double"
+        [(i, b) for i, (b, _, _) in enumerate(_PRICE_BANDS)],
+        "band_idx int, band string",
+    )
+    lows = ", ".join(f"CAST({lo} AS DOUBLE)" for _, lo, _ in _PRICE_BANDS)
+    idx = F.expr(
+        f"""aggregate(array({lows}), -1,
+            (acc, b) -> acc + CASE WHEN l_extendedprice >= b
+                                   THEN 1 ELSE 0 END)"""
     )
     return (
-        li.join(
-            F.broadcast(bands),
-            (F.col("l_extendedprice") >= F.col("lo"))
-            & (F.col("l_extendedprice") < F.col("hi")),
-        )
+        li.withColumn("band_idx", idx)
+        .join(F.broadcast(bands), "band_idx")
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -521,21 +529,31 @@ B52_ORACLE = f"""
 
 @query("b52_unpivot_measures", oracle=B52_ORACLE)
 def b52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot via stack(): wide measure columns to (measure, value)
-    rows inside the projection — one pass, no join, the Expand-based
-    dual of b41's pivot."""
+    """Unpivot (melt) of aggregated measures — stack() applied AFTER
+    the aggregation, not before.
+
+    Unpivot-then-aggregate expands every input row size/1 -> 4 rows at
+    the Expand operator and shuffles 4× the data; since each output
+    cell is an independent per-measure aggregate, the equivalent plan
+    aggregates the wide row ONCE (all four sums in a single pass,
+    map-side combined) and stacks the 3-row result. At 100 TB that is
+    the difference between shuffling 400 TB and shuffling bytes. The
+    oracle keeps the textbook UNION-ALL melt form; results are
+    identical because count/decimal-sum are measure-independent.
+    """
     li = table(spark, sf_dir, "lineitem")
-    stacked = li.selectExpr(
-        "l_returnflag",
-        "stack({}, {}) AS (measure, val)".format(
-            len(_MEASURES),
-            ", ".join(f"'{m}', {m}" for m in _MEASURES),
-        ),
-    )
-    return stacked.groupBy("l_returnflag", "measure").agg(
+    wide = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_vals"),
-        dsum("val", 6).alias("sum_val"),
+        *[dsum(m, 6).alias(f"sum_{m}") for m in _MEASURES],
     )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack({}, {}) AS (measure, sum_val)".format(
+            len(_MEASURES),
+            ", ".join(f"'{m}', sum_{m}" for m in _MEASURES),
+        ),
+        "n_vals",
+    ).select("l_returnflag", "measure", "n_vals", "sum_val")
 
 
 # ---------------------------------------------------------------------------
