@@ -287,16 +287,22 @@ def b60_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B62: benchmark-contamination overlap (train set vs held-out benchmark)
 # ---------------------------------------------------------------------------
 # benchmark = every 50th doc (stands in for an eval suite); report
-# training docs covering >= 10% of a benchmark doc's distinct 3-grams.
+# training docs covering >= 10% of a benchmark doc's distinct 5-grams.
+# 5-gram shingles, NOT 3-grams: real contamination checks use long
+# n-grams (8-13 typical) precisely because short n-grams collide by
+# chance — on this small-vocabulary corpus, 3-gram postings were so
+# hot the pair join blew up (the hot-posting trap), while 5-grams
+# collide only on genuine shared passages.
 _B62_MIN_OVERLAP = 0.1
+_B62_N = 5
 
 B62_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(toks) < 3
+               list_distinct(CASE WHEN len(toks) < {_B62_N}
                     THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE list_transform(range(1, len(toks) - {_B62_N - 2}),
+                         i -> array_to_string(toks[i:i+{_B62_N - 1}], ' '))
                     END) AS shingles
         FROM (SELECT doc_id,
                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -318,7 +324,7 @@ B62_ORACLE = f"""
 @query("b62_contamination_overlap", oracle=B62_ORACLE)
 def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: which corpus documents cover >= 10% of
-    a benchmark document's distinct word-3-grams — the pre-training
+    a benchmark document's distinct word-5-grams — the pre-training
     hygiene check that keeps eval suites out of the training set.
 
     Same inverted-index discipline as b26 (never all-pairs): corpus
@@ -339,18 +345,24 @@ def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
-            f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
+            f"transform({word_ngrams_expr(_B62_N, 'toks')}, s -> xxhash64(s))"
         ).alias("shingles"),
     )
+    # explode_OUTER, not explode: plain explode lets constraint
+    # inference push `size(shingles) > 0 AND isnotnull(shingles)` down
+    # to the scan with the whole shingle pipeline INLINED — every row
+    # re-tokenizes twice in an interpreted Filter (measured 28 s vs
+    # ~2 s at sf0.1; recompute trap #3). Shingle arrays are never
+    # empty anyway (short docs yield one whole-text shingle).
     corpus_posting = sh.select(
-        "doc_id", F.explode("shingles").alias("sh")
+        "doc_id", F.explode_outer("shingles").alias("sh")
     )
     bench_posting = (
         sh.filter(F.col("doc_id") % 50 == 0)
         .select(
             F.col("doc_id").alias("bench_id"),
             F.size("shingles").alias("n_b"),
-            F.explode("shingles").alias("sh"),
+            F.explode_outer("shingles").alias("sh"),
         )
     )
     matched = corpus_posting.join(F.broadcast(bench_posting), "sh").filter(
