@@ -435,3 +435,139 @@ def b63_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - n_d.cast("double") / n_t.cast("double")
         ).alias("repetition_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B64: deterministic stratified sample (top-k per stratum by id hash)
+# ---------------------------------------------------------------------------
+# MinStd multiplicative hash (Lehmer '88): (doc_id * 48271) mod 2^31-1.
+# Chosen over xxhash64 because BOTH engines evaluate it with plain
+# BIGINT arithmetic (the oracle is the point); product fits in int64
+# for doc_id < ~1.9e14 — at bigger id spaces swap in xxhash64 and drop
+# the oracle to rows-only.
+_B64_K = 20
+
+B64_ORACLE = f"""
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rnk AS BIGINT) AS sample_rank
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY (doc_id * 48271) % 2147483647, doc_id
+                 ) AS rnk
+          FROM documents)
+    WHERE rnk <= {_B64_K}
+"""
+
+
+@query("b64_stratified_sample", oracle=B64_ORACLE)
+def b64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the {k} lowest-hashed docs per
+    language. Unlike sample()/rand(), the pick is a pure function of
+    doc_id — stable under repartitioning, re-ordering, appends (an
+    existing doc keeps its rank unless a lower-hashed doc arrives),
+    and cluster size — so an eval set drawn this way is reproducible
+    across runs without seed coordination or sampling state.
+
+    Scale: rank <= k over a partitioned window is WindowGroupLimit —
+    each task keeps a k-row heap per stratum before the shuffle, so
+    shuffle volume is O(strata x k), not O(rows).
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _B64_K)
+        .select(
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B65: int8 embedding quantization + reconstruction error
+# ---------------------------------------------------------------------------
+# Symmetric absmax int8 quantization — the storage/serving compression
+# every embedding pipeline applies before the vectors ship to an index
+# (4x smaller, SIMD int8 dot products). scale = max|x|/127; rounding
+# is an explicit floor(x/scale + 0.5) so both engines compute the SAME
+# integer (library round() half-even vs half-away differences can't
+# leak in). Every float op here (cast, abs, max, /, *, floor) is
+# order-independent IEEE double arithmetic, so the oracle hash is
+# bit-exact without the decimal fixed-point path.
+
+B65_ORACLE = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id, e, scale,
+               list_transform(e,
+                   x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+        FROM s WHERE scale > 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(len(q) AS BIGINT) AS n_dims,
+           scale,
+           CAST(list_sum(q) AS BIGINT) AS q_checksum,
+           list_max(list_transform(list_zip(q, e),
+               p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2])))
+               AS max_abs_err
+    FROM q
+"""
+
+
+@query("b65_embedding_quantize", oracle=B65_ORACLE)
+def b65_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization per embedding with a max reconstruction
+    error audit column. Map-only (zero shuffles, zero Python): one
+    projection materializes the widened array, the next the absmax
+    scale, the next the int8 codes — each referenced >= twice
+    downstream so CollapseProject can't inline the array exprs into
+    per-element re-evaluation (the recompute trap).
+
+    Scale: at 100 TB this is the classic embarrassingly-parallel
+    columnar rewrite; the only cost is the scan and the (4x smaller)
+    write. q_checksum (exact int sum) + max_abs_err <= scale/2 give
+    cheap distributed invariants to monitor quantization drift.
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import to_double_array
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", to_double_array("embedding").alias("e"))
+    s = e.select(
+        "vec_id",
+        "e",
+        (F.expr("array_max(transform(e, x -> abs(x)))") / F.lit(127.0)).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    q = s.select(
+        "vec_id",
+        "e",
+        "scale",
+        F.expr(
+            "transform(e, x -> CAST(floor(x / scale + 0.5d) AS BIGINT))"
+        ).alias("q"),
+    )
+    return q.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.size("q").cast("bigint").alias("n_dims"),
+        "scale",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "q_checksum"
+        ),
+        F.expr(
+            "array_max(zip_with(q, e,"
+            " (qi, x) -> abs(CAST(qi AS DOUBLE) * scale - x)))"
+        ).alias("max_abs_err"),
+    )

@@ -104,3 +104,23 @@ def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
     assert not has_operator(df, "CartesianProduct"), plan_string(df)
     assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
+
+
+def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
+    """b64's rank<=k must fuse into WindowGroupLimit (shuffle volume
+    O(strata x k), not O(rows)) and shuffle exactly once (the stratum
+    repartition)."""
+    df = queries["b64_stratified_sample"](spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit"), plan_string(df)
+    assert count_shuffles(df) == 1, plan_string(df)
+
+
+def test_embedding_quantize_is_map_only(queries, spark, sf_dir):
+    """b65 int8 quantization is a pure columnar rewrite — zero
+    Exchanges, zero Python; the scale/codes projections must survive
+    as separate Projects (CollapseProject inlining would re-derive the
+    absmax per element)."""
+    df = queries["b65_embedding_quantize"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan
+    assert not uses_row_python_udf(df), plan

@@ -99,3 +99,47 @@ def test_ktable_filter_partitions_not_drops(spark, rows):
     )
     # appending 'x' breaks equality for every row -> all tombstones
     assert broken.filter(~F.col("is_delete")).count() == 0
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    """b64's sample is a pure function of doc_id — the same rows must
+    be picked regardless of input partitioning (the property rand()
+    -based sampling lacks)."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b64_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in b64_stratified_sample(spark, sf).collect()
+    }
+    assert base, "sample is empty"
+    ranks: dict[str, int] = {}
+    for lang, _doc, rnk in base:
+        ranks[lang] = max(ranks.get(lang, 0), rnk)
+    assert all(k <= 20 for k in ranks.values())
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {
+            (r.lang, r.doc_id, r.sample_rank)
+            for r in b64_stratified_sample(spark, sf).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert again == base
+
+
+def test_embedding_quantize_error_bound(spark):
+    """Absmax int8 reconstruction error is bounded by scale/2 per
+    element by construction — the invariant the audit column exists to
+    monitor."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b65_embedding_quantize,
+    )
+
+    rows = b65_embedding_quantize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_dims == 64
+        assert r.max_abs_err <= r.scale / 2 + 1e-12, r
