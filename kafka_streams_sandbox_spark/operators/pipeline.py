@@ -571,3 +571,115 @@ def b65_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (qi, x) -> abs(CAST(qi AS DOUBLE) * scale - x)))"
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B66: SCD2 dimension history (change detection + effective ranges)
+# ---------------------------------------------------------------------------
+# The warehouse-side twin of the streaming KTable: instead of keeping
+# only the latest value per key (b17 / A2), keep EVERY value with its
+# [eff_from, eff_to) validity range — type-2 slowly-changing dimension
+# build from an append-only event log.
+
+B66_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ordered WHERE prev IS NULL OR prev != event_type
+    )
+    SELECT user_id, event_type AS attr, ts AS eff_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS eff_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM changes
+"""
+
+
+@query("b66_scd2_history", oracle=B66_ORACLE)
+def b66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: per user, each *change*
+    of event_type opens a version row with [eff_from, eff_to) validity
+    (consecutive repeats collapse into the open version — the change
+    -detection lag() filter). The standard CDC-log -> queryable-history
+    rewrite.
+
+    Scale: both windows share one partitioning (user_id) and one sort
+    (ts, event_id), so the whole history build is a single shuffle +
+    single sort per partition regardless of how many versions a key
+    has; no self-joins, no iteration.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    eff_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("eff_from"),
+        eff_to.alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B67: domain-mixture sampling (deterministic per-source rates)
+# ---------------------------------------------------------------------------
+# Pre-training mixtures reweight domains (keep all of wikipedia-ish
+# sources, 10% of crawl-ish ones). The keep decision is the same pure
+# -function-of-id trick as b64 — hash(doc_id) under the source's rate
+# threshold — so the mixture is reproducible and append-stable with no
+# sampling state. Weights live in a (broadcast) config dim keyed by
+# source tier.
+_B67_TIERS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.1)]
+
+B67_ORACLE = f"""
+    WITH tiers(tier, w) AS (VALUES
+        {", ".join(f"({t}, CAST({w} AS DOUBLE))" for t, w in _B67_TIERS)}),
+    d AS (
+        SELECT doc_id, source,
+               CAST(substring(source, 4) AS INT) % 4 AS tier
+        FROM documents
+    )
+    SELECT source, w AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * 16807) % 1000 < w * 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN tiers USING (tier)
+    GROUP BY 1, 2
+"""
+
+
+@query("b67_mixture_sample", oracle=B67_ORACLE)
+def b67_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: doc kept iff
+    hash(doc_id) mod 1000 falls under its source's mixture rate.
+    Reported per source as achieved-vs-configured rates (the mixture
+    audit a pipeline run logs). Weights join is a broadcast of the
+    tiny config dim; at 100 TB the keep flag is a map-only column and
+    this aggregate is the monitoring rollup on top.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("tier"),
+    )
+    keep = ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000)
+    return (
+        d.join(F.broadcast(tiers), "tier")
+        .groupBy("source", F.col("w").alias("weight"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -124,3 +124,24 @@ def test_embedding_quantize_is_map_only(queries, spark, sf_dir):
     plan = plan_string(df)
     assert "Exchange" not in plan, plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_scd2_single_shuffle_single_sort(queries, spark, sf_dir):
+    """b66's change-detection lag and validity lead share one window
+    partitioning+ordering — the whole SCD2 build must be exactly one
+    Exchange and one Sort (a second sort would mean the windows didn't
+    fuse)."""
+    import re
+
+    df = queries["b66_scd2_history"](spark, sf_dir)
+    plan = plan_string(df)
+    assert count_shuffles(df) == 1, plan
+    sorts = re.findall(r"^\(\d+\) Sort\b", plan, flags=re.MULTILINE)
+    assert len(sorts) == 1, plan
+
+
+def test_mixture_sample_broadcasts_config(queries, spark, sf_dir):
+    """b67's mixture-weight config dim must broadcast — shuffling the
+    corpus against a 4-row table would be the classic scale bug."""
+    df = queries["b67_mixture_sample"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
