@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "b60_canonical_assignment",
     "b62_contamination_overlap",
     "b63_intradoc_repetition",
+    "b64_stratified_sample",
+    "b65_embedding_quantize",
+    "b66_scd2_history",
+    "b67_mixture_sample",
 ]
 
 

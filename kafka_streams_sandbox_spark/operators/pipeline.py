@@ -683,3 +683,159 @@ def b67_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B68: incremental batch-vs-corpus dedup (ingestion-time, not rebuild)
+# ---------------------------------------------------------------------------
+# The pattern that actually runs at 100 TB: a new ingest batch (here
+# doc_id % 10 >= 8 stands in for "today's crawl", ~20%) is checked
+# against the EXISTING corpus fingerprint index without recomputing
+# anything over the corpus — corpus fps stream once against a
+# broadcast of the (small) batch fingerprint set, never the reverse.
+
+B68_ORACLE = """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    new_batch AS (SELECT * FROM fp WHERE doc_id % 10 >= 8),
+    corpus_hit AS (
+        SELECT DISTINCT c.fingerprint FROM fp c
+        WHERE c.doc_id % 10 < 8
+          AND c.fingerprint IN (SELECT fingerprint FROM new_batch)
+    )
+    SELECT n.doc_id, n.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_corpus'
+                WHEN row_number() OVER (PARTITION BY n.fingerprint
+                                        ORDER BY n.doc_id) = 1 THEN 'unique'
+                ELSE 'dup_batch' END AS status
+    FROM new_batch n LEFT JOIN corpus_hit h
+      ON n.fingerprint = h.fingerprint
+"""
+
+
+@query("b68_incremental_dedup", oracle=B68_ORACLE)
+def b68_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an ingest batch against the standing
+    corpus: each new doc is labeled dup_corpus (fingerprint already
+    indexed), dup_batch (another new doc with the same fingerprint
+    arrived first), or unique.
+
+    Scale shape: the batch's distinct fingerprints BROADCAST against
+    one streaming pass of the corpus index (at 100 TB: a partition
+    -pruned scan of the bucketed fingerprint store); the corpus is
+    never shuffled, never re-fingerprinted, and the windowed
+    first-in-batch rank shuffles only the batch. Cost per ingest is
+    O(batch + corpus-scan), independent of corpus shuffle width.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " ")
+    )
+    fp = docs.select("doc_id", fingerprint.alias("fingerprint"))
+    is_new = (F.col("doc_id") % 10) >= 8
+    new_batch = fp.filter(is_new)
+    corpus = fp.filter(~is_new)
+    batch_fps = new_batch.select("fingerprint").distinct()
+    corpus_hit = (
+        corpus.join(F.broadcast(batch_fps), "fingerprint")
+        .select("fingerprint")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        new_batch.join(F.broadcast(corpus_hit), "fingerprint", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus"), "dup_corpus")
+            .when(F.col("rk") == 1, "unique")
+            .otherwise("dup_batch")
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B69: quality-gate cascade (composed filters with rejection audit)
+# ---------------------------------------------------------------------------
+# Every pre-training pipeline ends in a filter cascade; what matters
+# operationally is the AUDIT — per-doc verdict with the first failing
+# reason, so rejection-rate drift is observable per gate. Thresholds
+# are calibrated to this corpus (n_tok 10-99 median 56, repetition
+# p95 ~ 0.011) so both gates actually fire.
+_B69_MIN_TOKENS = 16
+_B69_MAX_REPETITION = 0.05
+
+B69_ORACLE = f"""
+    WITH tg AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               END AS tg
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+    ),
+    scored AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+                   AS repetition_ratio
+        FROM tg
+    )
+    SELECT doc_id, n_tokens, repetition_ratio,
+           CASE WHEN n_tokens < {_B69_MIN_TOKENS} THEN 'too_short'
+                WHEN repetition_ratio > {_B69_MAX_REPETITION}
+                    THEN 'too_repetitive'
+                ELSE 'pass' END AS verdict
+    FROM scored
+"""
+
+
+@query("b69_quality_gate", oracle=B69_ORACLE)
+def b69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate cascade: per-doc verdict = first failing gate
+    (length, then repetition), 'pass' otherwise. Composes the b31/b63
+    signals into the keep/drop decision a pipeline applies before
+    training; map-only, zero shuffles, zero Python — the audit columns
+    ride along so gate drift is monitorable for free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    trig = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+               ELSE transform(sequence(1, size(toks) - 2),
+                    i -> concat_ws(' ', element_at(toks, i),
+                                   element_at(toks, i + 1),
+                                   element_at(toks, i + 2)))
+               END"""
+        ).alias("tg"),
+    )
+    scored = trig.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
+        ).alias("repetition_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "repetition_ratio",
+        F.when(F.col("n_tokens") < _B69_MIN_TOKENS, "too_short")
+        .when(F.col("repetition_ratio") > _B69_MAX_REPETITION, "too_repetitive")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

@@ -145,3 +145,19 @@ def test_mixture_sample_broadcasts_config(queries, spark, sf_dir):
     corpus against a 4-row table would be the classic scale bug."""
     df = queries["b67_mixture_sample"](spark, sf_dir)
     assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
+
+
+def test_incremental_dedup_never_shuffles_corpus(queries, spark, sf_dir):
+    """b68's corpus side must stream once against broadcast batch
+    fingerprints — any SortMergeJoin would mean the corpus got
+    shuffled, the thing incremental ingest exists to avoid."""
+    df = queries["b68_incremental_dedup"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "SortMergeJoin"), plan
+    assert has_operator(df, "BroadcastHashJoin"), plan
+
+
+def test_quality_gate_is_map_only(queries, spark, sf_dir):
+    """b69's filter cascade is per-doc scoring — zero Exchanges."""
+    df = queries["b69_quality_gate"](spark, sf_dir)
+    assert "Exchange" not in plan_string(df), plan_string(df)

@@ -143,3 +143,32 @@ def test_embedding_quantize_error_bound(spark):
     for r in rows:
         assert r.n_dims == 64
         assert r.max_abs_err <= r.scale / 2 + 1e-12, r
+
+
+def test_incremental_dedup_statuses(spark, tmp_path):
+    """All three b68 statuses on a constructed corpus: doc 8 matches
+    the corpus (dup_corpus), docs 18/28 share a fresh fingerprint
+    (first=unique, second=dup_batch), doc 9 is novel (unique).
+    Token-set fingerprinting means reordered copies collapse."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b68_incremental_dedup,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "en", "src0", 16),   # corpus
+        (1, "delta epsilon", "en", "src0", 13),      # corpus
+        (8, "gamma beta alpha", "en", "src1", 16),   # new: reorder of 0
+        (9, "zeta eta", "en", "src1", 8),            # new: novel
+        (18, "theta iota", "en", "src2", 10),        # new: pair first
+        (28, "iota theta", "en", "src2", 10),        # new: pair second
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(f"{path}/documents.parquet")
+    out = {
+        r.doc_id: r.status
+        for r in b68_incremental_dedup(spark, path).collect()
+    }
+    assert out == {8: "dup_corpus", 9: "unique", 18: "unique", 28: "dup_batch"}
