@@ -107,3 +107,28 @@ def embeddings_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = emb.repartition(target)
     _WIDE_EMB_CACHE[key] = emb
     return emb
+
+
+_WIDE_DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, widened to the session's parallelism.
+
+    Same single-partition trap as ``embeddings_wide``, hit by the
+    shingling-heavy dedup family: char-n-gram hashing over every doc
+    is the dominant cost of b26/b27/b28/b62, and a one-file parquet
+    scan would run it serially (measured 2.0 s -> 0.4 s at sf0.1 for
+    the b27 posting stage alone). No-op at real scale, where the scan
+    already arrives wide.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WIDE_DOCS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = table(spark, sf_dir, "documents")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    _WIDE_DOCS_CACHE[key] = docs
+    return docs

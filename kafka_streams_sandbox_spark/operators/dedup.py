@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.catalog import documents_wide, table
 from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
 from kafka_streams_sandbox_spark.registry import query
 
@@ -204,7 +204,7 @@ def b26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (drop stopword-shingles) — the standard guard against a
     hot posting list exploding a bucket.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = documents_wide(spark, sf_dir)
     sh = (
         docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks"))
         .select(
@@ -290,7 +290,7 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc work is map-only; every shuffle is proportional to data
     size, never n². This is the scale path whose recall b26 checks.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = documents_wide(spark, sf_dir)
     # Signature as 32 plain min() aggregates over exploded shingle
     # hashes: every permutation update is straight-line codegen (no
     # per-element array rebuild — the HOF fold form allocs a k-array
@@ -512,7 +512,7 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is pure ``bit_count(xor)`` — no joins at all after
     the single (chunk, ckey) shuffle.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = documents_wide(spark, sf_dir)
     sig = docs.select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
     chunks = sig.select(
         "doc_id",

@@ -233,22 +233,29 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-batch top-(k+1) for ALL queries in one argpartition call
+        # (k+1 because the query's own row may be in the batch; the
+        # self-match filters out below and the global window keeps 5).
+        # A per-query Python loop here measured ~2× slower end-to-end.
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ q_mat.T  # (batch, queries)
-            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
-            k = min(5, len(ids))
-            for qi, qid in enumerate(q_ids):
-                col = sims[:, qi]
-                mask = ids != qid
-                cand = np.argsort(-col[mask])[:k]
-                sel = np.flatnonzero(mask)[cand]
-                out["query_id"].extend([qid] * len(sel))
-                out["neighbor_id"].extend(ids[sel])
-                out["cos_sim"].extend(col[sel])
-            yield pd.DataFrame(out)
+            k = min(6, len(ids))
+            part = np.argpartition(-sims, kth=k - 1, axis=0)[:k, :]
+            rows = part.ravel(order="F")
+            qcol = np.repeat(q_ids, k)
+            ncol = ids[rows]
+            scol = sims[rows, np.repeat(np.arange(len(q_ids)), k)]
+            keep = ncol != qcol
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": ncol[keep],
+                    "cos_sim": scol[keep],
+                }
+            )
 
     partial = emb.select("vec_id", "embedding").mapInPandas(
         topk_batches, B44_SCHEMA

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.catalog import documents_wide, table
 from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
 from kafka_streams_sandbox_spark.registry import query
 
@@ -339,7 +339,7 @@ def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_streams_sandbox_spark.operators.dedup import word_ngrams_expr
 
-    docs = table(spark, sf_dir, "documents")
+    docs = documents_wide(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.expr(TOKENS_EXPR).alias("toks")
     ).select(
