@@ -839,3 +839,95 @@ def b69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B70: bigram language-model counts (top next-token table)
+# ---------------------------------------------------------------------------
+# The n-gram count table is the classic corpus statistic (KenLM-style
+# LM builds, contamination fingerprints, autocomplete): for each
+# token, the 3 most frequent successors with conditional probability.
+_B70_TOP = 3
+
+B70_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> {{'prev': toks[i],
+                                            'next': toks[i+1]}})) AS bg
+        FROM toks WHERE len(toks) >= 2
+    ),
+    counts AS (
+        SELECT bg.prev AS prev_tok, bg.next AS next_tok,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM bigrams GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT prev_tok, next_tok, n,
+               CAST(SUM(n) OVER (PARTITION BY prev_tok) AS BIGINT)
+                   AS prev_total,
+               row_number() OVER (PARTITION BY prev_tok
+                                  ORDER BY n DESC, next_tok) AS rk
+        FROM counts
+    )
+    SELECT prev_tok, next_tok, n,
+           CAST(n AS DOUBLE) / prev_total AS cond_p,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_B70_TOP}
+"""
+
+
+@query("b70_bigram_lm", oracle=B70_ORACLE)
+def b70_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count table: top-3 successors per token with
+    conditional probability n(prev,next)/n(prev).
+
+    Scale shape: bigram emission is map-only (posexplode over the
+    token array, pairing each token with its successor); ONE shuffle
+    builds the (prev,next) counts with map-side partial agg; the
+    per-prev total and top-k rank share a second, prev-keyed shuffle
+    (both window specs partition by prev_tok, and the rank filter
+    fuses to WindowGroupLimit... rank-only; the SUM window rides the
+    same sort). cond_p is a double ratio of exact int counts —
+    engine-exact, no decimal path needed.
+    """
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select(F.expr(TOKENS_EXPR).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        F.expr(
+            """inline(transform(sequence(1, size(toks) - 1),
+                 i -> named_struct('prev_tok', element_at(toks, i),
+                                   'next_tok', element_at(toks, i + 1))))"""
+        )
+    )
+    counts = bigrams.groupBy("prev_tok", "next_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # Both windows share partitioning AND ordering (the total uses an
+    # explicit full frame), so they ride one Exchange + one Sort — an
+    # unordered sum window would force a second Window pass.
+    w_rank = Window.partitionBy("prev_tok").orderBy(
+        F.col("n").desc(), F.col("next_tok")
+    )
+    w_tot = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("prev_total", F.sum("n").over(w_tot))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _B70_TOP)
+        .select(
+            "prev_tok",
+            "next_tok",
+            "n",
+            (F.col("n").cast("double") / F.col("prev_total")).alias("cond_p"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

@@ -53,3 +53,23 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     _assert_same(docs, back)
     q = back.filter(F.col("n_chars") > 500).select("doc_id")
     assert scans_with_pushed_filters(q) >= 1
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appended batches gain columns over time (every long-lived
+    ingest does); mergeSchema reads must unify old and new footers
+    with NULLs for the missing column — the contract that lets a
+    100 TB table evolve without rewrite."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", "en")], "id long, payload string, lang string"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "payload", "lang"}
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}

@@ -161,3 +161,14 @@ def test_quality_gate_is_map_only(queries, spark, sf_dir):
     """b69's filter cascade is per-doc scoring — zero Exchanges."""
     df = queries["b69_quality_gate"](spark, sf_dir)
     assert "Exchange" not in plan_string(df), plan_string(df)
+
+
+def test_bigram_lm_windows_fuse(queries, spark, sf_dir):
+    """b70's per-prev total (full-frame sum) and top-k rank share one
+    window spec — exactly one Window node and one Sort in the plan."""
+    import re
+
+    df = queries["b70_bigram_lm"](spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count(") Window") == 1, plan
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, flags=re.MULTILINE)) == 1, plan
