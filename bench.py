@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "b65_embedding_quantize",
     "b66_scd2_history",
     "b67_mixture_sample",
+    "b68_incremental_dedup",
+    "b69_quality_gate",
+    "b70_bigram_lm",
 ]
 
 

@@ -172,3 +172,28 @@ def test_incremental_dedup_statuses(spark, tmp_path):
         for r in b68_incremental_dedup(spark, path).collect()
     }
     assert out == {8: "dup_corpus", 9: "unique", 18: "unique", 28: "dup_batch"}
+
+
+def test_scd2_ranges_partition_timeline(spark):
+    """b66 invariants: per user, version ranges are disjoint, ordered,
+    and contiguous (each eff_to equals the next eff_from), exactly one
+    open (is_current) version per user, and adjacent versions never
+    repeat the same attr (change detection collapsed them)."""
+    from collections import defaultdict
+
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b66_scd2_history,
+    )
+
+    rows = b66_scd2_history(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.eff_from)
+        assert sum(1 for r in vs if r.is_current) == 1, user
+        for a, b in zip(vs, vs[1:]):
+            assert a.eff_to == b.eff_from, (user, a, b)
+            assert a.attr != b.attr, (user, a, b)
+        assert vs[-1].eff_to is None, user
