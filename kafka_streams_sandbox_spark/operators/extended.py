@@ -726,8 +726,10 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # truncate lineage each round: without this the plan re-derives
         # every previous iteration (exponential at depth) — the classic
-        # iterative-DataFrame trap; checkpoint() on a real cluster
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # iterative-DataFrame trap; checkpoint() on a real cluster.
+        # Lazy: the convergence count below is the materializing
+        # action, so each round runs ONE job, not two.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
