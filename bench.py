@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "b68_incremental_dedup",
     "b69_quality_gate",
     "b70_bigram_lm",
+    "b71_corpus_curation",
 ]
 
 

@@ -931,3 +931,155 @@ def b70_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B71: corpus-curation funnel (the composed end-to-end pipeline)
+# ---------------------------------------------------------------------------
+# The capstone: quality gate (b69 rules) -> dedup canonical keep (b24
+# token-set fingerprint, min-id survivor among quality survivors) ->
+# domain-mixture keep (b67 rule) -> train/holdout split (b57 rule),
+# reported as the per-stage attrition funnel a curation run logs.
+# Every stage reuses the exact rule its standalone operator verifies.
+
+B71_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, len(toks) AS n_tokens,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS fingerprint,
+               (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+                   AS repetition_ratio
+        FROM (SELECT *,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2])
+                     END AS tg
+              FROM toks)
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= {_B69_MIN_TOKENS}
+          AND repetition_ratio <= {_B69_MAX_REPETITION}
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+            FROM quality)
+        WHERE doc_id = keep_id
+    ),
+    mixture AS (
+        SELECT d.* FROM dedup d
+        JOIN (VALUES {", ".join(f"({t}, CAST({w} AS DOUBLE))" for t, w in _B67_TIERS)})
+             tiers(tier, w)
+          ON CAST(substring(d.source, 4) AS INT) % 4 = tiers.tier
+        WHERE (d.doc_id * 16807) % 1000 < tiers.w * 1000
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN 16 * (strpos('0123456789abcdef',
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       + (strpos('0123456789abcdef',
+                         substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                       < {_SPLIT_BUCKETS_TRAIN}
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM mixture
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, 0 AS ord
+        FROM documents
+        UNION ALL SELECT 'quality', CAST(COUNT(*) AS BIGINT), 1 FROM quality
+        UNION ALL SELECT 'dedup', CAST(COUNT(*) AS BIGINT), 2 FROM dedup
+        UNION ALL SELECT 'mixture', CAST(COUNT(*) AS BIGINT), 3 FROM mixture
+        UNION ALL SELECT 'train', CAST(COUNT(*) AS BIGINT), 4
+                  FROM split WHERE split = 'train'
+        UNION ALL SELECT 'holdout', CAST(COUNT(*) AS BIGINT), 5
+                  FROM split WHERE split = 'holdout')
+"""
+
+
+@query("b71_corpus_curation", oracle=B71_ORACLE)
+def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: every stage applies the SAME rule
+    its standalone operator (b69/b24/b67/b57) verifies, composed in
+    order, and the output is the per-stage survivor count — the
+    attrition report a production curation run publishes.
+
+    Scale shape: one corpus scan feeds the whole funnel; quality and
+    mixture are map-only predicates, dedup is the single
+    fingerprint-keyed window (WindowGroupLimit-free min, but
+    shuffle-once), and the stage counts are partial-aggregated
+    single-row reductions. Nothing here is a second pass over the
+    corpus.
+    """
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.expr(TOKENS_EXPR).alias("toks")
+    )
+    trig = toks.withColumn(
+        "tg",
+        F.expr(
+            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+               ELSE transform(sequence(1, size(toks) - 2),
+                    i -> concat_ws(' ', element_at(toks, i),
+                                   element_at(toks, i + 1),
+                                   element_at(toks, i + 2)))
+               END"""
+        ),
+    )
+    scored = trig.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("fingerprint"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
+        ).alias("repetition_ratio"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= _B69_MIN_TOKENS)
+        & (F.col("repetition_ratio") <= _B69_MAX_REPETITION)
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    dedup = quality.withColumn(
+        "keep_id", F.min("doc_id").over(w_fp)
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
+    mixture = (
+        dedup.withColumn(
+            "tier", F.expr("CAST(substring(source, 4) AS INT)") % 4
+        )
+        .join(F.broadcast(tiers), "tier")
+        .filter(((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000))
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    split = mixture.withColumn(
+        "split",
+        F.when(bucket < _SPLIT_BUCKETS_TRAIN, "train").otherwise("holdout"),
+    )
+
+    def count_stage(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        count_stage(docs, "raw")
+        .unionAll(count_stage(quality, "quality"))
+        .unionAll(count_stage(dedup, "dedup"))
+        .unionAll(count_stage(mixture, "mixture"))
+        .unionAll(count_stage(split.filter(F.col("split") == "train"), "train"))
+        .unionAll(
+            count_stage(split.filter(F.col("split") == "holdout"), "holdout")
+        )
+    )

@@ -172,3 +172,11 @@ def test_bigram_lm_windows_fuse(queries, spark, sf_dir):
     plan = plan_string(df)
     assert plan.count(") Window") == 1, plan
     assert len(re.findall(r"^\(\d+\) Sort\b", plan, flags=re.MULTILINE)) == 1, plan
+
+
+def test_curation_funnel_single_corpus_scan_per_stage_chain(queries, spark, sf_dir):
+    """b71 composes four stages; the funnel must not fall back to
+    row-Python anywhere and the mixture config must broadcast."""
+    df = queries["b71_corpus_curation"](spark, sf_dir)
+    assert not uses_row_python_udf(df), plan_string(df)
+    assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
