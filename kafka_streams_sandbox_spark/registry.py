@@ -34,10 +34,13 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.streaming.ktable",
     "kafka_streams_sandbox_spark.streaming.windows",
     "kafka_streams_sandbox_spark.streaming.app",
+    # pipeline next: b64-b71 are round-2 additions with no driver
+    # verdict yet, so they must register ahead of the families the
+    # round-1 run already hash-verified.
+    "kafka_streams_sandbox_spark.operators.pipeline",
     "kafka_streams_sandbox_spark.operators.relational",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.text",
-    "kafka_streams_sandbox_spark.operators.pipeline",
     "kafka_streams_sandbox_spark.operators.similarity",
     "kafka_streams_sandbox_spark.operators.extended",
     "kafka_streams_sandbox_spark.operators.dedup",
