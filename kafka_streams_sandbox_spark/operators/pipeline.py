@@ -1,13 +1,18 @@
 """Training-data pipeline operators beyond the dedup/similarity core:
-deterministic dataset splits, TF-IDF term scoring, funnel analysis,
-and canonical-document assignment.
+deterministic splits and samples (b57 train/holdout, b64 stratified,
+b67 domain mixture), TF-IDF term scoring (b58), funnel analysis
+(b59), canonical-document assignment (b60), contamination checking
+(b62), repetition scoring (b63), int8 embedding quantization (b65),
+SCD2 dimension history (b66), incremental ingest dedup (b68), quality
+gates (b69, shared with the a25 stream twin), bigram LM counts (b70),
+and the composed curation funnel (b71).
 
-These are the remaining pieces a 100 TB LLM data pipeline runs between
-ingestion and training: hold out an eval set (reproducibly, with no
-sampling state), surface characteristic terms, measure behavioral
-funnels on the event stream, and rewrite every document's identity to
-its dedup-cluster canonical. All built-in-function Spark — zero
-Python UDFs on any hot path.
+These are the pieces a 100 TB LLM data pipeline runs between
+ingestion and training. Recurring design rules: every sampling/split
+decision is a pure function of the record id (reproducible, append-
+stable, no sampling state); per-doc scoring is map-only JVM
+expressions (zero Python UDFs on any hot path); corpus-vs-batch
+operations broadcast the small side and never reshuffle the corpus.
 """
 
 from __future__ import annotations
@@ -800,15 +805,13 @@ B69_ORACLE = f"""
 """
 
 
-@query("b69_quality_gate", oracle=B69_ORACLE)
-def b69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-gate cascade: per-doc verdict = first failing gate
-    (length, then repetition), 'pass' otherwise. Composes the b31/b63
-    signals into the keep/drop decision a pipeline applies before
-    training; map-only, zero shuffles, zero Python — the audit columns
-    ride along so gate drift is monitorable for free.
+def quality_verdict(docs: DataFrame) -> DataFrame:
+    """b69's scoring + verdict over ANY (doc_id, text, ...) relation.
+
+    Pure column expressions, no aggregation — so the same gate runs
+    unchanged on the batch corpus (b69) and on the ingest stream
+    (a25), the batch/stream duality the engine promises.
     """
-    docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     trig = toks.select(
         "doc_id",
@@ -839,6 +842,17 @@ def b69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+@query("b69_quality_gate", oracle=B69_ORACLE)
+def b69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate cascade: per-doc verdict = first failing gate
+    (length, then repetition), 'pass' otherwise. Composes the b31/b63
+    signals into the keep/drop decision a pipeline applies before
+    training; map-only, zero shuffles, zero Python — the audit columns
+    ride along so gate drift is monitorable for free.
+    """
+    return quality_verdict(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -40,19 +40,48 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-# One staging dir per sf_dir for the process lifetime — repeated query
-# construction (tests, benches, StreamsApp restarts) must not leak a
-# fresh temp dir per call.
-_STAGE_CACHE: dict[str, str] = {}
+# One staging dir per (sf_dir, table) for the process lifetime —
+# repeated query construction (tests, benches, StreamsApp restarts)
+# must not leak a fresh temp dir per call.
+_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_table_dir(sf_dir: str, name: str) -> str:
+    """FileStreamSource wants a *directory*; stage a symlink dir
+    around the single parquet file (testdata is read-only)."""
+    key = (sf_dir, name)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix=f"kss-{name}-src-")
+        os.symlink(f"{sf_dir}/{name}.parquet", f"{stage}/{name}.parquet")
+        _STAGE_CACHE[key] = stage
+    return stage
 
 
 def _staged_events_dir(sf_dir: str) -> str:
-    stage = _STAGE_CACHE.get(sf_dir)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="kss-events-src-")
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-        _STAGE_CACHE[sf_dir] = stage
-    return stage
+    return _staged_table_dir(sf_dir, "events")
+
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over documents.parquet — the ingest-stream
+    view of the corpus, for scoring/filtering docs as they arrive."""
+    configure(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(_staged_table_dir(sf_dir, "documents"))
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

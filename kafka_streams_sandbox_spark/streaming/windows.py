@@ -294,3 +294,20 @@ def a24_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = keyed.dropDuplicatesWithinWatermark(["dedup_key"])
     view = run_to_memory(deduped.select("dedup_key", "event_id", "ts"), "append")
     return spark.table(view)
+
+
+@query("a25_stream_quality_gate")  # rows-only: streaming memory sink
+def a25_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b69's quality gate on the INGEST STREAM: identical scoring
+    expressions (shared `quality_verdict`) over a streaming documents
+    source — score-at-ingest instead of score-at-rest. Map-only
+    append-mode stream: no state, no watermark needed, arbitrarily
+    wide at 100 TB/day because every record is scored independently.
+    """
+    # Lazy import: a top-level pipeline import would register b57-b71
+    # ahead of this module's curated registry slot.
+    from kafka_streams_sandbox_spark.operators.pipeline import quality_verdict
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    return spark.table(run_to_memory(quality_verdict(docs), "append"))

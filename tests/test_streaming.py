@@ -435,3 +435,17 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     streamed_keys = {r.dedup_key for r in streamed.collect()}
     assert streamed_keys == batch_keys
     assert streamed.count() == len(batch_keys)  # exactly one row per key
+
+
+def test_stream_quality_gate_duality(spark):
+    """a25 (stream) and b69 (batch) run the SAME quality_verdict
+    expressions; their full result sets must be identical."""
+    from kafka_streams_sandbox_spark.operators.pipeline import b69_quality_gate
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a25_stream_quality_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = {tuple(r) for r in a25_stream_quality_gate(spark, sf).collect()}
+    batch = {tuple(r) for r in b69_quality_gate(spark, sf).collect()}
+    assert stream == batch and stream
