@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "b69_quality_gate",
     "b70_bigram_lm",
     "b71_corpus_curation",
+    "b72_key_skew_report",
 ]
 
 

@@ -1097,3 +1097,72 @@ def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_stage(split.filter(F.col("split") == "holdout"), "holdout")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B72: key-skew diagnostics (the report that justifies salting)
+# ---------------------------------------------------------------------------
+# Before shuffling 100 TB on a key, measure the key: heaviest key and
+# its share, quantiles of the per-key weight, and the skew factor
+# (max / mean). This report over events.user_id is what decides
+# whether the b50 two-phase salt is worth its extra shuffle.
+
+B72_ORACLE = """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    heavy AS (
+        SELECT user_id AS heavy_key, n AS heavy_n
+        FROM counts ORDER BY n DESC, user_id DESC LIMIT 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           MIN(heavy.heavy_key) AS heavy_key,
+           CAST(MIN(heavy.heavy_n) AS BIGINT) AS heavy_n,
+           CAST(MIN(heavy.heavy_n) AS DOUBLE) / SUM(n) AS heavy_share,
+           quantile_cont(n, 0.5) AS p50_n,
+           quantile_cont(n, 0.99) AS p99_n,
+           MIN(heavy.heavy_n) * CAST(COUNT(*) AS DOUBLE) / SUM(n)
+               AS skew_factor
+    FROM counts CROSS JOIN heavy
+"""
+
+
+@query("b72_key_skew_report", oracle=B72_ORACLE)
+def b72_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report over events.user_id: heaviest key + share,
+    per-key weight quantiles, and skew factor (heaviest / mean).
+    skew_factor ~ 1 means a plain hash shuffle balances; >> 1 means
+    the b50 salt (or AQE skew-join splitting) pays for itself.
+
+    Scale shape: ONE shuffle builds the per-key counts (map-side
+    combined); the diagnostics aggregate runs over the counts table,
+    which is |keys|-sized, not |rows|-sized — cheap enough to run
+    before every large keyed job.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    heavy = (
+        counts.orderBy(F.col("n").desc(), F.col("user_id").desc())
+        .limit(1)
+        .select(
+            F.col("user_id").alias("heavy_key"), F.col("n").alias("heavy_n")
+        )
+    )
+    return counts.crossJoin(F.broadcast(heavy)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.min("heavy_key").alias("heavy_key"),
+        F.min("heavy_n").cast("bigint").alias("heavy_n"),
+        (
+            F.min("heavy_n").cast("double") / F.sum("n")
+        ).alias("heavy_share"),
+        F.expr("percentile(n, 0.5)").alias("p50_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+        (
+            F.min("heavy_n") * F.count(F.lit(1)).cast("double") / F.sum("n")
+        ).alias("skew_factor"),
+    )
