@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "b70_bigram_lm",
     "b71_corpus_curation",
     "b72_key_skew_report",
+    "b73_retention_cohorts",
 ]
 
 

@@ -1166,3 +1166,82 @@ def b72_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("heavy_n") * F.count(F.lit(1)).cast("double") / F.sum("n")
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B73: retention cohorts (first-week cohort x activity-week offset)
+# ---------------------------------------------------------------------------
+# The classic product-analytics matrix. Weeks are pure integer math on
+# the epoch (floor(epoch_us / 7 days)) — engine-identical by
+# construction, where date_trunc('week') would hinge on both engines
+# agreeing on week-start calendar semantics.
+_WEEK_US = 7 * 86400 * 1_000_000
+
+B73_ORACLE = f"""
+    WITH ue AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / {_WEEK_US}) AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM ue GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT u.user_id, c.cohort_wk, u.wk - c.cohort_wk AS offs
+        FROM ue u JOIN cohort c USING (user_id)
+    ),
+    size_ AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_wk
+    )
+    SELECT a.cohort_wk, a.offs AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM activity a JOIN size_ s USING (cohort_wk)
+    GROUP BY a.cohort_wk, a.offs, s.cohort_size
+"""
+
+
+@query("b73_retention_cohorts", oracle=B73_ORACLE)
+def b73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-activity week,
+    counted once per (cohort, week-offset) they were active in, with
+    the retention rate against cohort size.
+
+    Scale shape: one shuffle builds per-user first weeks (|users|
+    rows), which BROADCAST back onto the event-week pairs; the
+    distinct + final rollup shuffle |users x weeks| rows, never raw
+    events. Retention is an exact-int ratio — engine-exact as a
+    double.
+    """
+    ev = table(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / _WEEK_US
+        ).cast("bigint").alias("wk"),
+    )
+    cohort = ue.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    size = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    activity = (
+        ue.join(F.broadcast(cohort), "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offs"))
+        .distinct()
+    )
+    return (
+        activity.join(F.broadcast(size), "cohort_wk")
+        .groupBy("cohort_wk", F.col("offs").alias("week_offset"), "cohort_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
