@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "b71_corpus_curation",
     "b72_key_skew_report",
     "b73_retention_cohorts",
+    "b74_robust_anomalies",
 ]
 
 

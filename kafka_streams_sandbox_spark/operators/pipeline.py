@@ -1245,3 +1245,62 @@ def b73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B74: robust anomaly detection (median/MAD z-score per event type)
+# ---------------------------------------------------------------------------
+# Outlier events by ROBUST z-score: (x - median) / MAD. Median/MAD
+# shrug off the very outliers being hunted (mean/stddev don't — one
+# whale event inflates stddev and hides the rest). Exact interpolated
+# medians match across engines (same definition as b56).
+_B74_Z = 6.0
+
+B74_ORACLE = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.med) / d.mad AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad > 0 AND abs((e.value - m.med) / d.mad) > {_B74_Z}
+"""
+
+
+@query("b74_robust_anomalies", oracle=B74_ORACLE)
+def b74_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from their type's median by more
+    than {z} MADs — the robust outlier sweep a pipeline runs over
+    metrics before trusting aggregates.
+
+    Scale shape: two grouped exact-median passes (per-type medians are
+    |types|-sized and BROADCAST back onto the stream both times); the
+    event stream itself is scanned, never shuffled. At 100 TB swap
+    exact percentile for the b45 approx sketch and the plan shape is
+    unchanged.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > _B74_Z))
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+    )
