@@ -1304,3 +1304,94 @@ def b74_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (F.abs(z) > _B74_Z))
         .select("event_id", "event_type", "value", z.alias("robust_z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B75: table profiler (per-column null/distinct/range stats)
+# ---------------------------------------------------------------------------
+# The ANALYZE-TABLE shape: one scan computes every column's stats, the
+# output is one row per column (long format, uniform schema). Numeric
+# ranges report as doubles; string ranges as strings — never
+# double->string formatting, which the two engines render differently.
+_B75_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_B75_STR_COLS = ("l_returnflag", "l_linestatus")
+
+B75_ORACLE = " UNION ALL ".join(
+    [
+        f"""SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(MIN({c}) AS DOUBLE) AS min_num,
+                   CAST(MAX({c}) AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+        for c in _B75_NUM_COLS
+    ]
+    + [
+        f"""SELECT '{c}', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT),
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   MIN({c}), MAX({c})
+            FROM lineitem"""
+        for c in _B75_STR_COLS
+    ]
+)
+
+
+@query("b75_table_profile", oracle=B75_ORACLE)
+def b75_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem: rows, nulls, exact distincts, and
+    min/max per column — the stats pass that feeds partition/broadcast
+    planning and data-quality monitors.
+
+    One aggregate computes every column's stats in a single scan
+    (Catalyst expands the multi-distinct into one Expand + aggregate);
+    the long-format output is a driver-side stack of the single stats
+    row. At 100 TB swap exact distinct for approx_count_distinct (b45)
+    — the plan shape is unchanged.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _B75_NUM_COLS + _B75_STR_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    stats = li.agg(*aggs)
+    rows = []
+    for c in _B75_NUM_COLS:
+        rows.append(
+            stats.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_num"),
+                F.col(f"{c}__max").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _B75_STR_COLS:
+        rows.append(
+            stats.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
