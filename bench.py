@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "b72_key_skew_report",
     "b73_retention_cohorts",
     "b74_robust_anomalies",
+    "b76_fuzzy_match",
 ]
 
 

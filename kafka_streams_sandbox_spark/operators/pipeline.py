@@ -1408,3 +1408,91 @@ def b75_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# B76: fuzzy matching (blocked + levenshtein-verified pairs)
+# ---------------------------------------------------------------------------
+# Entity-resolution shape: block on cheap keys (first token x length
+# band), THEN pay edit distance only inside blocks — the discipline
+# that keeps O(n^2) string comparison off the table. Both engines
+# implement unit-cost Levenshtein identically, so the verify is
+# oracle-checkable. Neighbor bands are EXPLODED into extra equi-join
+# keys (|band diff| <= 1 as a hash join, not a range join), and pairs
+# dedup BEFORE the expensive distance call.
+_B76_HEAD = 60
+_B76_MAX_DIST = 20
+
+B76_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, substring(trim(text), 1, {_B76_HEAD}) AS head,
+               split_part(trim(text), ' ', 1) AS tok1,
+               CAST(floor(length(trim(text)) / 20) AS BIGINT) AS band
+        FROM documents
+    ),
+    probe AS (
+        SELECT doc_id, head, tok1,
+               unnest([band - 1, band, band + 1]) AS band_key
+        FROM d
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.head AS head_a, b.head AS head_b
+        FROM d a JOIN probe b
+          ON a.tok1 = b.tok1 AND a.band = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(head_a, head_b) <= {_B76_MAX_DIST}
+"""
+
+
+@query("b76_fuzzy_match", oracle=B76_ORACLE)
+def b76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy document matching: block on (first token, length band
+    +/-1), verify candidates by Levenshtein distance over the head.
+
+    Scale shape: blocking is a pure equi-join (neighbor bands explode
+    into extra probe keys — never a range/theta join); candidate
+    pairs DISTINCT before the O(len^2) distance kernel so each pair
+    pays it once. Blocking-key choice is data-dependent: this corpus
+    has a tiny vocabulary, so first-token blocks are coarse; real
+    deployments block on rarer keys (rare tokens, minhash bands) with
+    the identical plan shape.
+    """
+    docs = documents_wide(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.expr(f"substring(trim(text), 1, {_B76_HEAD})").alias("head"),
+        F.expr("split_part(trim(text), ' ', 1)").alias("tok1"),
+        F.floor(F.length(F.trim("text")) / 20).cast("bigint").alias("band"),
+    )
+    probe = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        "tok1",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band_key"),
+    )
+    pairs = (
+        d.join(
+            probe,
+            (d.tok1 == probe.tok1)
+            & (d.band == probe.band_key)
+            & (d.doc_id < probe.doc_b),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("head").alias("head_a"),
+            "head_b",
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return pairs.select(
+        "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
+    ).filter(F.col("edit_dist") <= _B76_MAX_DIST)
