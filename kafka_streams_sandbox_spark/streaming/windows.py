@@ -311,3 +311,49 @@ def a25_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_stream(spark, sf_dir)
     return spark.table(run_to_memory(quality_verdict(docs), "append"))
+
+
+@query("a26_stream_incremental_dedup")  # rows-only: streaming memory sink
+def a26_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b68's incremental dedup at INGEST TIME: the new-batch stream is
+    checked against the static corpus fingerprint index (stream-static
+    left join — the index broadcasts per micro-batch) and deduped
+    within the stream by fingerprint (dropDuplicates keeps the first
+    arrival per key in state). The output is the stream of ACCEPTED
+    documents — exactly what the ingest sink should persist.
+
+    Scale note: dropDuplicates state grows with distinct accepted
+    fingerprints; a production stream bounds it with
+    dropDuplicatesWithinWatermark (a24 shows the pattern) once
+    fingerprints stop recurring outside the horizon.
+    """
+    from kafka_streams_sandbox_spark.catalog import table as batch_table
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")
+                )
+            ),
+            " ",
+        )
+    )
+    corpus_fps = (
+        batch_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) < 8)
+        .select(fingerprint.alias("fingerprint"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    stream = (
+        documents_stream(spark, sf_dir)
+        .filter((F.col("doc_id") % 10) >= 8)
+        .withColumn("fingerprint", fingerprint)
+        .join(corpus_fps, "fingerprint", "left")
+        .filter(F.col("in_corpus").isNull())
+        .dropDuplicates(["fingerprint"])
+        .select("doc_id", "fingerprint")
+    )
+    return spark.table(run_to_memory(stream, "append"))

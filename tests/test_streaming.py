@@ -449,3 +449,23 @@ def test_stream_quality_gate_duality(spark):
     stream = {tuple(r) for r in a25_stream_quality_gate(spark, sf).collect()}
     batch = {tuple(r) for r in b69_quality_gate(spark, sf).collect()}
     assert stream == batch and stream
+
+
+def test_stream_incremental_dedup_duality(spark):
+    """a26's accepted stream must equal b68's unique set: same docs
+    rejected as corpus dups, one survivor per fresh fingerprint."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b68_incremental_dedup,
+    )
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a26_stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    accepted = {
+        r.fingerprint
+        for r in a26_stream_incremental_dedup(spark, sf).collect()
+    }
+    batch = b68_incremental_dedup(spark, sf).collect()
+    unique_fps = {r.fingerprint for r in batch if r.status == "unique"}
+    assert accepted == unique_fps and accepted
