@@ -1496,3 +1496,50 @@ def b76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
     ).filter(F.col("edit_dist") <= _B76_MAX_DIST)
+
+
+# ---------------------------------------------------------------------------
+# B77: quartile binning (ntile) + per-bin ranges
+# ---------------------------------------------------------------------------
+# Equal-frequency binning — the discretization step for feature
+# bucketing and tiered SLAs. ntile() has one standard definition
+# (floor-balanced bin sizes) in both engines; the (value, event_id)
+# ordering makes bin assignment deterministic under ties.
+
+B77_ORACLE = """
+    WITH binned AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM binned GROUP BY event_type, quartile
+"""
+
+
+@query("b77_value_quartiles", oracle=B77_ORACLE)
+def b77_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartiles of event value per type with each
+    bin's observed [lo, hi] range — the empirical bucketing a feature
+    pipeline persists to discretize at serving time.
+
+    Scale shape: one shuffle on event_type; ntile needs the partition
+    sorted, which rides that exchange's sort; the rollup is map-side
+    combined on (type, quartile). Per-type partitions must fit a task
+    at this plan shape — for heavy-tailed types, bin via b56
+    percentile cutpoints instead (no global sort per key).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", F.col("quartile").cast("bigint").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
