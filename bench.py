@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "b73_retention_cohorts",
     "b74_robust_anomalies",
     "b76_fuzzy_match",
+    "b77_value_quartiles",
 ]
 
 
