@@ -147,7 +147,15 @@ def duckdb_timings(names: list[str], sf_dir: str) -> dict[str, float]:
             p.join()
             out[name] = -1.0
         else:
-            out[name] = q.get() if not q.empty() else -1.0
+            # q.empty() races the feeder-thread flush after p.join(): a
+            # finished run could be misreported as a timeout and drop
+            # the query from the shared set. Block briefly instead.
+            import queue as _queue
+
+            try:
+                out[name] = q.get(timeout=1.0)
+            except _queue.Empty:
+                out[name] = -1.0
     return out
 
 
@@ -197,24 +205,32 @@ def main() -> None:
     ratio = (
         round(spark_shared / duck_shared, 3) if duck_shared > 0 else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "duckdb": duck,
-                "shared_total_spark": spark_shared,
-                "shared_total_duckdb": duck_shared,
-                "ratio_vs_duckdb": ratio,
-                "duckdb_timeouts": sorted(
-                    n for n, t in duck.items() if t < 0
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "duckdb": duck,
+        "shared_total_spark": spark_shared,
+        "shared_total_duckdb": duck_shared,
+        "ratio_vs_duckdb": ratio,
+        "duckdb_timeouts": sorted(n for n, t in duck.items() if t < 0),
+    }
+    payload = json.dumps(result)
+    # Sidecar: survives any stdout interleaving (BENCH_r02 was
+    # unparseable because console noise merged into the final line).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+        "w",
+    ) as fh:
+        fh.write(payload + "\n")
+    # The JSON is the SOLE final stdout line: flush both streams, then
+    # lead with a newline so a partial progress line can't prefix it.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + payload + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
