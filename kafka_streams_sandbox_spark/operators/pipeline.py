@@ -102,7 +102,7 @@ B58_ORACLE = f"""
     df AS (
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
     ),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf, df.df,
                tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
@@ -121,29 +121,39 @@ def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} characteristic terms per document by tf·idf.
 
     Plan: explode tokens -> (doc, term) counts (ONE shuffle, map-side
-    combined) -> per-term document frequency (second shuffle on term,
-    output is vocabulary-sized) -> broadcast the df table back onto
-    the tf table -> WindowGroupLimit top-k per doc. The corpus-sized
-    data shuffles once; the vocabulary (bounded, Zipf-small relative
-    to the corpus) is what broadcasts. At 100 TB cap the vocabulary by
-    min-df pruning before the broadcast.
+    combined) -> ROLLUP(term) document frequency: the per-term df rows
+    AND the global distinct-doc count ride the SAME vocabulary shuffle
+    (the NULL-term rollup row IS n_docs), so there is no separate
+    corpus-count job -> broadcast df + the 1-row n_docs back onto the
+    tf table -> WindowGroupLimit top-k per doc. The corpus-sized data
+    shuffles once; the vocabulary (bounded, Zipf-small relative to the
+    corpus) is what broadcasts. N counts docs with >=1 token (a
+    token-less doc carries no TF-IDF mass anyway). At 100 TB cap the
+    vocabulary by min-df pruning before the broadcast.
     """
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar: one lightweight count job
     tokens = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        (
-            F.col("tf")
-            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
-        ).alias("score"),
+    lvl = tf.rollup("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = lvl.filter(F.col("term").isNotNull())
+    n = lvl.filter(F.col("term").isNull()).select(
+        F.col("df").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
@@ -268,9 +278,11 @@ def b60_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a duplicate cluster, itself otherwise — plus the keep/drop flag a
     training-data writer filters on.
 
-    The cluster labeling is corpus-tiny (only docs in duplicate pairs
-    appear), so the assignment join broadcasts it; the corpus side
-    never shuffles.
+    No forced broadcast: the labeling is only docs-in-duplicate-pairs
+    sized, which on a real web crawl is 30-50% of the corpus — far past
+    broadcast range. AQE picks broadcast when the labeling measures
+    small at runtime and falls back to a shuffle join when it doesn't;
+    a mandatory ``F.broadcast`` here was round 2's one scale flaw.
     """
     from kafka_streams_sandbox_spark.operators.extended import (
         b55_dedup_clusters,
@@ -278,7 +290,7 @@ def b60_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     clusters = b55_dedup_clusters(spark, sf_dir)
-    return docs.join(F.broadcast(clusters), "doc_id", "left").select(
+    return docs.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("canonical_id"),
         (
@@ -1223,10 +1235,13 @@ def b73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retention rate against cohort size.
 
     Scale shape: one shuffle builds per-user first weeks (|users|
-    rows), which BROADCAST back onto the event-week pairs; the
-    distinct + final rollup shuffle |users x weeks| rows, never raw
-    events. Retention is an exact-int ratio — engine-exact as a
-    double.
+    rows). That table is |users|-sized — unbounded, so it is NOT
+    force-broadcast (100x the users would OOM executors); AQE
+    broadcasts it when it measures small and shuffle-joins otherwise.
+    The |weeks|-sized cohort-size dim IS broadcast (weeks are bounded
+    by the time range). The distinct + final rollup shuffle
+    |users x weeks| rows, never raw events. Retention is an exact-int
+    ratio — engine-exact as a double.
     """
     ev = table(spark, sf_dir, "events")
     ue = ev.select(
@@ -1240,7 +1255,7 @@ def b73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")
     )
     activity = (
-        ue.join(F.broadcast(cohort), "user_id")
+        ue.join(cohort, "user_id")
         .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offs"))
         .distinct()
     )

@@ -65,6 +65,19 @@ def uses_row_python_udf(df: DataFrame) -> bool:
     return "BatchEvalPython" in plan_string(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of mandatory broadcast hints in the ANALYZED logical plan.
+
+    A ``F.broadcast()`` hint is an order Catalyst must obey regardless
+    of runtime size — correct for genuinely bounded dims (configs,
+    calendar weeks), a scale-killer on unbounded sides (per-user /
+    per-doc tables OOM the executors at 100x data). Queries joining
+    unbounded sides must leave the strategy to AQE, which this counts.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    return analyzed.count("ResolvedHint (strategy=broadcast)")
+
+
 def read_schema_columns(df: DataFrame, table_hint: str) -> list[str]:
     """Column names in the ReadSchema of the scan whose path contains
     ``table_hint`` — i.e., what actually gets read from parquet."""

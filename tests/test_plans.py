@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from kafka_streams_sandbox_spark.plans.inspect import (
+    broadcast_hint_count,
     count_shuffles,
     has_operator,
     plan_string,
@@ -172,6 +173,20 @@ def test_bigram_lm_windows_fuse(queries, spark, sf_dir):
     plan = plan_string(df)
     assert plan.count(") Window") == 1, plan
     assert len(re.findall(r"^\(\d+\) Sort\b", plan, flags=re.MULTILINE)) == 1, plan
+
+
+def test_no_mandatory_broadcast_of_unbounded_sides(queries, spark, sf_dir):
+    """b60's cluster labeling (docs-in-dup-pairs-sized) and b73's
+    per-user cohort table are UNBOUNDED — a mandatory F.broadcast()
+    would OOM executors at 100x data (round-2 verdict's one scale
+    flaw). b60 must carry zero broadcast hints; b73 exactly one (the
+    bounded |weeks|-sized cohort-size dim), never the per-user table.
+    AQE still broadcasts at runtime when a side measures small — the
+    pin is that nothing *forces* it."""
+    b60 = queries["b60_canonical_assignment"](spark, sf_dir)
+    assert broadcast_hint_count(b60) == 0, plan_string(b60)
+    b73 = queries["b73_retention_cohorts"](spark, sf_dir)
+    assert broadcast_hint_count(b73) == 1, plan_string(b73)
 
 
 def test_curation_funnel_single_corpus_scan_per_stage_chain(queries, spark, sf_dir):
