@@ -97,12 +97,15 @@ def embeddings_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs real driver time, and six registered queries need this exact
     DataFrame.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # The partition target is part of the key: a session that later
+    # changes spark.sql.shuffle.partitions (tests do) must not get a
+    # DataFrame silently widened to the stale first-seen target.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = (spark.sparkContext.applicationId, sf_dir, target)
     cached = _WIDE_EMB_CACHE.get(key)
     if cached is not None:
         return cached
     emb = table(spark, sf_dir, "embeddings")
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
     _WIDE_EMB_CACHE[key] = emb
@@ -122,12 +125,13 @@ def documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the b27 posting stage alone). No-op at real scale, where the scan
     already arrives wide.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # target is part of the key — see embeddings_wide
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = (spark.sparkContext.applicationId, sf_dir, target)
     cached = _WIDE_DOCS_CACHE.get(key)
     if cached is not None:
         return cached
     docs = table(spark, sf_dir, "documents")
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
     _WIDE_DOCS_CACHE[key] = docs

@@ -307,6 +307,18 @@ _PRICE_BANDS = [
     ("lux", 20000.0, 1e12),
 ]
 
+# b46's interval index (band_idx = #{lo bounds <= price} - 1) is only
+# equivalent to the oracle's lo <= p < hi join when the bands tile
+# [0, cap) with no gaps or overlaps — a price inside a gap would
+# silently land in the preceding band instead of matching nothing.
+# Pin that precondition at import so a future band edit can't diverge.
+assert _PRICE_BANDS[0][1] == 0.0, "_PRICE_BANDS must start at 0"
+assert all(
+    _PRICE_BANDS[i][2] == _PRICE_BANDS[i + 1][1]
+    for i in range(len(_PRICE_BANDS) - 1)
+), "_PRICE_BANDS must be contiguous (each hi == next lo)"
+assert all(lo < hi for _, lo, hi in _PRICE_BANDS), "_PRICE_BANDS ordered"
+
 B46_ORACLE = f"""
     WITH bands(band, lo, hi) AS (VALUES
         {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
@@ -697,19 +709,38 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
+    labels, _rounds = min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
+
+
+def min_label_components(
+    pairs: DataFrame, max_rounds: int = _B55_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation to a verified
+    fixpoint over a ``(doc_a < doc_b)`` pair set.
+
+    Returns ``(labels, rounds)`` where labels has ``node, label`` and
+    label = the smallest id reachable from node. The consumer of b55's
+    fingerprint pairs sees diameter <= 2 (every member pairs with every
+    other), but the SAME loop must handle long-chain pair sets (b26/b27
+    candidate output forms paths a-b-c-... through overlapping
+    shingles), where rounds needed = path length in label-hops — so the
+    loop runs to a verified fixpoint and refuses to return an
+    under-converged labeling. tests/test_operators.py exercises the
+    multi-round path on a chain graph.
+    """
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    # min-label propagation to fixpoint. Fingerprint components have
-    # diameter <= 2 (every member pairs with every other), but the loop
-    # must not *silently* stop early when fed long-chain pair sets
-    # (b26/b27 output) — so run to a verified fixpoint and refuse to
-    # return an under-converged labeling.
     converged = False
-    for _ in range(_B55_MAX_ROUNDS):
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         propagated = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -742,12 +773,10 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            f"b55 label propagation did not converge in {_B55_MAX_ROUNDS} "
-            "rounds — graph diameter exceeds the bound; raise _B55_MAX_ROUNDS"
+            f"label propagation did not converge in {max_rounds} "
+            "rounds — graph diameter exceeds the bound; raise max_rounds"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
-    )
+    return labels, rounds
 
 
 # ---------------------------------------------------------------------------

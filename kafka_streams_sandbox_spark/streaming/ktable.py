@@ -36,6 +36,7 @@ _CURRENT pointer (see ParquetKTableStore).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -214,12 +215,36 @@ class ParquetKTableStore:
         ).cast("int")
 
     # -- reads -------------------------------------------------------------
+    @staticmethod
+    def _has_parts(vdir: str) -> bool:
+        for _root, _dirs, files in os.walk(vdir):
+            if any(f.startswith("part-") for f in files):
+                return True
+        return False
+
+    def _read_version(self, vdir: str) -> DataFrame | None:
+        """DataFrame over one version dir. A version with zero part
+        files (a micro-batch tombstoned every remaining key) is a valid
+        EMPTY store, not an error: parquet schema inference would crash
+        on it, so merge_batch leaves a schema marker and this
+        reconstructs the empty frame from it."""
+        if self._has_parts(vdir):
+            return self.spark.read.parquet(vdir)
+        marker = os.path.join(vdir, "_EMPTY_SCHEMA.json")
+        if os.path.exists(marker):
+            from pyspark.sql.types import StructType
+
+            with open(marker) as f:
+                schema = StructType.fromJson(json.loads(f.read()))
+            return self.spark.createDataFrame([], schema)
+        return None
+
     def read(self) -> DataFrame | None:
         version = self.current_version()
         if version is None:
             return None
-        df = self.spark.read.parquet(os.path.join(self.path, version))
-        return df.drop("__bucket")
+        df = self._read_version(os.path.join(self.path, version))
+        return None if df is None else df.drop("__bucket")
 
     # -- merge -------------------------------------------------------------
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -243,10 +268,11 @@ class ParquetKTableStore:
         combined = batch
         if prev_version is not None:
             prev_dir = os.path.join(self.path, prev_version)
-            existing = self.spark.read.parquet(prev_dir)
-            # partition pruning: only the changed buckets are read back
-            touched = existing.filter(F.col("__bucket").isin(changed))
-            combined = touched.unionByName(batch)
+            existing = self._read_version(prev_dir)
+            if existing is not None:
+                # partition pruning: only changed buckets are read back
+                touched = existing.filter(F.col("__bucket").isin(changed))
+                combined = touched.unionByName(batch)
         merged = latest_per_key(
             combined, key=self.key, ts="__batch", tiebreak="__batch"
         )
@@ -260,6 +286,12 @@ class ParquetKTableStore:
 
         if prev_version is not None:
             self._link_unchanged(prev_version, version, changed)
+        if not self._has_parts(vdir):
+            # every key tombstoned: the store is legitimately empty.
+            # Parquet can't represent "zero part files with a schema",
+            # so persist the schema beside the (empty) version.
+            with open(os.path.join(vdir, "_EMPTY_SCHEMA.json"), "w") as f:
+                f.write(survivors.schema.json())
         self._flip_current(version)
         self._cleanup(keep={version, prev_version})
 

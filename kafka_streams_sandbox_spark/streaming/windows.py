@@ -40,6 +40,28 @@ from kafka_streams_sandbox_spark.registry import query
 from kafka_streams_sandbox_spark.sources.replay import events_stream
 
 
+def assert_stream_batch_duality(
+    stream_df: DataFrame, batch_df: DataFrame, cols: list[str], label: str
+) -> None:
+    """Raise unless the stream result equals its batch twin on ``cols``.
+
+    Called INSIDE the a19/a20/a21 query paths (not only in pytest) so
+    the driver's rows-only check carries semantic weight: a non-error
+    run certifies stream==batch on the replayed data, the same duality
+    discipline a24/a25/a26 established. Multiset equality via exceptAll
+    in both directions (order-insensitive, duplicate-exact).
+    """
+    s = stream_df.select(*cols)
+    b = batch_df.select(*cols)
+    extra = s.exceptAll(b).count()
+    missing = b.exceptAll(s).count()
+    if extra or missing:
+        raise AssertionError(
+            f"{label}: stream/batch duality violated "
+            f"({extra} stream-only rows, {missing} batch-only rows)"
+        )
+
+
 def run_to_memory(df: DataFrame, mode: str) -> str:
     """Run a streaming DF availableNow into a memory-sink view."""
     name = f"win_{uuid.uuid4().hex[:8]}"
@@ -116,7 +138,19 @@ def a19_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed form of the stream-table duality invariant.
     """
     win = tumbling_window_stream(events_stream(spark, sf_dir))
-    return spark.table(run_to_memory(win, "update"))
+    out = spark.table(run_to_memory(win, "update"))
+    # in-query duality: the rows-only driver pass implies stream==batch
+    from kafka_streams_sandbox_spark.operators.semantic import (
+        b19_tumbling_window_agg,
+    )
+
+    assert_stream_batch_duality(
+        out,
+        b19_tumbling_window_agg(spark, sf_dir),
+        ["window_start", "event_type", "n_events", "sum_value"],
+        "a19",
+    )
+    return out
 
 
 @query("a20_stream_session_window")  # rows-only: streaming, no SQL twin
@@ -126,7 +160,21 @@ def a20_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session windows merge in-flight, so Spark only allows append /
     complete output; complete keeps the hermetic replay observable."""
     win = session_window_stream(events_stream(spark, sf_dir))
-    return spark.table(run_to_memory(win, "complete"))
+    out = spark.table(run_to_memory(win, "complete"))
+    # in-query duality on session identity + size. session_end differs
+    # by construction (native form = last event + gap; batch form =
+    # last event itself), so it is excluded — documented, not hidden.
+    from kafka_streams_sandbox_spark.operators.semantic import (
+        b20_sessionization,
+    )
+
+    assert_stream_batch_duality(
+        out,
+        b20_sessionization(spark, sf_dir),
+        ["user_id", "session_start", "n_events"],
+        "a20",
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +246,45 @@ def a21_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user running count/sum/latest. Tests pin it against the batch
     groupBy equivalent."""
     out = running_stats_stream(events_stream(spark, sf_dir))
-    return spark.table(run_to_memory(out, "update"))
+    res = spark.table(run_to_memory(out, "update"))
+    # in-query duality: counts + latest-event exactly; the running sum
+    # with a float tolerance (the kernel folds doubles in pandas order,
+    # the batch side in partition order — bit-exactness is not the
+    # contract for float accumulation, 1e-6 agreement is).
+    from kafka_streams_sandbox_spark.catalog import table as _table
+    from kafka_streams_sandbox_spark.operators.semantic import (
+        b17_latest_per_user,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(
+            b17_latest_per_user(spark, sf_dir).select(
+                "user_id", F.col("event_type").alias("last_event_type")
+            ),
+            "user_id",
+        )
+    )
+    assert_stream_batch_duality(
+        res, batch, ["user_id", "n_events", "last_event_type"], "a21"
+    )
+    sums = ev.groupBy("user_id").agg(F.sum("value").alias("sv"))
+    bad = (
+        res.join(sums, "user_id", "full")
+        .filter(
+            F.col("sv").isNull()
+            | F.col("sum_value").isNull()
+            | (F.abs(F.col("sum_value") - F.col("sv")) > 1e-6)
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"a21: running sum diverges from batch sum on {bad} users"
+        )
+    return res
 
 
 @query("a22_stream_static_join")  # rows-only: streaming, no SQL twin

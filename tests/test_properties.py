@@ -197,3 +197,61 @@ def test_scd2_ranges_partition_timeline(spark):
             assert a.eff_to == b.eff_from, (user, a, b)
             assert a.attr != b.attr, (user, a, b)
         assert vs[-1].eff_to is None, user
+
+
+def test_min_label_components_long_chain_multiround(spark):
+    """VERDICT r2 #7: b55's fingerprint components all have diameter
+    <= 2, so the multi-round propagation path never ran in anger. Feed
+    the SAME loop b26/b27-style chain pairs (a-b, b-c, ... linked by
+    overlapping shingles) where the min label must hop the whole path:
+    the loop needs >= 3 rounds and must still converge correctly."""
+    from kafka_streams_sandbox_spark.operators.extended import (
+        min_label_components,
+    )
+
+    chain = [(i, i + 1) for i in range(6)]          # path 0-1-...-6
+    other = [(100, 101), (101, 102)]                # second component
+    pairs = spark.createDataFrame(
+        chain + other, "doc_a long, doc_b long"
+    )
+    labels, rounds = min_label_components(pairs)
+    got = {r.node: r.label for r in labels.collect()}
+    expected = {i: 0 for i in range(7)}
+    expected.update({100: 100, 101: 100, 102: 100})
+    assert got == expected
+    # a 6-edge path needs 6 label hops + 1 fixpoint-verify round
+    assert rounds >= 3
+
+
+def test_min_label_components_matches_union_find(spark):
+    """Cross-check the distributed loop against a driver-side
+    union-find on a fixed mixed graph (stars + chains + singleton
+    pairs)."""
+    from kafka_streams_sandbox_spark.operators.extended import (
+        min_label_components,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (1, 4),          # star
+        (10, 11), (11, 12), (12, 13),    # chain
+        (20, 21),                        # pair
+        (13, 20),                        # chain joined to pair
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    labels, _ = min_label_components(
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+    )
+    assert {r.node: r.label for r in labels.collect()} == expected

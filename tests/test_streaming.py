@@ -416,6 +416,28 @@ def test_store_null_is_delete_is_explicit_tombstone(spark, tmp_path):
     assert {r.k for r in store.read().collect()} == {"a"}
 
 
+def test_store_survives_tombstone_all_and_all_delete_first_batch(
+    spark, tmp_path
+):
+    """ADVICE fix: a micro-batch that tombstones EVERY remaining key
+    (or a first batch of only deletes) leaves a version with zero
+    parquet part files; read() must yield an empty store and the next
+    merge must revive it — not crash on schema inference."""
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="k")
+    # first batch is all deletes -> empty version v0
+    store.merge_batch(_store_batch(spark, [("x", 1, True)]), 0)
+    assert store.read().count() == 0
+    # revive
+    store.merge_batch(_store_batch(spark, [("a", 1, False), ("b", 2, False)]), 1)
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 1, "b": 2}
+    # tombstone everything -> empty again
+    store.merge_batch(_store_batch(spark, [("a", 3, True), ("b", 4, True)]), 2)
+    assert store.read().count() == 0
+    # and revive again through the empty-version merge path
+    store.merge_batch(_store_batch(spark, [("c", 5, False)]), 3)
+    assert {r.k: r.v for r in store.read().collect()} == {"c": 5}
+
+
 def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     """A24 streaming dropDuplicatesWithinWatermark == batch distinct on
     the same content key (stream-batch duality for exact dedup)."""
