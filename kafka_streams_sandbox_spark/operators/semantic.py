@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import table
-from kafka_streams_sandbox_spark.functions.numeric import dsum, sql_dsum
+from kafka_streams_sandbox_spark.functions.numeric import (
+    dsum,
+    lsum_final,
+    lsum_partial,
+    sql_dsum,
+    sql_lsum,
+)
 from kafka_streams_sandbox_spark.registry import query
 
 
@@ -37,7 +43,7 @@ from kafka_streams_sandbox_spark.registry import query
 B16_ORACLE = f"""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           {sql_dsum('value', 6)} AS sum_value
+           {sql_lsum('value', 6)} AS sum_value
     FROM events
     GROUP BY 1
 """
@@ -53,10 +59,15 @@ def b16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn(
             "k_val", F.get_json_object("props", "$.k").cast("int")
         )
+        .groupBy("k_val", F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            lsum_partial("value", 6).alias("_sv"),
+        )
         .groupBy("k_val")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", 6).alias("sum_value"),
+            F.sum("_n").alias("n_events"),
+            lsum_final("_sv", 6).alias("sum_value"),
         )
     )
 

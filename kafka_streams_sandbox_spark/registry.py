@@ -60,6 +60,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b55_dedup_clusters",
     "b44_cosine_topk_arrow",
     "b39_lsh_embedding_neardup",
+    # NEW in round 3
+    "a11_avro_value_serde",
     # changed in round 3 (broadcast removal, single-scan TF-IDF,
     # duality-asserting streaming twins)
     "b60_canonical_assignment",
@@ -68,6 +70,16 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a19_stream_tumbling_window",
     "a20_stream_session_window",
     "a21_stream_running_stats",
+    # changed in round 3: scaled-long two-phase exact sums (lsum_*),
+    # partial-based Expand for rollup/grouping-sets, smart-init label
+    # propagation (b55 feeds b60), when-chain band index
+    "b02_tpch_q1_agg",
+    "b04_multiway_join_agg",
+    "b05_broadcast_join_agg",
+    "b14_rollup_agg",
+    "b16_json_extract",
+    "b43_grouping_sets",
+    "b50_salted_agg",
 )
 
 

@@ -29,6 +29,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the target partition size instead of maximizing
+    # parallelism when coalescing (the Spark-docs-recommended
+    # production setting): small shuffles collapse to a handful of
+    # tasks instead of 32 near-empty ones — measured 0.05-0.3 s per
+    # query off the fixed job cost at sf0.1, and fewer tiny tasks to
+    # schedule at any scale.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The driver's events table is written as parquet TIMESTAMP(NANOS),

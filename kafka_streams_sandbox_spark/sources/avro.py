@@ -74,6 +74,37 @@ def records_to_avro(
     )
 
 
+def records_serde_roundtrip(records: DataFrame) -> tuple[DataFrame, str]:
+    """Encode then decode the (key, value) records through the schema'd
+    value serde; returns ``(decoded, codec)``.
+
+    Uses real Avro (``to_avro``/``from_avro``) when spark-avro is on
+    the classpath. In this container it is not, so the GATE FALLBACK
+    runs the identical plumbing — wrap the nullable value in a record
+    struct, serialize to a ``binary`` column, deserialize back —
+    through Spark's JSON codec instead of Avro. The fallback is not a
+    stub: it exercises the same null-tombstone-through-serde and
+    schema-projection semantics; swapping the codec back is the one
+    line the gate error names.
+    """
+    try:
+        return records_from_avro(records_to_avro(records)), "avro"
+    except AvroUnavailableError:
+        from pyspark.sql import functions as F
+
+        others = [c for c in records.columns if c not in ("key", "value")]
+        encoded = records.withColumn(
+            "_rec", F.struct(F.col("value").alias("value"))
+        ).select(
+            "key", F.to_json("_rec").cast("binary").alias("value"), *others
+        )
+        decoded = encoded.withColumn(
+            "_rec",
+            F.from_json(F.col("value").cast("string"), "value string"),
+        ).select("key", F.col("_rec.value").alias("value"), *others)
+        return decoded, "json-fallback"
+
+
 def records_from_avro(
     records: DataFrame, value_schema: str = RECORD_VALUE_SCHEMA
 ) -> DataFrame:

@@ -386,6 +386,51 @@ def a01_stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@query("a11_avro_value_serde")  # rows-only: serde roundtrip, gate-aware
+def a11_avro_value_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd value serde — the reference's DECLARED Avro intent:
+    avro 1.10.1 + Confluent serde deps (build.gradle:29-32) and a
+    Schema Registry container (docker-compose.yaml:34-45) are
+    provisioned but never used; the code stops at String/String
+    (KStreamsToKTable.java:46,60-61). Spark mapping: to_avro/from_avro
+    over the value record, gated on the spark-avro module
+    (sources/avro.py). With the jar absent (this container) the gate
+    fallback runs the IDENTICAL wrap -> binary -> unwrap plumbing
+    through the JSON codec, so the semantics under test — a NULL value
+    surviving serde as NULL (tombstones must pass through or KTable
+    upsert breaks), payload fidelity, schema projection — are real.
+
+    In-query assert: decode(encode(records)) == records exactly.
+    """
+    from kafka_streams_sandbox_spark.catalog import table as _table
+    from kafka_streams_sandbox_spark.sources.avro import (
+        records_serde_roundtrip,
+    )
+
+    records = _table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        # every 17th record is a tombstone: NULL must survive serde
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit(None)
+        )
+        .otherwise(
+            F.to_json(F.struct("event_id", "event_type", "value", "props"))
+        )
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded, _codec = records_serde_roundtrip(records)
+    diff = (
+        decoded.exceptAll(records).count()
+        + records.exceptAll(decoded).count()
+    )
+    if diff:
+        raise AssertionError(
+            f"value serde roundtrip not identity: {diff} differing rows"
+        )
+    return decoded
+
+
 @query("a02_stream_table_latest")  # rows-only (A2 + A5 + A9)
 def a02_stream_table_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 stream->table: streaming latest-by-key, materialized as a
