@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "b74_robust_anomalies",
     "b76_fuzzy_match",
     "b77_value_quartiles",
+    "b78_keep_best_in_cluster",
+    "b79_stopword_prune",
+    "b80_context_length_cdf",
+    "b81_lang_centroid_outliers",
 ]
 
 

@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     # verdict yet, so they must register ahead of the families the
     # round-1 run already hash-verified.
     "kafka_streams_sandbox_spark.operators.pipeline",
+    "kafka_streams_sandbox_spark.operators.curation",
     "kafka_streams_sandbox_spark.operators.relational",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.text",
@@ -62,6 +63,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b39_lsh_embedding_neardup",
     # NEW in round 3
     "a11_avro_value_serde",
+    "b78_keep_best_in_cluster",
+    "b79_stopword_prune",
+    "b80_context_length_cdf",
+    "b81_lang_centroid_outliers",
     # changed in round 3 (broadcast removal, single-scan TF-IDF,
     # duality-asserting streaming twins)
     "b60_canonical_assignment",

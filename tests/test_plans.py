@@ -195,3 +195,47 @@ def test_curation_funnel_single_corpus_scan_per_stage_chain(queries, spark, sf_d
     df = queries["b71_corpus_curation"](spark, sf_dir)
     assert not uses_row_python_udf(df), plan_string(df)
     assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
+
+
+def test_keep_best_in_cluster_no_forced_broadcast(queries, spark, sf_dir):
+    """b78's cluster labeling and keeper map are docs-in-dup-pairs
+    sized (unbounded, like b60) — nothing may force a broadcast; the
+    keeper pick must fuse to WindowGroupLimit (one row per cluster
+    crosses the rank filter)."""
+    df = queries["b78_keep_best_in_cluster"](spark, sf_dir)
+    assert broadcast_hint_count(df) == 0, plan_string(df)
+    assert has_operator(df, "WindowGroupLimit"), plan_string(df)
+
+
+def test_stopword_prune_broadcasts_bounded_set(queries, spark, sf_dir):
+    """b79's stopword set is bounded by construction (df > N/2 members
+    number < 2 x avg doc tokens regardless of corpus rows) — the
+    per-doc side must get it via BroadcastHashJoin, never a corpus
+    shuffle against the df table; zero Python anywhere."""
+    df = queries["b79_stopword_prune"](spark, sf_dir)
+    plan = plan_string(df)
+    assert has_operator(df, "BroadcastHashJoin"), plan
+    assert not uses_row_python_udf(df), plan
+
+
+def test_context_length_cdf_one_corpus_shuffle(queries, spark, sf_dir):
+    """b80: the corpus crosses exactly one Exchange (the bin agg,
+    map-side compressed); the CDF windows run over the bin table whose
+    size is bounded by max-doc-length/bin-width, so the single-
+    partition window stage is constant work at any corpus size."""
+    df = queries["b80_context_length_cdf"](spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "SinglePartition" in plan, plan  # windows run on the bin table
+
+
+def test_lang_centroid_outliers_shape(queries, spark, sf_dir):
+    """b81: centroids (|langs| rows) broadcast to the scoring pass;
+    the per-language top-K rank fuses to WindowGroupLimit; no
+    nested-loop join anywhere (scoring is one corpus pass, not
+    pairwise)."""
+    df = queries["b81_lang_centroid_outliers"](spark, sf_dir)
+    plan = plan_string(df)
+    assert has_operator(df, "BroadcastHashJoin"), plan
+    assert has_operator(df, "WindowGroupLimit"), plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
