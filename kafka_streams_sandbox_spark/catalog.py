@@ -48,6 +48,30 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to microsecond ``timestamp_ntz``.
+
+    The driver has shipped events.ts as both parquet TIMESTAMP(NANOS)
+    (arrives as raw int64 epoch-ns under the nanosAsLong conf,
+    session.py) and TIMESTAMP(MICROS) (arrives as a timestamp already).
+    Dispatch on the observed type so either vintage of testdata reads
+    identically: nanos are truncated to micros exactly as DuckDB/Arrow
+    do, and the result is timestamp_ntz to match DuckDB's naive
+    timestamps. DIV is integer division (epoch-ns is always positive
+    here).
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn(
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame."""
     if name not in TABLES:
@@ -59,19 +83,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a
-        # raw int64 (nanosAsLong conf, session.py); truncate to
-        # microseconds exactly as DuckDB/Arrow do so both engines see
-        # identical values. DIV is integer division (ts is epoch-ns,
-        # always positive here).
-        # timestamp_ntz to match the other tables (parquet ms columns
-        # infer as NTZ) and DuckDB's naive timestamps.
-        df = df.withColumn(
-            "ts",
-            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
-                "timestamp_ntz"
-            ),
-        )
+        df = normalize_event_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

@@ -24,20 +24,29 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from kafka_streams_sandbox_spark.catalog import normalize_event_ts
 from kafka_streams_sandbox_spark.session import configure
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> int64
-# under the nanosAsLong conf; see catalog.table).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet physical schema, ts excepted: the driver has shipped
+# ts as both TIMESTAMP(NANOS) (reads as int64 under the nanosAsLong
+# conf) and TIMESTAMP(MICROS) (reads as a timestamp). The stream
+# source needs an explicit schema, so probe ts's read type once per
+# file via a batch schema sniff (_events_raw_schema) instead of
+# hard-coding either vintage.
+_EVENTS_FIXED_FIELDS = [
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+]
+
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Schema the parquet stream reader will produce for events."""
+    ts_field = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"]
+    fields = [_EVENTS_FIXED_FIELDS[0], ts_field] + _EVENTS_FIXED_FIELDS[1:]
+    return StructType(fields)
 
 
 # One staging dir per (sf_dir, table) for the process lifetime —
@@ -91,16 +100,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single parquet file (testdata is read-only).
     stage = _staged_events_dir(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .format("parquet")
         .load(stage)
     )
-    return raw.withColumn(
-        "ts",
-        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
-            "timestamp_ntz"
-        ),
-    )
+    return normalize_event_ts(raw)
 
 
 def events_as_kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kafka_streams_sandbox_spark.catalog import normalize_event_ts
 from kafka_streams_sandbox_spark.registry import all_queries
 from kafka_streams_sandbox_spark.streaming.ktable import ParquetKTableStore
 
@@ -133,12 +134,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     """A23 watermarked interval join == the same join in batch."""
     qs = all_queries()
     streamed = qs["a23_stream_stream_join"](spark, sf_dir)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts",
-        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
-            "timestamp_ntz"
-        ),
-    )
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     p = raw.filter(F.col("event_type") == "purchase").selectExpr(
         "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
     )
@@ -168,7 +164,8 @@ def test_multi_batch_store_merge_equals_batch(spark, sf_dir, tmp_path):
         ParquetKTableStore,
         latest_by_key_stream,
     )
-    from kafka_streams_sandbox_spark.sources.replay import EVENTS_RAW_SCHEMA
+    from kafka_streams_sandbox_spark.catalog import normalize_event_ts
+    from kafka_streams_sandbox_spark.sources.replay import _events_raw_schema
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = str(tmp_path / "src")
@@ -177,17 +174,11 @@ def test_multi_batch_store_merge_equals_batch(spark, sf_dir, tmp_path):
     ev.withColumn("part", F.col("event_id") % 4).write.partitionBy(
         "part"
     ).parquet(src)
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    stream = normalize_event_ts(
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(src + "/part=*")
-        .withColumn(
-            "ts",
-            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
-                "timestamp_ntz"
-            ),
-        )
     )
     tbl = latest_by_key_stream(stream).withColumn("is_delete", F.lit(False))
     store = ParquetKTableStore(spark, str(tmp_path / "store"), key="user_id")
@@ -201,13 +192,7 @@ def test_multi_batch_store_merge_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = store.read().drop("__batch")
     expected = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn(
-            "ts",
-            F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").cast(
-                "timestamp_ntz"
-            ),
-        )
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     )
     from kafka_streams_sandbox_spark.operators.semantic import latest_per_key
 
