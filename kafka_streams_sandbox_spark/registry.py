@@ -36,6 +36,8 @@ _OPERATOR_MODULES = (
     # round-1 run already hash-verified.
     "kafka_streams_sandbox_spark.operators.pipeline",
     "kafka_streams_sandbox_spark.operators.curation",
+    "kafka_streams_sandbox_spark.operators.packing",
+    "kafka_streams_sandbox_spark.operators.privacy",
     "kafka_streams_sandbox_spark.operators.relational",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.text",
@@ -63,6 +65,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b39_lsh_embedding_neardup",
     # NEW in round 3
     "a11_avro_value_serde",
+    "b82_context_packing",
+    "b83_pii_mask",
     "b78_keep_best_in_cluster",
     "b79_stopword_prune",
     "b80_context_length_cdf",

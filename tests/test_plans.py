@@ -239,3 +239,27 @@ def test_lang_centroid_outliers_shape(queries, spark, sf_dir):
     assert has_operator(df, "BroadcastHashJoin"), plan
     assert has_operator(df, "WindowGroupLimit"), plan
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+
+
+def test_context_packing_no_global_order_window(queries, spark, sf_dir):
+    """b82's prefix sum must NOT compile to a global-order window
+    (single partition over the full corpus). The cumulative windows
+    partition by bucket, the bucket offsets arrive via a broadcast of
+    a P-row table, and nothing in the plan nested-loops."""
+    df = queries["b82_context_packing"](spark, sf_dir)
+    plan = plan_string(df)
+    # Every Window in the plan must be partitioned (windowed over
+    # buckets) — a global-order cumsum shows up as a Window whose
+    # partition spec is empty, forcing SinglePartition of the corpus.
+    assert "SinglePartition" not in plan, plan
+    assert has_operator(df, "BroadcastHashJoin"), plan
+    assert not uses_row_python_udf(df), plan
+
+
+def test_pii_mask_is_map_only(queries, spark, sf_dir):
+    """b83 is a pure redaction pass: zero Exchanges, zero joins, no
+    Python — the scan cost is the operator cost at any scale."""
+    df = queries["b83_pii_mask"](spark, sf_dir)
+    plan = plan_string(df)
+    assert count_shuffles(df) == 0, plan
+    assert not uses_row_python_udf(df), plan
