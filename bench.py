@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "b79_stopword_prune",
     "b80_context_length_cdf",
     "b81_lang_centroid_outliers",
+    "b82_context_packing",
+    "b83_pii_mask",
 ]
 
 

@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.streaming.ktable",
     "kafka_streams_sandbox_spark.streaming.windows",
     "kafka_streams_sandbox_spark.streaming.app",
+    "kafka_streams_sandbox_spark.streaming.ddl",
     # pipeline next: b64-b71 are round-2 additions with no driver
     # verdict yet, so they must register ahead of the families the
     # round-1 run already hash-verified.
@@ -67,6 +68,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a11_avro_value_serde",
     "b82_context_packing",
     "b83_pii_mask",
+    "a10_topic_ddl",
+    "a27_stream_sliding_window",
     "b78_keep_best_in_cluster",
     "b79_stopword_prune",
     "b80_context_length_cdf",

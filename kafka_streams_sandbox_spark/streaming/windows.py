@@ -443,3 +443,53 @@ def a26_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
     )
     return spark.table(run_to_memory(stream, "append"))
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked hopping-window aggregation (B51's streaming twin).
+    Same Expand-based row replication as batch — amplification is
+    size/slide — but here the watermark also evicts each of the
+    overlapping windows independently once it closes."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("a27_stream_sliding_window")  # rows-only: streaming, no SQL twin
+def a27_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (size 10 min / slide 5 min) over the replayed
+    events stream — B51's streaming twin, update mode.
+
+    In-query duality assert: a non-error rows-only run certifies
+    stream == batch B51 on the replayed data (the a19/a20/a21
+    discipline)."""
+    win = sliding_window_stream(events_stream(spark, sf_dir))
+    out = spark.table(run_to_memory(win, "update"))
+    from kafka_streams_sandbox_spark.operators.extended import (
+        b51_sliding_window_agg,
+    )
+
+    assert_stream_batch_duality(
+        out,
+        b51_sliding_window_agg(spark, sf_dir),
+        ["window_start", "event_type", "n_events", "sum_value"],
+        "a27",
+    )
+    return out

@@ -476,3 +476,12 @@ def test_stream_incremental_dedup_duality(spark):
     batch = b68_incremental_dedup(spark, sf).collect()
     unique_fps = {r.fingerprint for r in batch if r.status == "unique"}
     assert accepted == unique_fps and accepted
+
+
+def test_sliding_window_duality(spark, sf_dir):
+    """A27 streaming hopping windows == B51 batch hopping windows."""
+    qs = all_queries()
+    streamed = qs["a27_stream_sliding_window"](spark, sf_dir)
+    batch = qs["b51_sliding_window_agg"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
