@@ -384,3 +384,82 @@ def b81_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _OUTLIER_K)
         .select("lang", "doc_id", "cos_sim", F.col("rnk").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B85: corpus-novelty scoring — hapax-bigram ratio per document
+# ---------------------------------------------------------------------------
+B85_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1]))
+                   AS bigram
+        FROM toks WHERE len(toks) >= 2
+    ),
+    freq AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) FILTER (WHERE f.n = 1) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) FILTER (WHERE f.n = 1) AS DOUBLE) / COUNT(*)
+               AS novelty
+    FROM bg b JOIN freq f USING (bigram)
+    GROUP BY b.doc_id
+"""
+
+
+@query("b85_novel_bigram_ratio", oracle=B85_ORACLE)
+def b85_novel_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score: the fraction of a document's bigrams that
+    are corpus-hapax (appear exactly once corpus-wide). High ratio =
+    novel phrasing worth keeping; near-zero = boilerplate / template
+    text — the integer-exact stand-in for LM-perplexity novelty
+    filters (no float logs, so cross-engine hash-exact).
+
+    Scale shape: ONE tokenize pass emits (doc_id, bigram) map-only;
+    corpus frequencies are a bigram-keyed count with map-side partial
+    agg; frequencies join back to the emission on the same bigram key
+    (co-partitioned by the shuffle, no extra exchange of the corpus);
+    the per-doc rollup is the only doc-keyed shuffle. No driver-side
+    state, no broadcast of unbounded vocabulary.
+    """
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+
+    docs = documents_wide(spark, sf_dir)
+    bg = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.when(F.col("n") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(hapax).cast("long").alias("n_hapax"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_hapax").cast("double") / F.col("n_bigrams"),
+        )
+    )

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.curation",
     "kafka_streams_sandbox_spark.operators.packing",
     "kafka_streams_sandbox_spark.operators.privacy",
+    "kafka_streams_sandbox_spark.operators.skew",
     "kafka_streams_sandbox_spark.operators.relational",
     "kafka_streams_sandbox_spark.operators.semantic",
     "kafka_streams_sandbox_spark.operators.text",
@@ -70,6 +71,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b83_pii_mask",
     "a10_topic_ddl",
     "a27_stream_sliding_window",
+    "b84_salted_join",
+    "b85_novel_bigram_ratio",
     "b78_keep_best_in_cluster",
     "b79_stopword_prune",
     "b80_context_length_cdf",

@@ -263,3 +263,26 @@ def test_pii_mask_is_map_only(queries, spark, sf_dir):
     plan = plan_string(df)
     assert count_shuffles(df) == 0, plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_salted_join_is_two_sided_shuffle(queries, spark, sf_dir):
+    """b84 exists to exercise the salted SHUFFLE join: the hint must
+    hold (ShuffledHashJoin, not broadcast — broadcast would hide what
+    salting fixes), and both join keys (user_id, salt) must reach the
+    join so hot keys split across reducers."""
+    df = queries["b84_salted_join"](spark, sf_dir)
+    plan = plan_string(df)
+    assert has_operator(df, "ShuffledHashJoin"), plan
+    assert not has_operator(df, "BroadcastHashJoin"), plan
+    assert "salt" in plan, plan
+
+
+def test_novelty_no_vocab_broadcast(queries, spark, sf_dir):
+    """b85's bigram-frequency side is corpus-sized (unbounded) — the
+    plan must not force a broadcast of it, and nothing may fall back
+    to Python or a nested loop."""
+    df = queries["b85_novel_bigram_ratio"](spark, sf_dir)
+    plan = plan_string(df)
+    assert broadcast_hint_count(df) == 0, plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not uses_row_python_udf(df), plan
