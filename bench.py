@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "b81_lang_centroid_outliers",
     "b82_context_packing",
     "b83_pii_mask",
+    "b84_salted_join",
+    "b85_novel_bigram_ratio",
 ]
 
 

@@ -426,11 +426,12 @@ def b85_novel_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (no float logs, so cross-engine hash-exact).
 
     Scale shape: ONE tokenize pass emits (doc_id, bigram) map-only;
-    corpus frequencies are a bigram-keyed count with map-side partial
-    agg; frequencies join back to the emission on the same bigram key
-    (co-partitioned by the shuffle, no extra exchange of the corpus);
-    the per-doc rollup is the only doc-keyed shuffle. No driver-side
-    state, no broadcast of unbounded vocabulary.
+    corpus frequency arrives as an unordered COUNT window partitioned
+    by bigram — the same bigram-keyed shuffle a count+self-join would
+    pay, but the emission is neither recomputed nor joined (a
+    self-join of generated data re-runs its whole subtree); the
+    per-doc rollup is the only other shuffle. No driver-side state,
+    no broadcast of unbounded vocabulary.
     """
     from kafka_streams_sandbox_spark.catalog import documents_wide
 
@@ -449,14 +450,14 @@ def b85_novel_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    hapax = F.when(F.col("n") == 1, F.lit(1)).otherwise(F.lit(0))
+    n = F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+    hapax = F.when(n == 1, F.lit(1)).otherwise(F.lit(0))
     return (
-        bg.join(freq, "bigram")
+        bg.select("doc_id", hapax.alias("_hx"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(hapax).cast("long").alias("n_hapax"),
+            F.sum("_hx").cast("long").alias("n_hapax"),
         )
         .withColumn(
             "novelty",

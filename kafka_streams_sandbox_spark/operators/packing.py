@@ -17,16 +17,16 @@ which is a non-starter at 100 TB. Instead the prefix sum is computed
 in the classic two-phase distributed form:
 
 1. bucket each doc into a deterministic contiguous doc_id range
-   (``doc_id DIV ceil((max_id+1)/P)`` — no sampling, so every job
-   over the plan sees identical bucket boundaries);
-2. per-bucket token totals — a P-row aggregate collected to the
-   driver (bounded by the bucket count, NOT the data: P ~ thousands
-   on a real cluster) and turned into exclusive bucket offsets;
-3. a per-bucket cumulative window (P-way parallel) plus the broadcast
-   bucket offset reconstructs the exact global prefix sum.
+   (``doc_id DIV span`` — a constant, no sampling, so every stage
+   sees identical bucket boundaries);
+2. per-bucket token totals — an aggregate with one row per bucket —
+   cumsum'd into exclusive bucket offsets by a window over that
+   BOUNDED totals table (work scales with bucket count, not rows);
+3. a per-bucket cumulative window (bucket-parallel) plus the
+   broadcast bucket offset reconstructs the exact global prefix sum.
 
-Every phase is built-in JVM expressions; the only driver-side data is
-the P-row offset table.
+Every phase is built-in JVM expressions in ONE action — no driver
+collect, no sampling, no corpus-sized single-partition stage.
 """
 
 from __future__ import annotations
@@ -66,6 +66,14 @@ B82_ORACLE = f"""
 """
 
 
+# Docs per bucket. A tunable span constant, not a data probe: bucket
+# count = max_doc_id / span, so the bounded offset-cumsum window sees
+# one row per bucket (N/4096 rows — at 1e10 docs that's 2.4M tiny
+# rows through one task, still trivial; retune span ~ N/P for a
+# specific deployment, it changes no semantics).
+BUCKET_SPAN = 4096
+
+
 @query("b82_context_packing", oracle=B82_ORACLE)
 def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document to a fixed token-budget pack and report
@@ -73,39 +81,37 @@ def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-phase distributed prefix sum over doc_id order — see the
     module docstring for why the single-partition global window is
-    rejected. The bucket count tracks the session's shuffle
-    parallelism so the cumulative windows use every core.
+    rejected. Fully declarative single-action form: bucket totals are
+    a per-bucket aggregate; their exclusive running sum (the bucket
+    offsets) is a window over the BUCKET-COUNT-sized totals table
+    (bounded single partition, the b80 discipline — constant work per
+    bucket, not per row); offsets broadcast-join back to the corpus.
+    No driver-side collect anywhere.
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tokens"),
     )
-
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Deterministic contiguous buckets: DIV by a fixed span derived
-    # from max(doc_id). One tiny agg job; at scale this is metadata
-    # (or the table's known id range).
-    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    span = max(1, (int(max_id) + n_buckets) // n_buckets)
-    bucketed = docs.withColumn("bucket", (F.col("doc_id") / span).cast("long"))
-
-    # Phase 1: per-bucket totals -> exclusive offsets. Bounded by the
-    # bucket count (parallelism, not data size).
-    totals = {
-        r["bucket"]: r["tot"]
-        for r in bucketed.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("tot"))
-        .collect()
-    }
-    offsets, running = [], 0
-    for b in sorted(totals):
-        offsets.append((b, running))
-        running += int(totals[b])
-    offsets_df = F.broadcast(
-        spark.createDataFrame(offsets, "bucket long, bucket_offset long")
+    bucketed = docs.withColumn(
+        "bucket", (F.col("doc_id") / BUCKET_SPAN).cast("long")
     )
 
-    # Phase 2: per-bucket cumulative window (P-way parallel) + offset
+    # Phase 1: per-bucket totals -> exclusive offsets via a cumsum
+    # window over the totals table (|buckets| rows, bounded).
+    ow = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets_df = F.broadcast(
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn(
+            "bucket_offset", F.coalesce(F.sum("_tot").over(ow), F.lit(0))
+        )
+        .drop("_tot")
+    )
+
+    # Phase 2: per-bucket cumulative window (bucket-parallel) + offset
     # = exact global exclusive prefix sum.
     w = (
         Window.partitionBy("bucket")

@@ -242,16 +242,18 @@ def test_lang_centroid_outliers_shape(queries, spark, sf_dir):
 
 
 def test_context_packing_no_global_order_window(queries, spark, sf_dir):
-    """b82's prefix sum must NOT compile to a global-order window
-    (single partition over the full corpus). The cumulative windows
-    partition by bucket, the bucket offsets arrive via a broadcast of
-    a P-row table, and nothing in the plan nested-loops."""
+    """b82's prefix sum must NOT run a global-order window over the
+    CORPUS. Exactly one single-partition stage is allowed: the
+    offset cumsum over the per-bucket totals (bounded by bucket
+    count), which must sit above the bucket aggregate — the
+    corpus-side cumsum windows partition by bucket, and the offsets
+    reach the corpus via a broadcast join."""
     df = queries["b82_context_packing"](spark, sf_dir)
     plan = plan_string(df)
-    # Every Window in the plan must be partitioned (windowed over
-    # buckets) — a global-order cumsum shows up as a Window whose
-    # partition spec is empty, forcing SinglePartition of the corpus.
-    assert "SinglePartition" not in plan, plan
+    # the bounded offsets window is the only single-partition stage
+    assert plan.count("SinglePartition") == 1, plan
+    # the corpus-side cumsum is bucket-partitioned, never global
+    assert "windowspecdefinition(bucket#" in plan, plan
     assert has_operator(df, "BroadcastHashJoin"), plan
     assert not uses_row_python_udf(df), plan
 
