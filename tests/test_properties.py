@@ -255,3 +255,46 @@ def test_min_label_components_matches_union_find(spark):
         spark.createDataFrame(edges, "doc_a long, doc_b long")
     )
     assert {r.node: r.label for r in labels.collect()} == expected
+
+
+def test_context_packing_invariants(spark):
+    """b82 contract on real data: packs tile the doc_id order — ranges
+    are disjoint, ordered, and cover every document exactly once; the
+    token totals are preserved; and each pack except the last starts
+    because the budget filled (its predecessor's cumulative prior
+    crossed a budget boundary, so no pack but the last can end more
+    than one document short of the budget)."""
+    from kafka_streams_sandbox_spark.operators.packing import (
+        PACK_BUDGET,
+        b82_context_packing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packs = sorted(
+        b82_context_packing(spark, sf).collect(), key=lambda r: r.pack_id
+    )
+    assert packs
+    # doc ranges tile: ordered, disjoint, contiguous over doc ids
+    for a, b in zip(packs, packs[1:]):
+        assert a.last_doc < b.first_doc
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(p.n_docs for p in packs) == n_docs
+    # token totals preserved
+    total = sum(p.pack_tokens for p in packs)
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+
+    expected = docs.select(
+        F.sum(F.expr(f"size({TOKENS_EXPR})")).alias("t")
+    ).collect()[0]["t"]
+    assert total == expected
+    # budget actually fills: every pack but the last holds >= budget
+    # tokens MINUS the straddle allowance (a doc that started inside
+    # the pack may overflow into the next), i.e. cumulative boundaries
+    # advance at least one budget per pack
+    for p in packs[:-1]:
+        assert p.pack_tokens > 0
+    cum = 0
+    for p in packs[:-1]:
+        cum += p.pack_tokens
+        assert cum >= (p.pack_id + 1) * PACK_BUDGET
