@@ -229,3 +229,113 @@ def b49_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(features, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup (rows-only)
+# ---------------------------------------------------------------------------
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_PHASH_BANDS = 4  # 4 x 16-bit chunks; Hamming<=k collides on >=1 band
+_PHASH_MAX_HAMMING = 6
+
+
+def phash_batch(blob: bytes) -> int:
+    """dHash over the deterministic fake decode: average-pool the byte
+    stream into an 8x9 grayscale grid, then emit one bit per adjacent
+    horizontal cell comparison (64 bits). A real deployment decodes
+    with PIL and resizes to 9x8 — the pooling/bit-packing below is
+    byte-for-byte the same after that point."""
+    import numpy as np
+
+    buf = np.frombuffer(bytes(blob), dtype=np.uint8)
+    if buf.size < 72:  # tiny payload: tile up to one cell per byte
+        buf = np.resize(buf if buf.size else np.zeros(1, np.uint8), 72)
+    cells = np.array([c.mean() for c in np.array_split(buf, 72)])
+    grid = cells.reshape(8, 9)
+    bits = (grid[:, :8] > grid[:, 1:]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # wrap to signed 64-bit (Spark LongType)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@query("b86_phash_neardup")  # rows-only: stubbed codec feeds the hash
+def b86_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash: the multimodal sibling of
+    b28 (SimHash/text) and b39_lsh (embeddings). Arrow-batched
+    mapInPandas computes one 64-bit dHash per payload; everything
+    after is JVM-side: the hash splits into 4 16-bit bands, candidate
+    pairs collide on >=1 band (pigeonhole: Hamming<=3 cannot flip a
+    bit in all 4 bands, so recall is GUARANTEED there; pairs at
+    Hamming 4-6 are best-effort — caught unless their differing bits
+    spread across every band — the standard banding recall trade,
+    same as b28's text SimHash), and the verify step is
+    bit_count(xor) <= 6 — never an all-pairs comparison.
+
+    Scale: candidates are bounded by band-bucket sizes (hash bits are
+    balanced by construction), the verify join is band-bucket-local,
+    and the blob column never crosses a shuffle — only (doc_id, 64-bit
+    hash) rows do.
+    """
+    docs = with_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": [phash_batch(b) for b in pdf["blob"]],
+                }
+            )
+
+    sigs = docs.mapInPandas(hashes, PHASH_SCHEMA)
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "phash", "bc.band", "bc.chunk")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "chunk",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "chunk",
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a pair may collide on several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")

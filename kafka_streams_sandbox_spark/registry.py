@@ -73,6 +73,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a27_stream_sliding_window",
     "b84_salted_join",
     "b85_novel_bigram_ratio",
+    "b86_phash_neardup",
     "b78_keep_best_in_cluster",
     "b79_stopword_prune",
     "b80_context_length_cdf",

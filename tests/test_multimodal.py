@@ -99,3 +99,38 @@ def test_b49_audio_features_deterministic(spark, sf_dir):
         assert 0 <= r.peak <= 128
     rows2 = {r.doc_id: r for r in b49_audio_features(spark, sf_dir).collect()}
     assert rows == rows2
+
+
+def test_phash_neardup_contract(spark, sf_dir):
+    """b86: exact-duplicate payloads must pair at Hamming 0; every
+    returned pair respects the threshold, is canonical (a<b), and
+    appears once; the hash itself is deterministic."""
+    from kafka_streams_sandbox_spark.operators.multimodal import (
+        _PHASH_MAX_HAMMING,
+        b86_phash_neardup,
+        phash_batch,
+    )
+    from kafka_streams_sandbox_spark.registry import all_queries
+
+    assert phash_batch(b"some payload bytes" * 8) == phash_batch(
+        b"some payload bytes" * 8
+    )
+    pairs = b86_phash_neardup(spark, sf_dir).collect()
+    assert pairs, "corpus has exact dups; phash must find them"
+    seen = set()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= _PHASH_MAX_HAMMING
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+    # exact text dups share blobs -> must appear with hamming 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.slice(F.sort_array("ids"), 1, 2).alias("ab"))
+        .first()
+    )
+    if dup:
+        a, b = dup.ab
+        assert (a, b) in seen, f"exact dup pair ({a},{b}) missing"

@@ -288,3 +288,14 @@ def test_novelty_no_vocab_broadcast(queries, spark, sf_dir):
     assert broadcast_hint_count(df) == 0, plan
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_phash_neardup_banded_not_allpairs(queries, spark, sf_dir):
+    """b86's candidate generation must be the banded equi-join — no
+    nested-loop/cartesian pairing — and only Arrow-batched Python
+    (the hash kernel), never row-at-a-time."""
+    df = queries["b86_phash_neardup"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not has_operator(df, "CartesianProduct"), plan
+    assert not uses_row_python_udf(df), plan
