@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "b83_pii_mask",
     "b84_salted_join",
     "b85_novel_bigram_ratio",
+    "b86_phash_neardup",
 ]
 
 

@@ -101,8 +101,9 @@ def test_b49_audio_features_deterministic(spark, sf_dir):
     assert rows == rows2
 
 
-def test_phash_neardup_contract(spark, sf_dir):
-    """b86: exact-duplicate payloads must pair at Hamming 0; every
+def test_phash_neardup_contract(spark):
+    """b86 at sf0.1 (the only SF whose corpus contains exact-duplicate
+    texts): exact-duplicate payloads must pair at Hamming 0; every
     returned pair respects the threshold, is canonical (a<b), and
     appears once; the hash itself is deterministic."""
     from kafka_streams_sandbox_spark.operators.multimodal import (
@@ -110,27 +111,54 @@ def test_phash_neardup_contract(spark, sf_dir):
         b86_phash_neardup,
         phash_batch,
     )
-    from kafka_streams_sandbox_spark.registry import all_queries
 
     assert phash_batch(b"some payload bytes" * 8) == phash_batch(
         b"some payload bytes" * 8
     )
-    pairs = b86_phash_neardup(spark, sf_dir).collect()
-    assert pairs, "corpus has exact dups; phash must find them"
+    sf = "/root/testdata/sf0.1"
+    pairs = b86_phash_neardup(spark, sf).collect()
+    assert pairs, "sf0.1 corpus has exact dups; phash must find them"
     seen = set()
     for r in pairs:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= _PHASH_MAX_HAMMING
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
-    # exact text dups share blobs -> must appear with hamming 0
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    dup = (
+    # every exact text dup shares a blob -> must appear with hamming 0
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dups = (
         docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.slice(F.sort_array("ids"), 1, 2).alias("ab"))
-        .first()
+        .collect()
     )
-    if dup:
-        a, b = dup.ab
+    assert dups, "fixture expectation: sf0.1 contains exact dup texts"
+    for row in dups:
+        a, b = row.ab
         assert (a, b) in seen, f"exact dup pair ({a},{b}) missing"
+
+
+def test_phash_batch_kernel_matches_reference(spark, sf_dir):
+    """The batch-vectorized hash kernel must equal the documented
+    single-payload reference (phash_batch) bit-for-bit."""
+    import pandas as pd
+
+    from kafka_streams_sandbox_spark.catalog import table
+    from kafka_streams_sandbox_spark.operators.multimodal import (
+        phash_batch,
+        phash_hashes,
+        with_blob,
+    )
+
+    docs = with_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    rows = docs.limit(40).collect()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r.doc_id for r in rows],
+            "blob": [bytes(r.blob) for r in rows],
+        }
+    )
+    (out,) = list(phash_hashes(iter([pdf])))
+    got = dict(zip(out["doc_id"], out["phash"]))
+    for r in rows:
+        assert int(got[r.doc_id]) == phash_batch(bytes(r.blob)), r.doc_id
