@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Driver-contract emulation: run entry() + every registered query at
+sf0.01 side-by-side with its DuckDB oracle (the same comparison the
+round driver records in CORRECTNESS_r{N}.json).
+
+Usage: python scripts/verify_contract.py [sf_dir]
+Exit code = number of failing oracle comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as contract
+    from pyspark.sql import SparkSession
+
+    from kafka_streams_sandbox_spark.oracle import compare_query
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    print("entry rows:", len(contract.entry(spark).collect()), flush=True)
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    fails = 0
+    for name in sorted(qs):
+        if name in oracles:
+            r = compare_query(spark, sf_dir, name)
+            fails += 0 if r.ok else 1
+            print(
+                name,
+                "OK" if r.ok else f"FAIL {r.detail} {r.mismatches[:1]}",
+                flush=True,
+            )
+        else:
+            n = qs[name](spark, sf_dir).count()
+            print(name, "rows-only:", n, flush=True)
+    print("FAILS:", fails, flush=True)
+    return fails
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
