@@ -32,9 +32,9 @@ B83_ORACLE = f"""
     SELECT c_custkey,
            concat(
                regexp_replace(
-                   substring(c_name, 1, length(c_name) - 4),
+                   substring(c_name, 1, greatest(length(c_name) - 4, 0)),
                    '[0-9]', '*', 'g'),
-               substring(c_name, length(c_name) - 3, 4)
+               substring(c_name, greatest(length(c_name) - 3, 1), 4)
            ) AS masked_name,
            CAST(len(regexp_extract_all(c_name, '{_DIGIT_RUN}'))
                 AS INT) AS n_digit_runs,
@@ -55,13 +55,21 @@ def b83_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer")
     name_len = F.length("c_name")
+    # greatest() guards keep a value shorter than 5 chars fully in the
+    # visible tail (mask nothing) instead of feeding the engines
+    # negative substring bounds, where their behaviors diverge
+    # (DuckDB errors, Spark returns '').
     masked = F.concat(
         F.regexp_replace(
-            F.substring(F.col("c_name"), F.lit(1), name_len - 4),
+            F.substring(
+                F.col("c_name"), F.lit(1), F.greatest(name_len - 4, F.lit(0))
+            ),
             "[0-9]",
             "*",
         ),
-        F.substring(F.col("c_name"), name_len - 3, F.lit(4)),
+        F.substring(
+            F.col("c_name"), F.greatest(name_len - 3, F.lit(1)), F.lit(4)
+        ),
     )
     return cust.select(
         "c_custkey",
