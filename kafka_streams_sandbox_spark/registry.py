@@ -56,46 +56,74 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # changed in round 2, driver rows stale (VERDICT r2 "Next round" #1)
-    "b13_set_operations",
-    "b14_rollup_agg",
-    "b45_sketch_aggregates",
-    "b46_range_join_bands",
-    "b52_unpivot_measures",
-    "b55_dedup_clusters",
-    "b44_cosine_topk_arrow",
-    "b39_lsh_embedding_neardup",
-    # NEW in round 3
-    "a11_avro_value_serde",
-    "b82_context_packing",
-    "b83_pii_mask",
-    "a10_topic_ddl",
-    "a27_stream_sliding_window",
-    "b84_salted_join",
-    "b85_novel_bigram_ratio",
-    "b86_phash_neardup",
-    "b78_keep_best_in_cluster",
-    "b79_stopword_prune",
-    "b80_context_length_cdf",
-    "b81_lang_centroid_outliers",
-    # changed in round 3 (broadcast removal, single-scan TF-IDF,
-    # duality-asserting streaming twins)
-    "b60_canonical_assignment",
-    "b73_retention_cohorts",
-    "b58_tfidf_top_terms",
-    "a19_stream_tumbling_window",
-    "a20_stream_session_window",
-    "a21_stream_running_stats",
-    # changed in round 3: scaled-long two-phase exact sums (lsum_*),
-    # partial-based Expand for rollup/grouping-sets, smart-init label
-    # propagation (b55 feeds b60), when-chain band index
-    "b02_tpch_q1_agg",
-    "b04_multiway_join_agg",
-    "b05_broadcast_join_agg",
-    "b14_rollup_agg",
-    "b16_json_extract",
-    "b43_grouping_sets",
-    "b50_salted_agg",
+    # --- changed in round 4 (code touched this round; rows must refresh) ---
+    "b44_cosine_topk_arrow",       # driver-side query collect removed
+    "b82_context_packing",         # bucket id now integer DIV (ADVICE r3)
+    "b86_phash_neardup",           # kernel empty-batch guard (ADVICE r3)
+    "a10_topic_ddl",               # cached process-lifetime admin root
+    "a22_stream_static_join",      # in-query duality assert added
+    "a23_stream_stream_join",      # in-query duality assert added
+    # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
+    # All 33 r3-touched queries landed green r3 rows, so this round's
+    # window goes to the 50 queries whose latest row is r1/r2 — recorded
+    # BEFORE the events.ts nanos→micros testdata drift (27d4fe7).
+    # r1 rows first; event-readers lead because their rows predate the
+    # drift on the very table they read.
+    "b17_latest_per_user",
+    "b18_table_filter_key_eq_value",
+    "b19_tumbling_window_agg",
+    "b20_sessionization",
+    "b41_pivot_event_counts",
+    "b51_sliding_window_agg",
+    "b40_asof_join",
+    "b54_merge_upsert",
+    "b56_exact_percentiles",
+    # r1 rows, documents/embeddings readers
+    "b23_text_stats",
+    "b29_language_id",
+    "b30_quality_score",
+    "b31_token_count",
+    "b32_fingerprint",
+    "b53_rolling_hash",
+    "b21_exact_dedup",
+    "b24_dedup_across_sources",
+    "b26_ngram_jaccard_pairs",
+    "b27_minhash_lsh_dedup",
+    "b28_simhash_dedup",
+    "b39_embedding_neardup",
+    "b33_cosine_topk",
+    "b34_ann_ivf_label",
+    "b35_ann_random_projection",
+    "b48_hybrid_search",
+    # r1 rows, TPC-H readers
+    "b15_scalar_functions",
+    "b42_above_avg_customers",
+    # r2 rows, events/documents/embeddings readers
+    "b72_key_skew_report",
+    "b74_robust_anomalies",
+    "b77_value_quartiles",
+    "b63_intradoc_repetition",
+    "b64_stratified_sample",
+    "b65_embedding_quantize",
+    "b67_mixture_sample",
+    "b68_incremental_dedup",
+    "b69_quality_gate",
+    "b70_bigram_lm",
+    "b71_corpus_curation",
+    "b75_table_profile",
+    "b76_fuzzy_match",
+    "b66_scd2_history",
+    # r2 rows, TPC-H relational basics — most schema-stable family,
+    # so they absorb any window cutoff
+    "b01_scan_filter_project",
+    "b03_join_orders_customer",
+    "b06_left_outer_join",
+    "b07_left_semi_join",
+    "b08_left_anti_join",
+    "b09_window_functions",
+    "b10_topk_per_group",
+    "b11_global_sort_limit",
+    "b12_distinct_count",
 )
 
 
