@@ -115,9 +115,21 @@ def run_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
 # (b26's all-pairs form exceeds 180 s at sf0.1) can be cut off without
 # killing the bench.
 # 30 s: must cover warm + 3 timed passes for slow-but-finishing
-# oracles (b29's ~4.7 s/pass would false-timeout at 20), while still
-# cutting off the genuinely pathological all-pairs forms fast.
+# oracles, while still cutting off the genuinely pathological
+# all-pairs forms fast.
 DUCKDB_TIMEOUT_S = 30.0
+
+# Oracles pinned as always-timed-out, so the vs-DuckDB shared-query
+# set is IDENTICAL run to run (VERDICT r3 #8). b26/b62 exceed the
+# timeout every observed run (all-pairs / 5-gram self-join forms);
+# b29's ~4-5 s/pass oracle straddles the budget under host load and
+# was flapping in and out of the shared set, moving the headline
+# ratio between runs for reasons that have nothing to do with Spark.
+DUCKDB_EXCLUDED = {
+    "b26_ngram_jaccard_pairs",
+    "b62_contamination_overlap",
+    "b29_language_id",
+}
 
 
 def _duckdb_one(sf_dir: str, sql: str, q) -> None:
@@ -152,6 +164,9 @@ def duckdb_timings(names: list[str], sf_dir: str) -> dict[str, float]:
     for name in names:
         sql = oracles.get(name)
         if sql is None:
+            continue
+        if name in DUCKDB_EXCLUDED:
+            out[name] = -1.0
             continue
         q: mp.Queue = mp.Queue()
         p = mp.Process(target=_duckdb_one, args=(sf_dir, sql, q))
@@ -232,20 +247,70 @@ def main() -> None:
         "ratio_vs_duckdb": ratio,
         "duckdb_timeouts": sorted(n for n, t in duck.items() if t < 0),
     }
-    payload = json.dumps(result)
-    # Sidecar: survives any stdout interleaving (BENCH_r02 was
-    # unparseable because console noise merged into the final line).
+    # Sidecar: the FULL payload, full query names, both engines.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
         "w",
     ) as fh:
-        fh.write(payload + "\n")
+        fh.write(json.dumps(result) + "\n")
+    # Final stdout line: same contract shape, but compacted to fit the
+    # driver's 2000-byte stdout tail buffer (BENCH_r02/r03 were
+    # "parsed: null" because the full 67-query payload is ~3.5 KB and
+    # the buffer kept only its truncated tail). Query keys shrink to
+    # their unique leading segments ("b01", "b39_lsh"); per-engine
+    # detail lives in the sidecar.
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {_short(n, timings): t for n, t in timings.items()},
+            "sf": sf,
+            "shared_total_spark": spark_shared,
+            "shared_total_duckdb": duck_shared,
+            "ratio_vs_duckdb": ratio,
+            "duckdb_timeouts": [
+                _short(n, timings) for n, t in sorted(duck.items()) if t < 0
+            ],
+            "detail": "bench_result.json",
+        },
+        separators=(",", ":"),
+    )
+    if len(payload) > 1900:  # stay under the tail buffer, always
+        payload = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {"all": total},
+                "sf": sf,
+                "ratio_vs_duckdb": ratio,
+                "detail": "bench_result.json",
+            },
+            separators=(",", ":"),
+        )
     # The JSON is the SOLE final stdout line: flush both streams, then
     # lead with a newline so a partial progress line can't prefix it.
     sys.stderr.flush()
     sys.stdout.flush()
     sys.stdout.write("\n" + payload + "\n")
     sys.stdout.flush()
+
+
+def _short(name: str, names) -> str:
+    """Shortest leading-underscore-segment prefix of ``name`` unique
+    within ``names`` ("b01_scan_filter_project" -> "b01", but
+    "b39_lsh_embedding_neardup" -> "b39_lsh" because plain "b39" is
+    taken by "b39_embedding_neardup")."""
+    parts = name.split("_")
+    for i in range(1, len(parts)):
+        cand = "_".join(parts[:i])
+        clashes = [
+            n for n in names if n != name and n.split("_")[: i] == parts[:i]
+        ]
+        if not clashes:
+            return cand
+    return name
 
 
 if __name__ == "__main__":
