@@ -286,6 +286,14 @@ def phash_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
+        if pdf.empty:  # defensive: direct test callers may pass one
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "phash": pd.Series([], dtype="int64"),
+                }
+            )
+            continue
         blobs = [np.frombuffer(bytes(b), np.uint8) for b in pdf["blob"]]
         blobs = [
             np.resize(b if b.size else np.zeros(1, np.uint8), 72)

@@ -93,7 +93,9 @@ def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tokens"),
     )
     bucketed = docs.withColumn(
-        "bucket", (F.col("doc_id") / BUCKET_SPAN).cast("long")
+        # integer DIV, not double /: identical here, but the double
+        # path drifts from DIV semantics past 2^53 doc_ids
+        "bucket", F.expr(f"doc_id DIV {BUCKET_SPAN}")
     )
 
     # Phase 1: per-bucket totals -> exclusive offsets via a cumsum

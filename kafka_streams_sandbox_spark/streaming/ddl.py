@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -116,14 +117,20 @@ def a10_topic_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips the spec.
     """
     admin = TopicAdmin()
-    specs = [TopicSpec(n) for n in REFERENCE_TOPICS]
-    created = admin.create_topics(specs)
-    assert sorted(created) == sorted(REFERENCE_TOPICS), created
-    assert admin.create_topics(specs) == []  # idempotent re-create
-    rows = []
-    for name in admin.list_topics():
-        d = admin.describe(name)
-        rows.append((name, d["partitions"], d["replication"]))
+    try:
+        specs = [TopicSpec(n) for n in REFERENCE_TOPICS]
+        created = admin.create_topics(specs)
+        assert sorted(created) == sorted(REFERENCE_TOPICS), created
+        assert admin.create_topics(specs) == []  # idempotent re-create
+        rows = []
+        for name in admin.list_topics():
+            d = admin.describe(name)
+            rows.append((name, d["partitions"], d["replication"]))
+    finally:
+        # the result rows are driver-local; the mkdtemp root would
+        # otherwise leak one directory per invocation (re-verify
+        # loops, bench passes)
+        shutil.rmtree(admin.root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "topic string, partitions int, replication int"
     )
