@@ -299,3 +299,23 @@ def test_phash_neardup_banded_not_allpairs(queries, spark, sf_dir):
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert not has_operator(df, "CartesianProduct"), plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_b44_no_driver_collect_and_map_only_corpus(queries, spark, sf_dir):
+    """b44's query side must reach the kernel as a broadcast variable
+    (Arrow action + sc.broadcast), never a row-object .collect(); the
+    corpus side stays map-only Arrow batches — no join, no cartesian,
+    no row-at-a-time Python (VERDICT r3 #5)."""
+    import inspect
+
+    from kafka_streams_sandbox_spark.operators import extended
+
+    src = inspect.getsource(extended.b44_cosine_topk_arrow)
+    assert ".collect(" not in src, "driver-side collect reintroduced"
+    assert "broadcast(" in src, "query matrix must ship as a broadcast"
+    df = queries["b44_cosine_topk_arrow"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not has_operator(df, "CartesianProduct"), plan
+    assert not has_operator(df, "SortMergeJoin"), plan
+    assert not uses_row_python_udf(df), plan
