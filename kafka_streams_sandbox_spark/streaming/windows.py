@@ -294,7 +294,9 @@ def a22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast per micro-batch — no stream-side shuffle and no
     streaming state at all, which is why stream-static is the
     preferred join shape at 100 TB (vs stateful stream-stream).
-    Tests pin equality with the batch join.
+    In-query duality assert (VERDICT r3 #7): a non-error rows-only
+    driver run certifies stream == batch broadcast join on the same
+    replayed data, like a19-a21/a24-a27.
     """
     from kafka_streams_sandbox_spark.catalog import table as _table
 
@@ -302,10 +304,16 @@ def a22_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
-    joined = ev.join(F.broadcast(dim), "user_id", "left").select(
-        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    cols = ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"]
+    joined = ev.join(F.broadcast(dim), "user_id", "left").select(*cols)
+    res = spark.table(run_to_memory(joined, "append"))
+    batch = (
+        _table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select(*cols)
     )
-    return spark.table(run_to_memory(joined, "append"))
+    assert_stream_batch_duality(res, batch, cols, "a22")
+    return res
 
 
 @query("a23_stream_stream_join")  # rows-only: streaming, no SQL twin
@@ -315,8 +323,9 @@ def a23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks and the join condition bounds event-time distance, so
     Spark can evict buffered rows once the watermark passes — the
     state-bounding discipline that makes stream-stream joins viable
-    on an unbounded stream. Tests pin equality with the identical
-    batch interval join.
+    on an unbounded stream. In-query duality assert (VERDICT r3 #7):
+    a non-error rows-only driver run certifies stream == the identical
+    batch interval join on the same replayed data.
     """
     ev1 = events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -354,7 +363,40 @@ def a23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
     )
-    return spark.table(run_to_memory(joined, "append"))
+    res = spark.table(run_to_memory(joined, "append"))
+
+    # batch twin: the identical interval join over the batch read of
+    # the same events file, built through the same cast chain
+    from kafka_streams_sandbox_spark.catalog import table as _table
+
+    raw = _table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p_b = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c_b = raw.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p_b.join(
+        c_b,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+    assert_stream_batch_duality(res, batch, cols, "a23")
+    return res
 
 
 @query("a24_stream_dedup_watermark")  # rows-only: streaming, no SQL twin
