@@ -439,12 +439,17 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: map-only signatures (hash-derived planes, zero driver
     state) -> ONE narrow shuffle on the bucket key -> in-bucket HOF
-    pair emission -> two broadcast hash joins fetching the candidate
+    pair emission -> two shuffled equi-joins fetching the candidate
     pair's vectors -> exact cosine filter. There is NO nested-loop
-    join over the corpus anywhere (pinned by tests/test_plans.py);
-    cost is O(n + Σ bucket²) instead of b39's O(n²). Recall is
-    probabilistic (same-bucket collision prob rises with cosine), so
-    this is rows-only while b39 stays the oracle-checked exact twin.
+    join over the corpus anywhere and NO forced broadcast (pinned by
+    tests/test_plans.py): the candidate set grows with Σ bucket², so
+    a mandatory broadcast of it is unbounded — it OOMed the 10x slope
+    measurement (scripts/measure_scaling.py, round 4) and would be
+    fatal at 100 TB. AQE may still pick a broadcast when the set is
+    genuinely small. Cost is O(n + Σ bucket²) instead of b39's O(n²).
+    Recall is probabilistic (same-bucket collision prob rises with
+    cosine), so this is rows-only while b39 stays the oracle-checked
+    exact twin.
     """
     from kafka_streams_sandbox_spark.functions.vectors import dot
     from kafka_streams_sandbox_spark.operators.similarity import (
@@ -469,10 +474,10 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
-    half = v.join(F.broadcast(candidates), v.vec_id == F.col("vec_a")).select(
+    half = v.join(candidates, v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    pairs = v.join(F.broadcast(half), v.vec_id == F.col("vec_b")).select(
+    pairs = v.join(half, v.vec_id == F.col("vec_b")).select(
         "vec_a",
         "vec_b",
         (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),

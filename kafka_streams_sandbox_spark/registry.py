@@ -63,6 +63,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a10_topic_ddl",               # cached process-lifetime admin root
     "a22_stream_static_join",      # in-query duality assert added
     "a23_stream_stream_join",      # in-query duality assert added
+    "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded

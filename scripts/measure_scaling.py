@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Scaling-slope measurement for the five most expensive plans
+(VERDICT r3 #4): b26, b27, b39_lsh, b78, b60 at sf0.1 (5k docs / 2k
+vecs) vs a seed-stable ~10x documents/embeddings set (50k docs / 20k
+vecs) generated with the SAME marginals as the driver data —
+empirical word frequencies, doc-length distribution, lang/source
+mix, and matched near-duplicate rates (b26 finds ~1.6% strong dup
+pairs and b27 ~5% minhash pairs at sf0.1; the generator plants
+mutated copies at 5% to land in the same regime).
+
+The banded/bucketed paths (b27, b39_lsh, b78, b60) should scale
+near-linearly in rows; the exact all-pairs anchors (b26's per-lang
+exact Jaccard) are expected to blow up superlinearly — that contrast
+is the point: it proves the quarantine of the exact anchors is real.
+
+Usage: python scripts/measure_scaling.py [out_dir]
+Writes the 10x set under out_dir (default /tmp/kss_scale10x), times
+both scales best-of-3, prints one JSON with per-query secs + slopes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+SEED = 777
+N_DOCS = 50_000
+N_VECS = 20_000
+P_DUP_DOC = 0.05  # mutated-copy rate -> same dup regime as sf0.1
+P_DUP_VEC = 0.07
+QUERIES = (
+    "b26_ngram_jaccard_pairs",
+    "b27_minhash_lsh_dedup",
+    "b39_lsh_embedding_neardup",
+    "b78_keep_best_in_cluster",
+    "b60_canonical_assignment",
+)
+
+
+def build_10x(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(out_dir, exist_ok=True)
+    # non-scaled tables ride along as symlinks so sf_dir is complete
+    for name in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, f"{name}.parquet"), dst)
+
+    # ---- documents: empirical marginals from the sf0.1 corpus ----
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    texts = base["text"].to_pylist()
+    langs = base["lang"].to_pylist()
+    sources = base["source"].to_pylist()
+    from collections import Counter
+
+    wc: Counter = Counter()
+    lens = []
+    for t in texts:
+        ws = t.split()
+        lens.append(len(ws))
+        wc.update(ws)
+    vocab = np.array(sorted(wc))
+    freq = np.array([wc[w] for w in vocab], dtype=np.float64)
+    freq /= freq.sum()
+    lens_arr = np.array(lens)
+    lang_v, lang_c = np.unique(langs, return_counts=True)
+    src_v, src_c = np.unique(sources, return_counts=True)
+
+    doc_words: list[list[str]] = []
+    out_lang = rng.choice(lang_v, N_DOCS, p=lang_c / lang_c.sum())
+    out_src = rng.choice(src_v, N_DOCS, p=src_c / src_c.sum())
+    n_words = rng.choice(lens_arr, N_DOCS)  # empirical length dist
+    dup_of = np.full(N_DOCS, -1)
+    dup_mask = rng.random(N_DOCS) < P_DUP_DOC
+    for i in range(N_DOCS):
+        if dup_mask[i] and i > 10:
+            j = int(rng.integers(0, i))
+            words = list(doc_words[j])
+            # mutate ~10% of words so the copy is a NEAR dup
+            for k in rng.integers(0, len(words), max(1, len(words) // 10)):
+                words[k] = str(rng.choice(vocab, p=freq))
+            dup_of[i] = j
+            out_lang[i] = out_lang[j]  # b26 blocks by lang
+        else:
+            words = [str(w) for w in rng.choice(vocab, n_words[i], p=freq)]
+        doc_words.append(words)
+    out_text = [" ".join(ws) for ws in doc_words]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+                "lang": pa.array([str(x) for x in out_lang], pa.string()),
+                "source": pa.array([str(x) for x in out_src], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in out_text], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    # ---- embeddings: 10 label clusters + planted near-dup copies ----
+    dim = 64
+    # iid gaussian vectors with label as independent metadata — the
+    # driver corpus's shape (measured: mean pairwise cos 0.0, p99.9
+    # 0.376 at sf0.1; label ~ uniform 0-9 uncorrelated with the
+    # vector). Two earlier cuts used label-centered clusters and
+    # produced millions of in-cluster pairs over the 0.3 near-dup
+    # threshold at 10x — an output-dominated slope that measured
+    # result size, not the plan.
+    lab = rng.integers(0, 10, N_VECS)
+    vecs = rng.normal(0, 1.0, (N_VECS, dim))
+    vdup = rng.random(N_VECS) < P_DUP_VEC
+    for i in np.flatnonzero(vdup):
+        if i > 10:
+            j = int(rng.integers(0, i))
+            vecs[i] = vecs[j] + rng.normal(0, 0.01, dim)
+            lab[i] = lab[j]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(lab.astype(np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kss_scale10x"
+    build_10x(out_dir)
+
+    from kafka_streams_sandbox_spark.registry import all_queries
+    from kafka_streams_sandbox_spark.session import get_spark
+
+    spark = get_spark()
+    qs = all_queries()
+    result: dict = {"n_docs_10x": N_DOCS, "n_vecs_10x": N_VECS, "queries": {}}
+    for name in QUERIES:
+        row: dict = {}
+        for label, d in (("sf0.1", SF_DIR), ("10x", out_dir)):
+            best, rows = float("inf"), None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = qs[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+            row[f"rows_{label}"] = rows
+        row["slope"] = round(row["10x"] / row["sf0.1"], 1)
+        result["queries"][name] = row
+        print(f"{name}: {row}", file=sys.stderr, flush=True)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -99,12 +99,21 @@ def test_map_only_text_ops_have_no_shuffle(queries, spark, sf_dir):
 
 def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
     """b39_lsh is the scale path: candidates come from LSH buckets and
-    the verify joins broadcast the candidate set — a nested-loop join
-    over the corpus would mean it degenerated to all-pairs."""
+    the verify joins are shuffled equi-joins — a nested-loop join over
+    the corpus would mean it degenerated to all-pairs, and a FORCED
+    broadcast of the candidate set is unbounded (Σ bucket² growth;
+    OOMed the round-4 10x slope measurement). AQE may still choose a
+    broadcast at this tiny sf, so only the hint is pinned, not the
+    runtime strategy."""
     df = queries["b39_lsh_embedding_neardup"](spark, sf_dir)
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
     assert not has_operator(df, "CartesianProduct"), plan_string(df)
-    assert has_operator(df, "BroadcastHashJoin"), plan_string(df)
+    import inspect
+
+    from kafka_streams_sandbox_spark.operators import dedup
+
+    src = inspect.getsource(dedup.b39_lsh_embedding_neardup)
+    assert "broadcast(" not in src, "unbounded candidate broadcast"
 
 
 def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
