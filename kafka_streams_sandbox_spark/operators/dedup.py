@@ -283,9 +283,13 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ONE narrow shuffle, no self-join of the signature pipeline
       3. ordered pairs within each bucket + distinct (a pair can
          surface from several bands)
-      4. two joins back to the shingle table to fetch the arrays,
-         exact-Jaccard verify. Candidates are tiny (that is LSH's
-         whole point), so both joins broadcast the candidate side.
+      4. two shuffled equi-joins back to the shingle table to fetch
+         the arrays, exact-Jaccard verify. The candidate set grows
+         with Σ bucket² (and the half-joined side carries shingle
+         arrays per pair), so neither side gets a MANDATORY broadcast
+         — the same unbounded-broadcast defect the round-4 10x slope
+         measurement caught in b39_lsh. AQE still broadcasts when the
+         set is genuinely small.
 
     Per-doc work is map-only; every shuffle is proportional to data
     size, never n². This is the scale path whose recall b26 checks.
@@ -349,14 +353,14 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join docs to candidates FIRST, shingle only the survivors — the
     # shingle expression runs on O(candidates) rows, not the corpus.
     half = docs.join(
-        F.broadcast(candidates), F.col("doc_id") == F.col("doc_a")
+        candidates, F.col("doc_id") == F.col("doc_a")
     ).select(
         "doc_a",
         "doc_b",
         F.expr(char_ngrams_hashed_expr(5)).alias("sh_a"),
     )
     verified = docs.withColumnRenamed("doc_id", "doc_b").join(
-        F.broadcast(half), "doc_b"
+        half, "doc_b"
     ).select("doc_a", "doc_b", "sh_a", F.expr(char_ngrams_hashed_expr(5)).alias("sh_b"))
     return verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")

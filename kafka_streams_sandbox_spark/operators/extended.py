@@ -646,7 +646,10 @@ def b54_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table format's MERGE INTO does the same join under the hood; on
     plain files the full rewrite is the price). Change set is the
     latest event per key (window rank), exactly the CDC-compaction
-    step a streaming changelog needs before applying.
+    step a streaming changelog needs before applying. The change set
+    is |users|-sized — unbounded at scale — so it carries NO mandatory
+    broadcast hint (the b60/b73 discipline); AQE broadcasts it only
+    while it is genuinely small.
     """
     from pyspark.sql import Window as W
 
@@ -663,7 +666,7 @@ def b54_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("new_bal"),
         )
     )
-    return cust.join(F.broadcast(changes), "c_custkey", "left").select(
+    return cust.join(changes, "c_custkey", "left").select(
         "c_custkey",
         "c_name",
         F.coalesce("new_bal", "c_acctbal").alias("c_acctbal"),

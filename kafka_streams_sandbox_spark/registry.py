@@ -64,6 +64,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a22_stream_static_join",      # in-query duality assert added
     "a23_stream_stream_join",      # in-query duality assert added
     "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed
+    "b27_minhash_lsh_dedup",       # same candidate-broadcast removal
+    "b54_merge_upsert",            # |users|-sized change-set broadcast removed
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded
@@ -77,7 +79,6 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b41_pivot_event_counts",
     "b51_sliding_window_agg",
     "b40_asof_join",
-    "b54_merge_upsert",
     "b56_exact_percentiles",
     # r1 rows, documents/embeddings readers
     "b23_text_stats",
@@ -89,7 +90,6 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b21_exact_dedup",
     "b24_dedup_across_sources",
     "b26_ngram_jaccard_pairs",
-    "b27_minhash_lsh_dedup",
     "b28_simhash_dedup",
     "b39_embedding_neardup",
     "b33_cosine_topk",

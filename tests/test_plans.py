@@ -196,6 +196,16 @@ def test_no_mandatory_broadcast_of_unbounded_sides(queries, spark, sf_dir):
     assert broadcast_hint_count(b60) == 0, plan_string(b60)
     b73 = queries["b73_retention_cohorts"](spark, sf_dir)
     assert broadcast_hint_count(b73) == 1, plan_string(b73)
+    # round 4 additions to the same discipline: b27's LSH candidate
+    # set (sum(bucket^2)-sized), b39_lsh's ditto, and b54's per-user
+    # change set must carry zero mandatory broadcast hints.
+    for name in (
+        "b27_minhash_lsh_dedup",
+        "b39_lsh_embedding_neardup",
+        "b54_merge_upsert",
+    ):
+        df = queries[name](spark, sf_dir)
+        assert broadcast_hint_count(df) == 0, (name, plan_string(df))
 
 
 def test_curation_funnel_single_corpus_scan_per_stage_chain(queries, spark, sf_dir):
