@@ -35,3 +35,19 @@ def test_every_query_runs_and_has_rows(spark, sf_dir):
             continue
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_reverify_first_is_well_formed():
+    """REVERIFY_FIRST drives the driver's ~50-query verification
+    window; a typo'd or duplicated name silently wastes a slot (or
+    worse, drops a changed query out of the window). Every entry must
+    name a registered query, exactly once."""
+    from kafka_streams_sandbox_spark import registry
+
+    registry.load()
+    assert len(set(registry.REVERIFY_FIRST)) == len(registry.REVERIFY_FIRST)
+    missing = [n for n in registry.REVERIFY_FIRST if n not in registry.QUERIES]
+    assert not missing, f"REVERIFY_FIRST names unregistered queries: {missing}"
+    # and the reorder must put them literally first, same order
+    head = list(registry.all_queries())[: len(registry.REVERIFY_FIRST)]
+    assert head == list(registry.REVERIFY_FIRST)

@@ -558,3 +558,81 @@ def test_store_concurrent_reader_under_merge_storm(spark, tmp_path):
     assert len(errors) <= good[0], (good[0], errors)
     final = {r.k: r.v for r in store.read().collect()}
     assert final == live
+
+
+def test_store_recovers_from_writer_killed_mid_merge(spark, tmp_path):
+    """A writer that died AFTER writing part files but BEFORE the
+    _CURRENT flip must be invisible: readers keep resolving the last
+    flipped version, and the next successful merge supersedes (and
+    eventually reclaims) the orphan directory. This is the crash-case
+    half of the atomic-pointer contract."""
+    import os
+
+    root = str(tmp_path / "store")
+    store = ParquetKTableStore(spark, root, key="k")
+    store.merge_batch(_store_batch(spark, [("a", 1, False), ("b", 2, False)]), 0)
+    v0 = store.current_version()
+
+    # simulate the dead writer: a fully-written version dir, no flip
+    orphan = _store_batch(spark, [("a", 99, False)]).withColumn(
+        "__batch", F.lit(1)
+    ).withColumn("__bucket", F.lit(0))
+    orphan_dir = os.path.join(root, "v1-deadbeef")
+    orphan.write.partitionBy("__bucket").parquet(orphan_dir)
+
+    # reader is unaffected: still the flipped version's state
+    assert store.current_version() == v0
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 1, "b": 2}
+
+    # the next real merge proceeds from v0 (not the orphan) and the
+    # cleanup pass reclaims the orphan directory
+    store.merge_batch(_store_batch(spark, [("b", 3, False)]), 2)
+    assert {r.k: r.v for r in store.read().collect()} == {"a": 1, "b": 3}
+    assert not os.path.isdir(orphan_dir), "orphan version not reclaimed"
+
+
+def test_multi_batch_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """A22's semantics across MANY micro-batches: split events 4 ways,
+    one file per trigger, stream-static left join per batch — the
+    union of all batches must equal the single-shot batch join (the
+    static side is re-resolved per micro-batch, so no batch boundary
+    can change the result). The registered a22 only certifies the
+    single-batch availableNow replay; this pins the multi-trigger
+    case."""
+    from kafka_streams_sandbox_spark.catalog import normalize_event_ts
+    from kafka_streams_sandbox_spark.sources.replay import _events_raw_schema
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.withColumn("part", F.col("event_id") % 4).write.partitionBy(
+        "part"
+    ).parquet(src)
+    stream = normalize_event_ts(
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src + "/part=*")
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS user_id", "c_name", "c_mktsegment"
+    )
+    cols = ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"]
+    joined = stream.join(F.broadcast(dim), "user_id", "left").select(*cols)
+    name = f"a22mb_{tmp_path.name[-6:]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert q.lastProgress is not None  # multiple triggers actually ran
+    batch = (
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .join(F.broadcast(dim), "user_id", "left")
+        .select(*cols)
+    )
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
