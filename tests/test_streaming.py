@@ -636,3 +636,84 @@ def test_multi_batch_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         .select(*cols)
     )
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_multi_batch_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """A23's interval join across MANY micro-batches with IN-ORDER
+    arrival: events sorted by ts and split into 4 contiguous time
+    ranges, one file per trigger. With arrival following event time,
+    no row is ever late, so the watermark's state eviction (clicks
+    older than lookback + delay) must never drop a joinable pair —
+    the streamed union must EXACTLY equal the batch interval join.
+    This is the textbook watermark-correctness claim the single-batch
+    a22/a23 replay cannot exercise."""
+    from kafka_streams_sandbox_spark.catalog import normalize_event_ts
+    from kafka_streams_sandbox_spark.sources.replay import _events_raw_schema
+
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = str(tmp_path / "src")
+    # 4 contiguous time ranges via ntile over ts: arrival order ==
+    # event-time order at file granularity
+    from pyspark.sql import Window as W
+
+    ev.withColumn(
+        "part", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+    ).write.partitionBy("part").parquet(src)
+    stream = normalize_event_ts(
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src + "/part=*")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    name = f"a23mb_{tmp_path.name[-6:]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+
+    raw = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    p_b = raw.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
+    )
+    c_b = raw.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS c_ts"
+    )
+    batch = p_b.join(
+        c_b,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    cols = ["purchase_id", "click_id"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
