@@ -30,21 +30,23 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    import time
+
     print("entry rows:", len(contract.entry(spark).collect()), flush=True)
     qs, oracles = contract.queries(), contract.oracle_sql()
     fails = 0
     for name in sorted(qs):
+        t0 = time.perf_counter()
         if name in oracles:
             r = compare_query(spark, sf_dir, name)
             fails += 0 if r.ok else 1
-            print(
-                name,
-                "OK" if r.ok else f"FAIL {r.detail} {r.mismatches[:1]}",
-                flush=True,
-            )
+            verdict = "OK" if r.ok else f"FAIL {r.detail} {r.mismatches[:1]}"
         else:
-            n = qs[name](spark, sf_dir).count()
-            print(name, "rows-only:", n, flush=True)
+            verdict = f"rows-only: {qs[name](spark, sf_dir).count()}"
+        # per-query wall secs: the driver's verify window is
+        # TIME-budgeted, so these costs are what REVERIFY_FIRST
+        # ordering should be planned against next round
+        print(f"{name} {verdict} [{time.perf_counter() - t0:.1f}s]", flush=True)
     print("FAILS:", fails, flush=True)
     return min(fails, 255)
 
