@@ -188,3 +188,33 @@ def test_lsh_ann_precision_and_recall_on_planted_vectors(spark, tmp_path):
     for base_id, copy_id in planted:
         assert top1.get(base_id) == copy_id
         assert top1.get(copy_id) == base_id
+
+
+# ---------------------------------------------------------------------------
+# b44 Arrow kernel vs b33 JVM-fold duality
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_topk_matches_exact_topk(spark):
+    """b44 is rows-only because BLAS summation order keeps its doubles
+    off the DuckDB hash — but its RESULTS must equal oracle-verified
+    b33 exactly: same (query, neighbor, rank) triples on the driver
+    corpus, cosines within float-reassociation distance."""
+    from kafka_streams_sandbox_spark.operators.extended import (
+        b44_cosine_topk_arrow,
+    )
+    from kafka_streams_sandbox_spark.operators.similarity import b33_cosine_topk
+
+    exact = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in b33_cosine_topk(spark, SF_SMALL).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in b44_cosine_topk_arrow(spark, SF_SMALL).collect()
+    }
+    assert exact.keys() == arrow.keys()
+    for key, (nbr, cos) in exact.items():
+        a_nbr, a_cos = arrow[key]
+        assert a_nbr == nbr, key
+        assert a_cos == pytest.approx(cos, abs=1e-9)
