@@ -159,6 +159,7 @@ B26_ORACLE = """
                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                  t -> t != '') AS toks
               FROM documents)
+        WHERE len(toks) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            (CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -207,6 +208,11 @@ def b26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_wide(spark, sf_dir)
     sh = (
         docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks"))
+        # token-less docs (empty/whitespace-only/NULL) don't
+        # participate: their degenerate shingle set {''} would make
+        # every pair of them jaccard-1.0 — at corpus scale that's a
+        # quadratic garbage bucket (tests/test_hostile_inputs.py)
+        .filter(F.size("toks") > 0)
         .select(
             "doc_id",
             "lang",
@@ -304,7 +310,10 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles never span partitions, so map-side partial aggregation
     # collapses the exploded postings before the shuffle — the
     # exchange moves one row per doc.
-    posting = docs.select(
+    # content guard (= "has >= 1 whitespace token", regex-free): at
+    # corpus scale the NULL/empty/whitespace-only docs otherwise form
+    # their own degenerate match bucket (tests/test_hostile_inputs.py)
+    posting = docs.filter(F.expr("length(trim(text)) > 0")).select(
         "doc_id",
         F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
     ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
@@ -376,10 +385,13 @@ _NEARDUP_COS = 0.3  # corpus is random vectors (max pairwise cos ≈ 0.48);
 
 B39_ORACLE = f"""
     WITH v AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-               sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                                                  x -> x * x), 'sum')) AS nrm
-        FROM embeddings
+        SELECT * FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x), 'sum')) AS nrm
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ) WHERE nrm > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            (list_aggregate(list_transform(range(1, {_EMB_DIM + 1}),
@@ -413,9 +425,18 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
-    emb = embeddings_wide(spark, sf_dir).select(
-        "vec_id", to_double_array("embedding").alias("e")
-    ).withColumn("nrm", norm2("e"))
+    # same degenerate-vector guard as similarity._vectors: NULL /
+    # wrong-dim / zero-norm rows are excluded, not NaN-ranked
+    # (tests/test_hostile_vectors.py)
+    emb = (
+        embeddings_wide(spark, sf_dir)
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+        )
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .withColumn("nrm", norm2("e"))
+        .filter(F.col("nrm") > 0)
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
@@ -522,7 +543,14 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single (chunk, ckey) shuffle.
     """
     docs = documents_wide(spark, sf_dir)
-    sig = docs.select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
+    # token-less docs (NULL/empty/whitespace-only) all fold to
+    # simhash 0 and would pairwise-match at hamming 0 — a quadratic
+    # garbage bucket at corpus scale. length(trim(text)) > 0 is
+    # exactly "has >= 1 whitespace token", without a regex run
+    # (tests/test_hostile_inputs.py).
+    sig = docs.filter(F.expr("length(trim(text)) > 0")).select(
+        "doc_id", F.expr(SIMHASH_EXPR).alias("simhash")
+    )
     chunks = sig.select(
         "doc_id",
         "simhash",

@@ -245,7 +245,13 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
-    emb = embeddings_wide(spark, sf_dir)
+    # NULL / wrong-dim rows out in SQL (a ragged batch breaks the
+    # matmul); zero-norm rows masked numpy-side below — same
+    # degenerate-vector policy as similarity._vectors
+    # (tests/test_hostile_vectors.py)
+    emb = embeddings_wide(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
 
     q_tbl = (
         emb.filter(F.col("vec_id") % 10 == 0)
@@ -254,6 +260,8 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = q_tbl["vec_id"].to_numpy()
     q_mat = np.array(q_tbl["embedding"].to_pylist(), dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_ids, q_mat = q_ids[q_norms > 0], q_mat[q_norms > 0]
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
@@ -266,6 +274,10 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            ids, mat = ids[norms > 0], mat[norms > 0]
+            if not len(ids):
+                continue
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ b_mat.T  # (batch, queries)
             k = min(6, len(ids))

@@ -33,22 +33,37 @@ DIM = 64
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with widened double array + precomputed norm
     (catalog.embeddings_wide handles the partition widening — see its
-    docstring for the single-file-scan rationale)."""
+    docstring for the single-file-scan rationale).
+
+    Degenerate rows are excluded up front: NULL embeddings (failed
+    upstream encode), wrong-dimension arrays (schema drift), and
+    all-zero vectors (norm 0 — cosine undefined). At corpus scale
+    these otherwise crash the job or rank as NaN phantom neighbors
+    (tests/test_hostile_vectors.py)."""
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
-    return embeddings_wide(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        to_double_array("embedding").alias("e"),
-    ).withColumn("nrm", norm2("e"))
+    return (
+        embeddings_wide(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
+        .select(
+            "vec_id",
+            "label",
+            to_double_array("embedding").alias("e"),
+        )
+        .withColumn("nrm", norm2("e"))
+        .filter(F.col("nrm") > 0)
+    )
 
 
-# DuckDB twin of the widened/normed vector table.
-_DUCK_VECTORS = """
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                                              x -> x * x), 'sum')) AS nrm
-    FROM embeddings
+# DuckDB twin of the widened/normed/guarded vector table.
+_DUCK_VECTORS = f"""
+    SELECT * FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x), 'sum')) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+    ) WHERE nrm > 0
 """
 
 

@@ -74,9 +74,9 @@ B23_ORACLE = f"""
            CAST(len(regexp_extract_all(text, '{_PUNCT_PATTERN}')) AS INTEGER) AS n_punct,
            CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
            (CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-              / LENGTH(text)) AS space_ratio,
-           (CAST(LENGTH(replace(trim(text), ' ', '')) AS DOUBLE) / len(toks))
-               AS avg_token_len
+              / nullif(LENGTH(text), 0)) AS space_ratio,
+           (CAST(LENGTH(replace(trim(text), ' ', '')) AS DOUBLE)
+              / nullif(len(toks), 0)) AS avg_token_len
     FROM t
 """
 
@@ -95,15 +95,19 @@ def b23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct"
         ),
         F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")).alias("n_digits"),
+        # nullif guards: an empty or whitespace-only doc (zero chars /
+        # zero tokens) yields NULL ratios instead of an ANSI
+        # DIVIDE_BY_ZERO that would kill the whole 100 TB job
+        # (tests/test_hostile_inputs.py)
         (
             (n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
             .cast("double")
-            / n_chars
+            / F.nullif(n_chars, F.lit(0))
         ).alias("space_ratio"),
         (
             F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
             .cast("double")
-            / F.size(toks)
+            / F.nullif(F.size(toks), F.lit(0))
         ).alias("avg_token_len"),
     )
 
@@ -188,12 +192,13 @@ B30_ORACLE = f"""
         FROM documents
     )
     SELECT doc_id,
-           (CAST(sw_hits AS DOUBLE) / n_tokens) AS stopword_ratio,
-           (CAST(n_punct AS DOUBLE) / n_chars_m) AS punct_ratio,
+           (CAST(sw_hits AS DOUBLE) / nullif(n_tokens, 0)) AS stopword_ratio,
+           (CAST(n_punct AS DOUBLE) / nullif(n_chars_m, 0)) AS punct_ratio,
            LEAST(CAST(n_chars_m AS DOUBLE) / 500, CAST(1.0 AS DOUBLE)) AS length_score,
            (0.4 * LEAST(CAST(n_chars_m AS DOUBLE) / 500, CAST(1.0 AS DOUBLE))
-            + 0.4 * (CAST(sw_hits AS DOUBLE) / n_tokens)
-            + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m)) AS quality_score
+            + 0.4 * (CAST(sw_hits AS DOUBLE) / nullif(n_tokens, 0))
+            + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars_m, 0)))
+               AS quality_score
     FROM t
 """
 
@@ -213,8 +218,14 @@ def b30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(stopword_count_expr(_EN_SW)).alias("sw_hits"),
     )
-    sw_ratio = F.col("sw_hits").cast("double") / F.col("n_tokens")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m")
+    # nullif: empty/whitespace-only docs score NULL, they don't kill
+    # the job with an ANSI DIVIDE_BY_ZERO (tests/test_hostile_inputs.py)
+    sw_ratio = F.col("sw_hits").cast("double") / F.nullif(
+        F.col("n_tokens"), F.lit(0)
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.nullif(
+        F.col("n_chars_m"), F.lit(0)
+    )
     length_score = F.least(
         F.col("n_chars_m").cast("double") / 500, F.lit(1.0)
     )

@@ -1,0 +1,97 @@
+"""Hostile-input robustness for the documents-reading operator family.
+
+The driver fixtures are clean (no NULLs, no empty docs); a real corpus
+at scale is not. This corpus plants the classics — NULL text, empty
+string, whitespace-only, single char, emoji/CJK/RTL unicode, a
+100 kB monster, and an exact duplicate pair — and asserts every
+documents-reading batch query completes and respects basic sanity
+(no crash, no pathological pair explosion from the degenerate docs).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_sandbox_spark.operators import dedup, text
+
+_DOCS = [
+    (0, None),
+    (1, ""),
+    (2, "   \t  \n "),
+    (3, "x"),
+    (4, "word"),
+    (5, "مرحبا بالعالم"),  # RTL arabic
+    (6, "你好世界 深度学习"),  # CJK
+    (7, "\U0001f600 \U0001f680 emoji doc \U0001f600"),
+    (8, "the quick brown fox jumps over the lazy dog " * 8),
+    (9, "the quick brown fox jumps over the lazy dog " * 8),  # exact dup of 8
+    (10, "lorem ipsum dolor sit amet " * 4000),  # ~100 kB
+    (11, None),  # second NULL: a NULL-key bucket must not self-pair
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory) -> str:
+    tmp = tmp_path_factory.mktemp("hostile")
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+            "source": pa.array(["srcH"] * len(_DOCS), pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else 0 for d in _DOCS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        text.b23_text_stats,
+        text.b29_language_id,
+        text.b30_quality_score,
+        text.b31_token_count,
+        text.b32_fingerprint,
+        text.b53_rolling_hash,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_text_family_survives_hostile_docs(spark, hostile_dir, fn):
+    rows = fn(spark, hostile_dir).collect()
+    assert len(rows) == len(_DOCS)  # map-only: every doc in, every doc out
+
+
+def test_exact_dedup_on_hostile_docs(spark, hostile_dir):
+    # b21 emits one row per distinct text (dup_count >= 1)
+    rows = dedup.b21_exact_dedup(spark, hostile_dir).collect()
+    dup_groups = {r["keep_id"]: r["dup_count"] for r in rows if r["dup_count"] > 1}
+    # docs 8/9 are the planted exact dup; docs 0/11 (both NULL text)
+    # group together too — SQL GROUP BY treats NULLs as equal, in
+    # Spark AND the DuckDB oracle alike, so the behavior is pinned
+    # here as documented rather than "fixed" into oracle divergence
+    assert dup_groups == {8: 2, 0: 2}
+    assert len(rows) == len(_DOCS) - 2
+
+
+def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
+    for fn in (
+        dedup.b26_ngram_jaccard_pairs,
+        dedup.b27_minhash_lsh_dedup,
+        dedup.b28_simhash_dedup,
+    ):
+        pairs = {
+            (r["doc_a"], r["doc_b"]) for r in fn(spark, hostile_dir).collect()
+        }
+        # the exact-dup pair is the only legitimate near-dup; the
+        # degenerate docs (NULL/empty/1-char) must not pair with
+        # anything — a NULL-shingle bucket key or an empty shingle set
+        # silently matching everything is the classic corpus-dedup bug
+        assert (8, 9) in pairs, fn.__name__
+        bad = {p for p in pairs if p != (8, 9)}
+        assert not bad, (fn.__name__, bad)

@@ -1,0 +1,93 @@
+"""Hostile-input robustness for the embeddings-reading family.
+
+A 100 TB embedding table will contain all-zero vectors (dead encoder
+outputs), NULL rows (failed upstream decode), and mis-dimensioned
+arrays (schema drift). The similarity family must neither crash nor
+emit phantom neighbors for them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_sandbox_spark.operators.similarity import (
+    b33_cosine_topk,
+    b34_ann_ivf_label,
+    b35_ann_random_projection,
+)
+
+_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def hostile_vec_dir(tmp_path_factory) -> str:
+    g = np.random.default_rng(99)
+    clean = g.normal(size=(30, _DIM)).astype(np.float32)
+    vecs: list = [v.tolist() for v in clean]
+    ids = list(range(30))
+    # vec_id 100: all-zero vector (norm 0)
+    ids.append(100)
+    vecs.append([0.0] * _DIM)
+    # vec_id 101: NULL embedding
+    ids.append(101)
+    vecs.append(None)
+    # vec_id 102: wrong dimension (8 instead of 64)
+    ids.append(102)
+    vecs.append([1.0] * 8)
+    tmp = tmp_path_factory.mktemp("hostile_vec")
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+@pytest.mark.parametrize(
+    "fn", [b33_cosine_topk, b34_ann_ivf_label, b35_ann_random_projection],
+    ids=lambda f: f.__name__,
+)
+def test_similarity_family_survives_hostile_vectors(spark, hostile_vec_dir, fn):
+    rows = fn(spark, hostile_vec_dir).collect()
+    assert rows
+    hostile_ids = {100, 101, 102}
+    for r in rows:
+        # degenerate vectors are neither queries nor neighbors, and no
+        # NaN/NULL similarity leaks into the ranking
+        assert r["query_id"] not in hostile_ids, r
+        assert r["neighbor_id"] not in hostile_ids, r
+        assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
+
+
+def test_arrow_topk_survives_hostile_vectors(spark, hostile_vec_dir):
+    from kafka_streams_sandbox_spark.operators.extended import (
+        b44_cosine_topk_arrow,
+    )
+
+    rows = b44_cosine_topk_arrow(spark, hostile_vec_dir).collect()
+    assert rows
+    hostile_ids = {100, 101, 102}
+    for r in rows:
+        assert r["query_id"] not in hostile_ids, r
+        assert r["neighbor_id"] not in hostile_ids, r
+        assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
+
+
+def test_embedding_neardup_survives_hostile_vectors(spark, hostile_vec_dir):
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b39_embedding_neardup,
+        b39_lsh_embedding_neardup,
+    )
+
+    hostile_ids = {100, 101, 102}
+    for fn in (b39_embedding_neardup, b39_lsh_embedding_neardup):
+        for r in fn(spark, hostile_vec_dir).collect():
+            assert r["vec_a"] not in hostile_ids, (fn.__name__, r)
+            assert r["vec_b"] not in hostile_ids, (fn.__name__, r)
+            assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"])
