@@ -64,8 +64,12 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a22_stream_static_join",      # in-query duality assert added
     "a23_stream_stream_join",      # in-query duality assert added
     "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed
-    "b27_minhash_lsh_dedup",       # same candidate-broadcast removal
+    "b27_minhash_lsh_dedup",       # same removal + token-less-doc guard
     "b54_merge_upsert",            # |users|-sized change-set broadcast removed
+    # hostile-input hardening (late r4) also touched b23/b30 (nullif
+    # ratio guards), b26/b28 (token-less-doc guards), and the
+    # embedding family b33/b34/b35/b39 (degenerate-vector guards) —
+    # all already below in the rotation block, so their rows refresh
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded
