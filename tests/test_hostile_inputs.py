@@ -79,6 +79,21 @@ def test_exact_dedup_on_hostile_docs(spark, hostile_dir):
     assert len(rows) == len(_DOCS) - 2
 
 
+def test_cross_source_dedup_on_hostile_docs(spark, hostile_dir):
+    # b24 canonicalizes on the sorted distinct token SET: ""/
+    # whitespace-only docs share the empty-set fingerprint (one
+    # group), NULL texts share the NULL fingerprint (another — SQL
+    # GROUP BY treats NULLs as equal in Spark and DuckDB alike).
+    # Deliberate ("no content" is one canonical document) and
+    # scale-safe: b24 emits groups via groupBy — never pairwise — so
+    # a huge garbage group costs one aggregation row, not a quadratic
+    # bucket (contrast the pair-emitting b26/b28, which exclude those
+    # docs).
+    rows = dedup.b24_dedup_across_sources(spark, hostile_dir).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in rows}
+    assert groups == {0: 2, 1: 2, 8: 2}  # {NULL,NULL} {"",ws-only} {8,9}
+
+
 def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
     for fn in (
         dedup.b26_ngram_jaccard_pairs,
