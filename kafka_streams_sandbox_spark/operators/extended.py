@@ -260,6 +260,8 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = q_tbl["vec_id"].to_numpy()
     q_mat = np.array(q_tbl["embedding"].to_pylist(), dtype=np.float64)
+    if q_mat.size == 0:  # empty slice: keep 2-D so the axis-1 math holds
+        q_mat = q_mat.reshape(0, 64)
     q_norms = np.linalg.norm(q_mat, axis=1)
     q_ids, q_mat = q_ids[q_norms > 0], q_mat[q_norms > 0]
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

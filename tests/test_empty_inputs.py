@@ -1,0 +1,93 @@
+"""Empty-input robustness: every corpus-facing query must return an
+empty result — not crash — when its input table has zero rows.
+
+At cluster scale an empty slice is routine (a new date partition, a
+filtered-out source, a dry ingest batch); a query that throws on
+zero rows can't be scheduled unconditionally. Scope: the families in
+this round's REVERIFY window (text, dedup, similarity, Arrow kernel,
+event readers).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_sandbox_spark.operators import dedup, semantic, similarity, text
+from kafka_streams_sandbox_spark.operators.extended import (
+    b41_pivot_event_counts,
+    b44_cosine_topk_arrow,
+    b51_sliding_window_agg,
+)
+
+_DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+_EMB_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+)
+_EVT_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory) -> str:
+    tmp = tmp_path_factory.mktemp("empty_tables")
+    for name, schema in [
+        ("documents", _DOC_SCHEMA),
+        ("embeddings", _EMB_SCHEMA),
+        ("events", _EVT_SCHEMA),
+    ]:
+        pq.write_table(schema.empty_table(), str(tmp / f"{name}.parquet"))
+    return str(tmp)
+
+
+_QUERIES = [
+    text.b23_text_stats,
+    text.b29_language_id,
+    text.b30_quality_score,
+    text.b31_token_count,
+    text.b32_fingerprint,
+    text.b53_rolling_hash,
+    dedup.b21_exact_dedup,
+    dedup.b24_dedup_across_sources,
+    dedup.b26_ngram_jaccard_pairs,
+    dedup.b27_minhash_lsh_dedup,
+    dedup.b28_simhash_dedup,
+    dedup.b39_embedding_neardup,
+    dedup.b39_lsh_embedding_neardup,
+    similarity.b33_cosine_topk,
+    similarity.b34_ann_ivf_label,
+    similarity.b35_ann_random_projection,
+    b44_cosine_topk_arrow,
+    semantic.b17_latest_per_user,
+    semantic.b18_table_filter_key_eq_value,
+    semantic.b19_tumbling_window_agg,
+    semantic.b20_sessionization,
+    b41_pivot_event_counts,
+    b51_sliding_window_agg,
+]
+
+
+@pytest.mark.parametrize("fn", _QUERIES, ids=lambda f: f.__name__)
+def test_query_on_empty_input_returns_empty(spark, empty_dir, fn):
+    assert fn(spark, empty_dir).count() == 0
