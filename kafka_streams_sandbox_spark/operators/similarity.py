@@ -12,8 +12,8 @@ Three tiers, mirroring how a 100 TB vector pipeline is actually built:
    because the pruning is semantic, not probabilistic. At scale the
    win is reading one cell's bucket instead of the full corpus:
    partition the parquet by cell id and Spark prunes at the scan.
-3. ``b35_ann_random_projection`` — LSH: 16 signed random projections
-   -> 16-bit bucket -> candidates rerank. Probabilistic recall ->
+3. ``b35_ann_random_projection`` — LSH: 8 signed random projections
+   -> 8-bit bucket -> candidates rerank. Probabilistic recall ->
    rows-only check. Bucket join replaces the n² pair space with
    O(n·bucket_size); planes are hash-derived so the signature is
    deterministic across executors with no broadcast state.
@@ -201,7 +201,7 @@ _SIGNATURE_EXPR = f"""
 
 @query("b35_ann_random_projection")  # rows-only: LSH recall is probabilistic
 def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 16-bit signature buckets, exact
+    """Sign-random-projection LSH: 8-bit signature buckets, exact
     cosine rerank inside each bucket, top-3 per query.
 
     Map-only signatures -> shuffle on 16-bit bucket -> small dense
