@@ -39,6 +39,14 @@ QUERIES = (
     "b39_lsh_embedding_neardup",
     "b78_keep_best_in_cluster",
     "b60_canonical_assignment",
+    # round-4 extension: the remaining banded paths, plus the exact
+    # brute-force b33 anchor vs its Arrow-kernel twin b44 — the
+    # same-semantics pair separates plan shape (both O(n*q)) from
+    # per-pair kernel throughput (JVM HOF fold vs numpy matmul)
+    "b28_simhash_dedup",
+    "b35_ann_random_projection",
+    "b33_cosine_topk",
+    "b44_cosine_topk_arrow",
 )
 
 
