@@ -310,10 +310,12 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles never span partitions, so map-side partial aggregation
     # collapses the exploded postings before the shuffle — the
     # exchange moves one row per doc.
-    # content guard (= "has >= 1 whitespace token", regex-free): at
-    # corpus scale the NULL/empty/whitespace-only docs otherwise form
-    # their own degenerate match bucket (tests/test_hostile_inputs.py)
-    posting = docs.filter(F.expr("length(trim(text)) > 0")).select(
+    # content guard: token-less docs (NULL/empty/whitespace-only)
+    # otherwise form their own degenerate match bucket at corpus
+    # scale. Must be the real token test — trim() strips only ASCII
+    # spaces, so a cheaper length(trim(text)) > 0 lets tab/newline-
+    # only docs through (tests/test_hostile_inputs.py).
+    posting = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
         "doc_id",
         F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
     ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
@@ -391,7 +393,7 @@ B39_ORACLE = f"""
                                                       x -> x * x), 'sum')) AS nrm
             FROM embeddings
             WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
-        ) WHERE nrm > 0
+        ) WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            (list_aggregate(list_transform(range(1, {_EMB_DIM + 1}),
@@ -426,8 +428,9 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
     # same degenerate-vector guard as similarity._vectors: NULL /
-    # wrong-dim / zero-norm rows are excluded, not NaN-ranked
-    # (tests/test_hostile_vectors.py)
+    # wrong-dim / zero-norm / NaN- or Inf-component rows are
+    # excluded, not NaN-ranked (0 < nrm < Inf covers the last three —
+    # NaN orders above Inf in both engines; tests/test_hostile_vectors.py)
     emb = (
         embeddings_wide(spark, sf_dir)
         .filter(
@@ -435,7 +438,7 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", to_double_array("embedding").alias("e"))
         .withColumn("nrm", norm2("e"))
-        .filter(F.col("nrm") > 0)
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -545,10 +548,11 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_wide(spark, sf_dir)
     # token-less docs (NULL/empty/whitespace-only) all fold to
     # simhash 0 and would pairwise-match at hamming 0 — a quadratic
-    # garbage bucket at corpus scale. length(trim(text)) > 0 is
-    # exactly "has >= 1 whitespace token", without a regex run
+    # garbage bucket at corpus scale. The guard must be the real
+    # token test: trim() strips only ASCII spaces, so the cheaper
+    # length(trim(text)) > 0 form lets tab/newline-only docs through
     # (tests/test_hostile_inputs.py).
-    sig = docs.filter(F.expr("length(trim(text)) > 0")).select(
+    sig = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
         "doc_id", F.expr(SIMHASH_EXPR).alias("simhash")
     )
     chunks = sig.select(

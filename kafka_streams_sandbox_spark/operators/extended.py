@@ -263,8 +263,10 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q_mat.size == 0:  # empty slice: keep 2-D so the axis-1 math holds
         q_mat = q_mat.reshape(0, 64)
     q_norms = np.linalg.norm(q_mat, axis=1)
-    q_ids, q_mat = q_ids[q_norms > 0], q_mat[q_norms > 0]
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_keep = np.isfinite(q_norms) & (q_norms > 0)
+    q_ids, q_mat = q_ids[q_keep], q_mat[q_keep]
+    if len(q_ids):
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,9 +277,12 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_ids, b_mat = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if not len(ids):  # empty batch: shape (0,) breaks axis-1 math
+                continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
-            ids, mat = ids[norms > 0], mat[norms > 0]
+            keep_rows = np.isfinite(norms) & (norms > 0)
+            ids, mat = ids[keep_rows], mat[keep_rows]
             if not len(ids):
                 continue
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -36,9 +36,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the single-file-scan rationale).
 
     Degenerate rows are excluded up front: NULL embeddings (failed
-    upstream encode), wrong-dimension arrays (schema drift), and
-    all-zero vectors (norm 0 — cosine undefined). At corpus scale
-    these otherwise crash the job or rank as NaN phantom neighbors
+    upstream encode), wrong-dimension arrays (schema drift), all-zero
+    vectors (norm 0 — cosine undefined), and NaN/Inf components
+    (norm NaN/Inf). The ``0 < nrm < Inf`` form covers all of the last
+    three in one predicate because Spark and DuckDB both order NaN
+    above every double (NaN < Inf is false). At corpus scale these
+    rows otherwise crash the job or rank as NaN phantom neighbors —
+    NaN sorts FIRST under cos_sim DESC, so one bad vector would
+    occupy the top-k of every bucket-mate query
     (tests/test_hostile_vectors.py)."""
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
 
@@ -51,7 +56,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double_array("embedding").alias("e"),
         )
         .withColumn("nrm", norm2("e"))
-        .filter(F.col("nrm") > 0)
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
 
 
@@ -63,7 +68,7 @@ _DUCK_VECTORS = f"""
                                                   x -> x * x), 'sum')) AS nrm
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
-    ) WHERE nrm > 0
+    ) WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE
 """
 
 
@@ -204,9 +209,10 @@ def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH: 8-bit signature buckets, exact
     cosine rerank inside each bucket, top-3 per query.
 
-    Map-only signatures -> shuffle on 16-bit bucket -> small dense
-    blocks. Expected bucket population n/2^16 keeps the rerank cheap;
-    at larger corpora raise the plane count (bits) with the log of n.
+    Map-only signatures -> shuffle on the 8-bit bucket key -> small
+    dense blocks. Expected bucket population n/256 keeps the rerank
+    cheap at test scale; at larger corpora raise the plane count
+    (bits) with the log of n.
     """
     v = _vectors(spark, sf_dir).withColumn("sig", F.expr(_SIGNATURE_EXPR))
     q = v.select(

@@ -62,8 +62,11 @@ def build_10x(out_dir: str) -> None:
         "region nation customer supplier part orders lineitem events"
     ).split():
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(SF_DIR, f"{name}.parquet"), dst)
+        # lexists, not exists: a dangling symlink from a prior run
+        # must be repaired, not re-created (FileExistsError)
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        os.symlink(os.path.join(SF_DIR, f"{name}.parquet"), dst)
 
     # ---- documents: empirical marginals from the sf0.1 corpus ----
     base = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
@@ -95,6 +98,11 @@ def build_10x(out_dir: str) -> None:
         if dup_mask[i] and i > 10:
             j = int(rng.integers(0, i))
             words = list(doc_words[j])
+            if not words:  # empty source doc: nothing to mutate-copy
+                doc_words.append(
+                    [str(w) for w in rng.choice(vocab, int(n_words[i]), p=freq)]
+                )
+                continue
             # mutate ~10% of words so the copy is a NEAR dup
             for k in rng.integers(0, len(words), max(1, len(words) // 10)):
                 words[k] = str(rng.choice(vocab, p=freq))

@@ -29,6 +29,11 @@ _DOCS = [
     (9, "the quick brown fox jumps over the lazy dog " * 8),  # exact dup of 8
     (10, "lorem ipsum dolor sit amet " * 4000),  # ~100 kB
     (11, None),  # second NULL: a NULL-key bucket must not self-pair
+    # tab/newline-only PAIR: trim() strips only ASCII spaces, so a
+    # length(trim(text)) > 0 guard would pass both and they would
+    # minhash/simhash-match each other (zero tokens -> simhash 0)
+    (12, "\t\n\t"),
+    (13, "\n \t"),
 ]
 
 
@@ -91,7 +96,8 @@ def test_cross_source_dedup_on_hostile_docs(spark, hostile_dir):
     # docs).
     rows = dedup.b24_dedup_across_sources(spark, hostile_dir).collect()
     groups = {r["keep_id"]: r["n_copies"] for r in rows}
-    assert groups == {0: 2, 1: 2, 8: 2}  # {NULL,NULL} {"",ws-only} {8,9}
+    # {NULL,NULL} {"",ws-only,tab-only,tab-only} {8,9}
+    assert groups == {0: 2, 1: 4, 8: 2}
 
 
 def test_neardup_family_survives_hostile_docs(spark, hostile_dir):

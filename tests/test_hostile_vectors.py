@@ -37,6 +37,14 @@ def hostile_vec_dir(tmp_path_factory) -> str:
     # vec_id 102: wrong dimension (8 instead of 64)
     ids.append(102)
     vecs.append([1.0] * 8)
+    # vec_id 103: NaN component — norm NaN, and NaN sorts ABOVE every
+    # double in Spark, so an unguarded plan ranks it as the #1
+    # phantom neighbor of every bucket mate
+    ids.append(103)
+    vecs.append([float("nan")] + [1.0] * (_DIM - 1))
+    # vec_id 104: Inf component — norm Inf, cosine Inf/Inf = NaN
+    ids.append(104)
+    vecs.append([float("inf")] + [1.0] * (_DIM - 1))
     tmp = tmp_path_factory.mktemp("hostile_vec")
     table = pa.table(
         {
@@ -56,7 +64,7 @@ def hostile_vec_dir(tmp_path_factory) -> str:
 def test_similarity_family_survives_hostile_vectors(spark, hostile_vec_dir, fn):
     rows = fn(spark, hostile_vec_dir).collect()
     assert rows
-    hostile_ids = {100, 101, 102}
+    hostile_ids = {100, 101, 102, 103, 104}
     for r in rows:
         # degenerate vectors are neither queries nor neighbors, and no
         # NaN/NULL similarity leaks into the ranking
@@ -72,7 +80,7 @@ def test_arrow_topk_survives_hostile_vectors(spark, hostile_vec_dir):
 
     rows = b44_cosine_topk_arrow(spark, hostile_vec_dir).collect()
     assert rows
-    hostile_ids = {100, 101, 102}
+    hostile_ids = {100, 101, 102, 103, 104}
     for r in rows:
         assert r["query_id"] not in hostile_ids, r
         assert r["neighbor_id"] not in hostile_ids, r
@@ -85,7 +93,7 @@ def test_embedding_neardup_survives_hostile_vectors(spark, hostile_vec_dir):
         b39_lsh_embedding_neardup,
     )
 
-    hostile_ids = {100, 101, 102}
+    hostile_ids = {100, 101, 102, 103, 104}
     for fn in (b39_embedding_neardup, b39_lsh_embedding_neardup):
         for r in fn(spark, hostile_vec_dir).collect():
             assert r["vec_a"] not in hostile_ids, (fn.__name__, r)
