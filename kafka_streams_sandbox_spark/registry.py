@@ -70,6 +70,11 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # ratio guards), b26/b28 (token-less-doc guards), and the
     # embedding family b33/b34/b35/b39 (degenerate-vector guards) —
     # all already below in the rotation block, so their rows refresh
+    # --- late-r4 streaming semantics fixes (self-review): ---
+    "a08_stream_tombstone_store",  # store upsert order survives restart
+    "a09_app_interactive_query",   # same store path via StreamsApp
+    "a21_stream_running_stats",    # (ts, event_id) tie-break = b17's
+    "a24_stream_dedup_watermark",  # full-payload content dedup key
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded

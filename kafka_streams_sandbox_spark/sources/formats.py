@@ -16,13 +16,24 @@ from pyspark.sql.types import StructType
 def read_csv(
     spark: SparkSession, path: str, schema: StructType, header: bool = True
 ) -> DataFrame:
-    """CSV with explicit schema; malformed rows land in a corrupt
-    column instead of failing the job (PERMISSIVE), which is what an
-    ingest pipeline wants — count them, don't die on them."""
+    """CSV with explicit schema; malformed rows land in the
+    ``_corrupt_record`` column instead of failing the job
+    (PERMISSIVE), which is what an ingest pipeline wants — count
+    them, don't die on them. PERMISSIVE only CAPTURES the raw line
+    when the schema carries the corrupt column, so it is appended
+    here if absent — without it a malformed row silently becomes
+    all-NULLs, indistinguishable from legitimate null data."""
+    from pyspark.sql.types import StringType, StructField
+
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
 

@@ -42,11 +42,23 @@ _EVENTS_FIXED_FIELDS = [
 ]
 
 
+# ts arrives as either int64-nanos or native timestamp depending on
+# the testdata generation (see catalog.normalize_event_ts); the probe
+# is one driver-side footer read, fixed per sf_dir for the process
+# lifetime — cache it like _STAGE_CACHE below so every streaming
+# query construction (a19-a27, twice in a23) doesn't re-list files.
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Schema the parquet stream reader will produce for events."""
-    ts_field = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"]
-    fields = [_EVENTS_FIXED_FIELDS[0], ts_field] + _EVENTS_FIXED_FIELDS[1:]
-    return StructType(fields)
+    schema = _SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        ts_field = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"]
+        fields = [_EVENTS_FIXED_FIELDS[0], ts_field] + _EVENTS_FIXED_FIELDS[1:]
+        schema = StructType(fields)
+        _SCHEMA_CACHE[sf_dir] = schema
+    return schema
 
 
 # One staging dir per (sf_dir, table) for the process lifetime —
@@ -62,7 +74,11 @@ def _staged_table_dir(sf_dir: str, name: str) -> str:
     stage = _STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
         stage = tempfile.mkdtemp(prefix=f"kss-{name}-src-")
-        os.symlink(f"{sf_dir}/{name}.parquet", f"{stage}/{name}.parquet")
+        # abspath: a relative sf_dir would otherwise be stored
+        # verbatim in the link and resolve against the STAGE dir —
+        # a dangling symlink the stream reader hits at runtime
+        src = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+        os.symlink(src, f"{stage}/{name}.parquet")
         _STAGE_CACHE[key] = stage
     return stage
 

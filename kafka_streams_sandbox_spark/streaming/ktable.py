@@ -191,6 +191,11 @@ class ParquetKTableStore:
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        # upsert-order base: resolved from the persisted store on the
+        # first merge, so a new app run (whose Spark micro-batch ids
+        # restart at 0) stamps its rows ABOVE everything already
+        # persisted — see merge_batch
+        self._base: int | None = None
 
     # -- version pointer ---------------------------------------------------
     def _current_file(self) -> str:
@@ -246,13 +251,50 @@ class ParquetKTableStore:
         df = self._read_version(os.path.join(self.path, version))
         return None if df is None else df.drop("__bucket")
 
+    def _persisted_next_base(self) -> int:
+        """First stamp value that outranks every persisted row.
+
+        Version dirs are named ``v{stamp}-{hex}`` where stamp is the
+        highest ``__batch`` written by that merge, so the pointer name
+        itself carries the watermark — no data scan needed."""
+        prev = self.current_version()
+        if prev is None:
+            return 0
+        try:
+            return int(prev.split("-", 1)[0][1:]) + 1
+        except ValueError:  # unexpected legacy name
+            return 0
+
     # -- merge -------------------------------------------------------------
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self._base is None:
+            self._base = self._persisted_next_base()
+        # Stamp rows with base + batch_id, NOT raw batch_id: Spark
+        # micro-batch ids restart at 0 per streaming query (fresh
+        # checkpoint per StreamsApp.start), so raw ids would let rows
+        # persisted by a previous run outrank this run's upserts.
+        if "__batch" in batch.columns:
+            batch = batch.withColumn(
+                "__batch", F.col("__batch") + F.lit(self._base)
+            )
+        else:
+            batch = batch.withColumn("__batch", F.lit(self._base + batch_id))
+        batch = batch.withColumn("__bucket", self._bucket_col())
+        # foreachBatch re-executes the upstream plan per action; this
+        # merge needs three (stamp probe, changed-bucket collect,
+        # write), so cache the batch for its duration.
+        batch = batch.persist()
+        try:
+            self._merge_cached(batch)
+        finally:
+            batch.unpersist()
+
+    def _merge_cached(self, batch: DataFrame) -> None:
         from kafka_streams_sandbox_spark.operators.semantic import latest_per_key
 
-        if "__batch" not in batch.columns:
-            batch = batch.withColumn("__batch", F.lit(batch_id))
-        batch = batch.withColumn("__bucket", self._bucket_col())
+        stamp = int(
+            batch.agg(F.max("__batch")).collect()[0][0] or self._base
+        )
         # Changed-bucket set: at most n_buckets small ints — a bounded
         # driver-side collect by construction.
         changed = sorted(
@@ -261,7 +303,7 @@ class ParquetKTableStore:
         )
 
         prev_version = self.current_version()
-        version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        version = f"v{stamp}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(self.path, version)
         os.makedirs(vdir, exist_ok=True)
 

@@ -195,6 +195,7 @@ STATE_SCHEMA = StructType(
         StructField("n", LongType()),
         StructField("s", DoubleType()),
         StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
         StructField("last_type", StringType()),
     ]
 )
@@ -206,18 +207,27 @@ def _running_stats(
     """Per-key running (count, sum, latest event) — the custom-operator
     shape Spark's built-in aggs can't express when the update logic
     gets imperative (model-state, decaying counters, ...). State is one
-    tiny row per key; Arrow moves batches, not rows."""
-    (n, s, last_us, last_type) = (
-        state.get if state.exists else (0, 0.0, -1, "")
+    tiny row per key; Arrow moves batches, not rows.
+
+    The "latest" pick orders by (event time, event_id) LEXICOGRAPHIC —
+    the same ORDER BY ts DESC, event_id DESC as the batch twin b17, so
+    the a21 in-query duality assert holds even when two events share a
+    max timestamp (a plain idxmax would keep the FIRST-arriving max
+    instead and diverge on last_event_type)."""
+    (n, s, last_us, last_eid, last_type) = (
+        state.get if state.exists else (0, 0.0, -1, -1, "")
     )
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        us = (pdf["ts"].astype("int64") // 1000).max()
-        if us > last_us:
-            row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
-            last_us, last_type = int(us), str(row["event_type"])
-    state.update((n, s, last_us, last_type))
+        top = pdf.assign(__us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["__us", "event_id"]
+        ).iloc[-1]
+        cand = (int(top["__us"]), int(top["event_id"]))
+        if cand > (last_us, last_eid):
+            last_us, last_eid = cand
+            last_type = str(top["event_type"])
+    state.update((n, s, last_us, last_eid, last_type))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -399,15 +409,38 @@ def a23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def dedup_content_key():
+    """a24's dedup key: content hash over the FULL logical payload
+    (user_id, event_type, value, props). Shared between the stream
+    and its batch twin so the duality is structural. Two rules:
+
+    * event_id and ts are EXCLUDED — a retransmission carries the
+      same content under a fresh id/timestamp, which is exactly what
+      must collapse;
+    * every field is coalesced to a sentinel BEFORE concat_ws, which
+      silently drops NULLs and would otherwise alias ('a', NULL)
+      with (NULL, 'a').
+
+    An earlier form hashed only (event_type, props) — on a payload
+    whose props is a tiny JSON that collapsed *distinct users'
+    distinct-value events* as "duplicates".
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+        for c in ("user_id", "event_type", "value", "props")
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
 @query("a24_stream_dedup_watermark")  # rows-only: streaming, no SQL twin
 def a24_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup — the Layer-A twin of b21: keep the first
     occurrence per dedup key with dropDuplicatesWithinWatermark, so
     state for a key is dropped once the watermark passes it (bounded
     state at 100 TB — a plain dropDuplicates would hold every key
-    forever). Key = content hash of the payload (md5(props)||type),
-    the streaming analog of b21's text hash; duplicate retransmissions
-    inside the watermark horizon collapse to one row.
+    forever). Key = ``dedup_content_key()`` (full-payload content
+    hash, the streaming analog of b21's text hash); duplicate
+    retransmissions inside the watermark horizon collapse to one row.
     """
     # watermarks need TIMESTAMP (ltz); session tz is pinned UTC so the
     # ntz->ltz cast is value-preserving
@@ -416,9 +449,7 @@ def a24_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
     )
-    keyed = ev.withColumn(
-        "dedup_key", F.md5(F.concat_ws("|", "event_type", "props"))
-    )
+    keyed = ev.withColumn("dedup_key", dedup_content_key())
     deduped = keyed.dropDuplicatesWithinWatermark(["dedup_key"])
     view = run_to_memory(deduped.select("dedup_key", "event_id", "ts"), "append")
     return spark.table(view)

@@ -70,6 +70,63 @@ def test_store_merge_upsert_and_delete(spark, tmp_path):
     assert {r.k: r.v for r in store.read().collect()} == {"a": 9, "c": 3}
 
 
+def test_store_restart_upserts_win_over_persisted_rows(spark, tmp_path):
+    """A new app run's micro-batch ids restart at 0 (StreamsApp builds
+    a fresh checkpoint per start), so the store's upsert order must
+    NOT be the raw Spark batch id: a persisted row from run 1 batch 2
+    would outrank run 2 batch 0 and the restart's writes would be
+    silently discarded. The store re-bases its ordering stamp from the
+    persisted version watermark on first merge."""
+    root = str(tmp_path / "store")
+    run1 = ParquetKTableStore(spark, root, key="k")
+    run1.merge_batch(_store_batch(spark, [("a", 1, False)]), 0)
+    run1.merge_batch(_store_batch(spark, [("a", 2, False)]), 1)
+    assert {r.k: r.v for r in run1.read().collect()} == {"a": 2}
+    # simulate restart: fresh store object over the same path, fresh
+    # batch ids starting at 0
+    run2 = ParquetKTableStore(spark, root, key="k")
+    run2.merge_batch(_store_batch(spark, [("a", 7, False)]), 0)
+    assert {r.k: r.v for r in run2.read().collect()} == {"a": 7}
+    run2.merge_batch(_store_batch(spark, [("a", 0, True)]), 1)
+    assert run2.read().count() == 0  # restart tombstone also wins
+
+
+def test_running_stats_tiebreak_matches_batch_latest(spark, tmp_path):
+    """a21's latest-event pick must use (ts, event_id) lexicographic
+    order like b17 — on an exact event-time collision the higher
+    event_id wins, not the first-arriving row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        running_stats_stream,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import events_stream
+
+    t = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000] * 2 + [1_600_000_000_000_000],
+                pa.timestamp("us"),
+            ),  # 10 and 11 collide on the MAX ts; 12 is older
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["first", "second", "old"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = running_stats_stream(events_stream(spark, str(tmp_path)))
+    from kafka_streams_sandbox_spark.streaming.windows import run_to_memory
+
+    view = run_to_memory(out, "update")
+    rows = spark.table(view).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 3
+    assert rows[0]["last_event_type"] == "second"  # id 11 beats id 10
+
+
 def test_passthrough_preserves_every_record(spark, sf_dir):
     """A6: the raw sink is append-only passthrough — no upsert."""
     qs = all_queries()
@@ -428,16 +485,14 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     the same content key (stream-batch duality for exact dedup)."""
     from kafka_streams_sandbox_spark.registry import all_queries
 
+    from kafka_streams_sandbox_spark.streaming.windows import dedup_content_key
+
     qs = all_queries()
     streamed = qs["a24_stream_dedup_watermark"](spark, sf_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch_keys = {
         r.k
-        for r in ev.select(
-            F.md5(F.concat_ws("|", "event_type", "props")).alias("k")
-        )
-        .distinct()
-        .collect()
+        for r in ev.select(dedup_content_key().alias("k")).distinct().collect()
     }
     streamed_keys = {r.dedup_key for r in streamed.collect()}
     assert streamed_keys == batch_keys
