@@ -282,8 +282,14 @@ _OUTLIER_K = 10
 
 B81_ORACLE = f"""
     WITH v AS (
-        SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS e
-        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        SELECT * FROM (
+            SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS e,
+                   sqrt(list_aggregate(list_transform(
+                        CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                       AS enrm
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE e.embedding IS NOT NULL AND len(e.embedding) = {_DIM}
+        ) WHERE enrm > 0 AND enrm < 'infinity'::DOUBLE
     ),
     comp AS (
         SELECT lang, pos,
@@ -306,8 +312,7 @@ B81_ORACLE = f"""
         SELECT v.doc_id, v.lang,
                (list_aggregate(list_transform(range(1, {_DIM} + 1),
                                               i -> v.e[i] * c.c[i]), 'sum')
-                / (sqrt(list_aggregate(list_transform(v.e, x -> x * x),
-                                       'sum'))
+                / (v.enrm
                    * sqrt(list_aggregate(list_transform(c.c, x -> x * x),
                                          'sum')))) AS cos_sim
         FROM v JOIN cent c USING (lang)
@@ -339,9 +344,20 @@ def b81_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, WindowGroupLimit keeps K per language.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    emb = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        to_double_array("embedding").alias("e"),
+    # the family-wide degenerate-vector guard (similarity._vectors):
+    # NULL / wrong-dim / zero-norm / NaN- or Inf-component embeddings
+    # would otherwise poison the centroid sums AND claim the rnk=1
+    # outlier slots with NULL cos_sim (Spark sorts NULLs first ASC,
+    # DuckDB last — an oracle divergence on top of the wrong answer)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == _DIM))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            to_double_array("embedding").alias("e"),
+        )
+        .withColumn("enrm", norm2("e"))
+        .filter((F.col("enrm") > 0) & (F.col("enrm") < F.lit(float("inf"))))
     )
     v = docs.join(emb, "doc_id")
     comp = (
@@ -376,7 +392,7 @@ def b81_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = v.join(F.broadcast(cent), "lang").select(
         "lang",
         "doc_id",
-        (dot("e", "c") / (norm2("e") * F.col("cnrm"))).alias("cos_sim"),
+        (dot("e", "c") / (F.col("enrm") * F.col("cnrm"))).alias("cos_sim"),
     )
     w = Window.partitionBy("lang").orderBy("cos_sim", "doc_id")
     return (

@@ -128,8 +128,11 @@ def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
         )
         .withColumn(
+            # integer DIV, same rationale as the bucket id above: the
+            # double path drifts from exact floor-division once the
+            # cumulative token total passes 2^53
             "pack_id",
-            F.floor(F.col("prior") / F.lit(PACK_BUDGET)).cast("long"),
+            F.expr(f"prior DIV {PACK_BUDGET}"),
         )
     )
     return prior.groupBy("pack_id").agg(

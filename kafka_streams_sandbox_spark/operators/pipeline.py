@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import documents_wide, table
-from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+from kafka_streams_sandbox_spark.functions.tokens import (
+    DUCK_TRIGRAMS_EXPR,
+    TOKENS_EXPR,
+    TRIGRAMS_EXPR,
+)
 from kafka_streams_sandbox_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -120,16 +124,15 @@ B58_ORACLE = f"""
 def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} characteristic terms per document by tf·idf.
 
-    Plan: explode tokens -> (doc, term) counts (ONE shuffle, map-side
-    combined) -> ROLLUP(term) document frequency: the per-term df rows
-    AND the global distinct-doc count ride the SAME vocabulary shuffle
-    (the NULL-term rollup row IS n_docs), so there is no separate
-    corpus-count job -> broadcast df + the 1-row n_docs back onto the
-    tf table -> WindowGroupLimit top-k per doc. The corpus-sized data
-    shuffles once; the vocabulary (bounded, Zipf-small relative to the
-    corpus) is what broadcasts. N counts docs with >=1 token (a
-    token-less doc carries no TF-IDF mass anyway). At 100 TB cap the
-    vocabulary by min-df pruning before the broadcast.
+    Plan: N = docs.count() (parquet footer metadata, no data scan) ->
+    explode tokens -> (doc, term) counts (ONE shuffle, map-side
+    combined) -> lineage-cut tf reused for BOTH per-term df (plain
+    COUNT over the already-distinct (doc, term) rows) and the scoring
+    join -> broadcast df back onto tf -> WindowGroupLimit top-k per
+    doc. The corpus-sized data shuffles once; the vocabulary (bounded,
+    Zipf-small relative to the corpus) is what broadcasts. N counts
+    ALL documents, like the oracle. At 100 TB cap the vocabulary by
+    min-df pruning before the broadcast.
     """
     docs = table(spark, sf_dir, "documents")
     # N = corpus size. df.count() on parquet is a metadata-only job
@@ -404,7 +407,7 @@ def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B63: intra-document repetition (boilerplate / degenerate-text signal)
 # ---------------------------------------------------------------------------
-B63_ORACLE = """
+B63_ORACLE = f"""
     SELECT doc_id,
            CAST(len(tg) AS BIGINT) AS n_trigrams,
            CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct,
@@ -412,10 +415,7 @@ B63_ORACLE = """
                AS repetition_ratio
     FROM (
         SELECT doc_id,
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-               END AS tg
+               {DUCK_TRIGRAMS_EXPR} AS tg
         FROM (SELECT doc_id,
                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                  t -> t != '') AS toks
@@ -437,12 +437,7 @@ def b63_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     trig = toks.select(
         "doc_id",
         F.expr(
-            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
-               ELSE transform(sequence(1, size(toks) - 2),
-                    i -> concat_ws(' ', element_at(toks, i),
-                                   element_at(toks, i + 1),
-                                   element_at(toks, i + 2)))
-               END"""
+            TRIGRAMS_EXPR
         ).alias("tg"),
     )
     n_t = F.size("tg")
@@ -796,10 +791,7 @@ _B69_MAX_REPETITION = 0.05
 B69_ORACLE = f"""
     WITH tg AS (
         SELECT doc_id, len(toks) AS n_tokens,
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-               END AS tg
+               {DUCK_TRIGRAMS_EXPR} AS tg
         FROM (SELECT doc_id,
                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                  t -> t != '') AS toks
@@ -832,12 +824,7 @@ def quality_verdict(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.expr(
-            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
-               ELSE transform(sequence(1, size(toks) - 2),
-                    i -> concat_ws(' ', element_at(toks, i),
-                                   element_at(toks, i + 1),
-                                   element_at(toks, i + 2)))
-               END"""
+            TRIGRAMS_EXPR
         ).alias("tg"),
     )
     scored = trig.select(
@@ -985,12 +972,7 @@ B71_ORACLE = f"""
                (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
                    AS repetition_ratio
         FROM (SELECT *,
-                     CASE WHEN len(toks) < 3
-                          THEN [array_to_string(toks, ' ')]
-                          ELSE list_transform(range(1, len(toks) - 1),
-                               i -> toks[i] || ' ' || toks[i+1] || ' '
-                                    || toks[i+2])
-                     END AS tg
+                     {DUCK_TRIGRAMS_EXPR} AS tg
               FROM toks)
     ),
     quality AS (
@@ -1008,7 +990,7 @@ B71_ORACLE = f"""
         SELECT d.* FROM dedup d
         JOIN (VALUES {", ".join(f"({t}, CAST({w} AS DOUBLE))" for t, w in _B67_TIERS)})
              tiers(tier, w)
-          ON CAST(substring(d.source, 4) AS INT) % 4 = tiers.tier
+          ON TRY_CAST(substring(d.source, 4) AS INT) % 4 = tiers.tier
         WHERE (d.doc_id * 16807) % 1000 < tiers.w * 1000
     ),
     split AS (
@@ -1057,12 +1039,7 @@ def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     trig = toks.withColumn(
         "tg",
         F.expr(
-            """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
-               ELSE transform(sequence(1, size(toks) - 2),
-                    i -> concat_ws(' ', element_at(toks, i),
-                                   element_at(toks, i + 1),
-                                   element_at(toks, i + 2)))
-               END"""
+            TRIGRAMS_EXPR
         ),
     )
     scored = trig.select(
@@ -1091,11 +1068,20 @@ def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_id",
             F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w_fp),
         )
-        .withColumn("tier", F.expr("CAST(substring(source, 4) AS INT)") % 4)
-        .join(F.broadcast(tiers), "tier")
+        # TRY_CAST + LEFT join: a doc whose source doesn't parse as a
+        # tier must still count in raw/quality/dedup (the attrition
+        # baseline is BY DEFINITION the full corpus) and then fail the
+        # mixture stage — an inner join here silently vanished such
+        # docs from every stage, and a plain CAST would abort both
+        # engines under ANSI on the first junk source
+        .withColumn("tier", F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4)
+        .join(F.broadcast(tiers), "tier", "left")
         .withColumn(
             "mix_keep",
-            ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000),
+            F.coalesce(
+                ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000),
+                F.lit(False),
+            ),
         )
         .withColumn(
             "label",

@@ -58,8 +58,12 @@ def b83_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greatest() guards keep a value shorter than 5 chars fully in the
     # visible tail (mask nothing) instead of feeding the engines
     # negative substring bounds, where their behaviors diverge
-    # (DuckDB errors, Spark returns '').
-    masked = F.concat(
+    # (DuckDB errors, Spark returns ''). concat_ws('') instead of
+    # concat for the NULL-name row: Spark concat(NULL, NULL) is NULL
+    # while DuckDB concat(NULL, NULL) is '' — concat_ws skips NULLs
+    # in BOTH engines, so a NULL name masks to '' identically.
+    masked = F.concat_ws(
+        "",
         F.regexp_replace(
             F.substring(
                 F.col("c_name"), F.lit(1), F.greatest(name_len - 4, F.lit(0))

@@ -75,6 +75,12 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a09_app_interactive_query",   # same store path via StreamsApp
     "a21_stream_running_stats",    # (ts, event_id) tie-break = b17's
     "a24_stream_dedup_watermark",  # full-payload content dedup key
+    # --- late-r4 operator-review fixes (see commit messages): ---
+    "b81_lang_centroid_outliers",  # degenerate-vector guard (family parity)
+    "b71_corpus_curation",         # raw count before tier join; TRY_CAST
+    "b83_pii_mask",                # NULL-name concat engine parity
+    "a25_stream_quality_gate",     # shared quality_verdict now uses
+                                   # the single TRIGRAMS_EXPR constant
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded

@@ -54,6 +54,21 @@ def hostile_vec_dir(tmp_path_factory) -> str:
         }
     )
     pq.write_table(table, str(tmp / "embeddings.parquet"))
+    # matching documents table (doc_id == vec_id) so doc-joining
+    # embedding consumers (b81) run on the same hostile corpus
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"doc {i}" for i in ids], pa.string()),
+            "lang": pa.array(
+                [["en", "de", "fr"][i % 3] for i in range(len(ids))],
+                pa.string(),
+            ),
+            "source": pa.array(["srcV"] * len(ids), pa.string()),
+            "n_chars": pa.array([5] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp / "documents.parquet"))
     return str(tmp)
 
 
@@ -84,6 +99,22 @@ def test_arrow_topk_survives_hostile_vectors(spark, hostile_vec_dir):
     for r in rows:
         assert r["query_id"] not in hostile_ids, r
         assert r["neighbor_id"] not in hostile_ids, r
+        assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
+
+
+def test_lang_centroid_outliers_survive_hostile_vectors(spark, hostile_vec_dir):
+    """b81: degenerate vectors must neither poison the language
+    centroids nor claim the top-of-queue outlier slots with NULL
+    cos_sim (Spark sorts NULLs first under ASC ordering)."""
+    from kafka_streams_sandbox_spark.operators.curation import (
+        b81_lang_centroid_outliers,
+    )
+
+    rows = b81_lang_centroid_outliers(spark, hostile_vec_dir).collect()
+    assert rows
+    hostile_ids = {100, 101, 102, 103, 104}
+    for r in rows:
+        assert r["doc_id"] not in hostile_ids, r
         assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
 
 
