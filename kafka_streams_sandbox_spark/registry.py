@@ -125,7 +125,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b68_incremental_dedup",
     "b69_quality_gate",
     "b70_bigram_lm",
-    "b71_corpus_curation",
+    # b71 moved to the operator-review block above
     "b75_table_profile",
     "b76_fuzzy_match",
     "b66_scd2_history",
