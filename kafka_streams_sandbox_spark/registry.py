@@ -81,6 +81,14 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b83_pii_mask",                # NULL-name concat engine parity
     "a25_stream_quality_gate",     # shared quality_verdict now uses
                                    # the single TRIGRAMS_EXPR constant
+    # DELIBERATE TRADEOFF: the two review waves above grew this list
+    # to ~64 against a ~50-query window, so the rotation tail (the
+    # schema-stable relational basics at the bottom) may keep its r2
+    # rows one more round. Changed-code rows outrank stale-but-
+    # unchanged rows — the reverse (fresh rows for unchanged queries,
+    # stale-green rows for changed ones) was round 2's #1 defect.
+    # Every query below ALSO passes the full local contract
+    # (VERIFY_LOCAL_r04.txt, 100/100).
     # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
     # All 33 r3-touched queries landed green r3 rows, so this round's
     # window goes to the 50 queries whose latest row is r1/r2 — recorded
