@@ -270,10 +270,11 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Per-batch top-(k+1) for ALL queries in one argpartition call
-        # (k+1 because the query's own row may be in the batch; the
-        # self-match filters out below and the global window keeps 5).
-        # A per-query Python loop here measured ~2× slower end-to-end.
+        # Per-batch top-(k+1) for ALL queries in one vectorized
+        # column-wise sort (k+1 because the query's own row may be in
+        # the batch; the self-match filters out below and the global
+        # window keeps 5). A per-query Python loop here measured ~2×
+        # slower end-to-end.
         b_ids, b_mat = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -286,9 +287,17 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(ids):
                 continue
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # id-ascending row order + STABLE sort by -sim == the
+            # global window's (cos_sim DESC, neighbor_id ASC) order,
+            # so a tie at the in-batch k boundary keeps the same
+            # candidates the window would — an argpartition here kept
+            # an ARBITRARY side of the tie, making top-5 membership
+            # depend on Arrow batch composition for duplicate vectors
+            order = np.argsort(ids, kind="stable")
+            ids, mat = ids[order], mat[order]
             sims = mat @ b_mat.T  # (batch, queries)
             k = min(6, len(ids))
-            part = np.argpartition(-sims, kth=k - 1, axis=0)[:k, :]
+            part = np.argsort(-sims, axis=0, kind="stable")[:k, :]
             rows = part.ravel(order="F")
             qcol = np.repeat(b_ids, k)
             ncol = ids[rows]
@@ -352,16 +361,11 @@ _PRICE_BANDS = [
     ("lux", 20000.0, 1e12),
 ]
 
-# b46's interval index (band_idx = #{lo bounds <= price} - 1) is only
-# equivalent to the oracle's lo <= p < hi join when the bands tile
-# [0, cap) with no gaps or overlaps — a price inside a gap would
-# silently land in the preceding band instead of matching nothing.
-# Pin that precondition at import so a future band edit can't diverge.
-assert _PRICE_BANDS[0][1] == 0.0, "_PRICE_BANDS must start at 0"
-assert all(
-    _PRICE_BANDS[i][2] == _PRICE_BANDS[i + 1][1]
-    for i in range(len(_PRICE_BANDS) - 1)
-), "_PRICE_BANDS must be contiguous (each hi == next lo)"
+# The explicit lo <= p < hi when-chain in b46 is gap-safe (a price
+# outside every band simply gets no index), so the bands only need
+# each interval well-formed — no contiguity requirement. (An earlier
+# counting-index implementation DID require contiguous bands and
+# pinned it with import-time asserts; those went with it.)
 assert all(lo < hi for _, lo, hi in _PRICE_BANDS), "_PRICE_BANDS ordered"
 
 B46_ORACLE = f"""
@@ -379,17 +383,17 @@ B46_ORACLE = f"""
 @query("b46_range_join_bands", oracle=B46_ORACLE)
 def b46_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: facts matched to [lo, hi) intervals —
-    compiled to an EQUI-join via interval indexing.
+    compiled to an EQUI-join via a derived band index.
 
-    Non-overlapping contiguous intervals admit a derived join key:
-    band_idx = #{lo bounds <= price} - 1, a branch-free fold over the
-    (tiny, literal) bounds array inside whole-stage codegen. The join
-    is then a broadcast HASH join instead of a broadcast nested-loop
-    whose per-row interval scan sits outside codegen — same result,
-    hash-join throughput. This is the bucketing scale path for
-    interval joins generally (for big/overlapping interval tables:
-    explode intervals into fixed-width buckets, equi-join on bucket,
-    re-check bounds).
+    Each fact row computes its band_idx with an explicit
+    lo <= price < hi when-chain over the (tiny, literal) band list —
+    flat branches inside whole-stage codegen — and then joins the
+    band dim on that index: a broadcast HASH join instead of a
+    broadcast nested-loop whose per-row interval scan sits outside
+    codegen. Same result, hash-join throughput. This is the bucketing
+    scale path for interval joins generally (for big/overlapping
+    interval tables: explode intervals into fixed-width buckets,
+    equi-join on bucket, re-check bounds).
     """
     li = table(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
@@ -428,21 +432,27 @@ def b46_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B48_DIM = 64
 
 B48_ORACLE = f"""
-    WITH joined AS (
-        SELECT d.doc_id, d.lang, d.source,
-               CAST(e.embedding AS DOUBLE[]) AS vec
-        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WITH guarded AS (
+        SELECT * FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_aggregate(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                       AS nrm
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_B48_DIM}
+        ) WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE
+    ),
+    joined AS (
+        SELECT d.doc_id, d.lang, d.source, e.vec, e.nrm
+        FROM documents d JOIN guarded e ON e.vec_id = d.doc_id
         WHERE d.lang = 'en' AND d.n_chars >= 200
     ),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
-          FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT vec AS qvec, nrm AS qnrm FROM guarded WHERE vec_id = 0),
     scored AS (
         SELECT j.doc_id, j.source,
                (list_aggregate(list_transform(range(1, {_B48_DIM + 1}),
                                               i -> j.vec[i] * q.qvec[i]), 'sum')
-                / (sqrt(list_aggregate(list_transform(j.vec, x -> x*x), 'sum'))
-                   * sqrt(list_aggregate(list_transform(q.qvec, x -> x*x), 'sum'))))
-                   AS cos_sim
+                / (j.nrm * q.qnrm)) AS cos_sim
         FROM joined j CROSS JOIN q
         WHERE j.doc_id != 0
     )
@@ -461,29 +471,34 @@ def b48_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dot product). Top-k via rank over a single window, which Spark
     executes as per-partition top-k then merge (WindowGroupLimit).
     """
-    from kafka_streams_sandbox_spark.functions.vectors import (
-        dot,
-        norm2,
-        to_double_array,
-    )
+    from kafka_streams_sandbox_spark.functions.vectors import dot
 
-    from kafka_streams_sandbox_spark.catalog import embeddings_wide
+    # reuse the family-wide guarded vector table (NULL / wrong-dim /
+    # zero-norm / NaN- or Inf-component rows excluded) — without it a
+    # single degenerate embedding either NaN-ranks into the top-10 or
+    # diverges from the oracle on wrong-dim padding semantics
+    from kafka_streams_sandbox_spark.operators.similarity import _vectors
 
     docs = table(spark, sf_dir, "documents")
-    emb = embeddings_wide(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select(
-        to_double_array("embedding").alias("qvec")
+    v = _vectors(spark, sf_dir)
+    qvec = v.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qvec"), F.col("nrm").alias("qnrm")
     )
     joined = (
         docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
         .filter(F.col("doc_id") != 0)
-        .join(emb, docs.doc_id == emb.vec_id)
-        .select("doc_id", "source", to_double_array("embedding").alias("vec"))
+        .join(v, docs.doc_id == v.vec_id)
+        .select(
+            "doc_id",
+            "source",
+            F.col("e").alias("vec"),
+            F.col("nrm").alias("vnrm"),
+        )
     )
     scored = joined.crossJoin(F.broadcast(qvec)).select(
         "doc_id",
         "source",
-        (dot("vec", "qvec") / (norm2("vec") * norm2("qvec"))).alias("cos_sim"),
+        (dot("vec", "qvec") / (F.col("vnrm") * F.col("qnrm"))).alias("cos_sim"),
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
     return (
@@ -683,13 +698,18 @@ def b54_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("c_custkey"),
             F.col("value").alias("new_bal"),
+            # join-presence marker: `updated` must mean "a change row
+            # matched", like the oracle's ch.c_custkey IS NOT NULL —
+            # testing new_bal itself would misreport a matched change
+            # whose latest value is NULL (the CDC tombstone case)
+            F.lit(True).alias("__matched"),
         )
     )
     return cust.join(changes, "c_custkey", "left").select(
         "c_custkey",
         "c_name",
         F.coalesce("new_bal", "c_acctbal").alias("c_acctbal"),
-        F.col("new_bal").isNotNull().alias("updated"),
+        F.coalesce("__matched", F.lit(False)).alias("updated"),
     )
 
 

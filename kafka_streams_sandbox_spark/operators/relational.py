@@ -22,12 +22,8 @@ from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import table
 from kafka_streams_sandbox_spark.functions.numeric import (
-    davg,
-    dsum,
     lsum_final,
     lsum_partial,
-    sql_davg,
-    sql_dsum,
     sql_lsum,
 )
 from kafka_streams_sandbox_spark.registry import query

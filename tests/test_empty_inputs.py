@@ -18,6 +18,7 @@ from kafka_streams_sandbox_spark.operators import dedup, semantic, similarity, t
 from kafka_streams_sandbox_spark.operators.extended import (
     b41_pivot_event_counts,
     b44_cosine_topk_arrow,
+    b48_hybrid_search,
     b51_sliding_window_agg,
 )
 
@@ -79,6 +80,7 @@ _QUERIES = [
     similarity.b34_ann_ivf_label,
     similarity.b35_ann_random_projection,
     b44_cosine_topk_arrow,
+    b48_hybrid_search,
     semantic.b17_latest_per_user,
     semantic.b18_table_filter_key_eq_value,
     semantic.b19_tumbling_window_agg,
