@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "b84_salted_join",
     "b85_novel_bigram_ratio",
     "b86_phash_neardup",
+    "b87_duplicated_spans",
+    "b88_shard_shuffle",
+    # b89_shard_write_manifest excluded: a side-effecting sink (writes
+    # + re-reads parquet under a temp root) — it times filesystem churn,
+    # not operator throughput, same reason the a* streaming jobs are out.
 ]
 
 

@@ -587,3 +587,161 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
     ).filter(F.col("hamming") <= 8)
+
+
+# ---------------------------------------------------------------------------
+# b87: span-level duplicated-text coverage (substring dedup signal)
+# ---------------------------------------------------------------------------
+# Doc-level near-dup (b26/b27/b28) misses the dominant real-world
+# duplication mode in web corpora: long verbatim SPANS (boilerplate,
+# licenses, quoted passages) embedded in otherwise-distinct documents.
+# The public "Deduplicating Training Data Makes Language Models
+# Better" (Lee et al., 2022) result removes duplicated substrings of
+# >= ~50 tokens via a suffix array; the distributed re-expression is
+# positional k-token shingles: a span is duplicated iff its shingle
+# occurs in >= 2 distinct documents, and per-doc coverage = tokens
+# under any duplicated span. Reference parity: the sandbox
+# (KStreamsToKTable.java) has no corpus layer; this is part of the
+# mandated training-data-pipeline surface.
+B87_SPAN = 8  # span length in tokens (suffix-array threshold analog)
+
+B87_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, s.pos AS pos, s.sh AS sh
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {B87_SPAN - 2}),
+                          i -> {{'pos': i,
+                                 'sh': array_to_string(toks[i:i + {B87_SPAN - 1}], ' ')}})) AS s
+            FROM t
+            WHERE len(toks) >= {B87_SPAN}
+        )
+    ),
+    dup AS (
+        SELECT sh FROM posting GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_spans,
+               CAST(len(list_distinct(flatten(list(range(pos, pos + {B87_SPAN}))))) AS BIGINT)
+                   AS covered_tokens
+        FROM posting
+        WHERE sh IN (SELECT sh FROM dup)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN COALESCE(len(t.toks), 0) >= {B87_SPAN}
+                     THEN len(t.toks) - {B87_SPAN - 1} ELSE 0 END AS BIGINT) AS n_spans,
+           COALESCE(p.dup_spans, 0) AS dup_spans,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN COALESCE(len(t.toks), 0) > 0
+                THEN CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE) / len(t.toks)
+                ELSE 0.0 END AS dup_token_ratio
+    FROM t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+"""
+
+
+@query("b87_duplicated_spans", oracle=B87_ORACLE)
+def b87_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of each
+    doc's tokens lying under some {B87_SPAN}-token span that appears
+    verbatim in >= 2 distinct documents (Lee et al.'s substring-dedup
+    signal, re-expressed as a distributed shingle pipeline).
+
+    Plan (three uniform-key shuffles, never all-pairs):
+
+        tokenize once -> positional 8-gram postings
+            (doc_id, pos, xxhash64(span))              map-only explode
+        groupBy span-hash -> distinct-doc count >= 2   shuffle 1 (64-bit
+                                                       uniform keys)
+        postings LEFT SEMI dup-hashes                  shuffle 2
+        groupBy doc -> dup position list -> coverage   shuffle 3 (doc_id)
+        left join back to all docs (zeros for clean)
+
+    Coverage is exact interval union: dup positions p expand to token
+    indices [p, p+{B87_SPAN - 1}]; array_distinct of the flattened
+    expansions counts each covered token once, so overlapping spans
+    don't double-count. Per-doc arrays are bounded by doc length.
+
+    Scale: postings are ~tokens-per-corpus rows of (int64, int, int64)
+    — narrow and uniform; the dup set is unbounded so the semi join is
+    a shuffled join by construction (no broadcast hint; AQE may still
+    broadcast when genuinely small). Hashing spans to int64 keeps the
+    shuffle narrow; Jaccard-style collision risk is negligible (b26's
+    argument), so the string-keyed oracle matches exactly. At 100 TB
+    cap df per span (stopword-boilerplate posting lists) exactly as
+    b26 documents.
+    """
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
+    posting = (
+        toks.filter(F.col("n_tokens") >= B87_SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(toks) - {B87_SPAN - 1}),
+                        i -> struct(i AS pos,
+                                    xxhash64(concat_ws(' ', slice(toks, i, {B87_SPAN}))) AS sh))"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.sh")
+    )
+    dup = (
+        posting.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    perdoc = (
+        posting.join(dup, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.expr(f"sequence(pos, pos + {B87_SPAN - 1})")
+                        )
+                    )
+                )
+            ).cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") >= B87_SPAN,
+                F.col("n_tokens") - (B87_SPAN - 1),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_ratio"),
+        )
+    )

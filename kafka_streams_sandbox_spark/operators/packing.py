@@ -141,3 +141,167 @@ def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b88: deterministic training-data global shuffle -> balanced shards
+# ---------------------------------------------------------------------------
+# The other half of the corpus->training-run layout (b82 packs in
+# doc_id order; training additionally needs the ORDER randomized and
+# cut into equal shards). Seeded shuffle = total order by
+# md5('shard:' || doc_id) — reproducible on any cluster size, stable
+# under appends of new doc_ids, no RNG state. Round-robin over the
+# global rank makes shard sizes EXACTLY balanced (differ by <= 1),
+# which binomial hash-mod sharding cannot guarantee.
+B88_SHARDS = 16
+
+B88_ORACLE = f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents
+    )
+    SELECT doc_id, sort_key,
+           CAST(grank - 1 AS BIGINT) AS global_pos,
+           CAST((grank - 1) % {B88_SHARDS} AS BIGINT) AS shard_id,
+           CAST((grank - 1) // {B88_SHARDS} AS BIGINT) AS pos_in_shard
+    FROM (SELECT doc_id, sort_key,
+                 ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS grank
+          FROM k)
+"""
+
+
+@query("b88_shard_shuffle", oracle=B88_ORACLE)
+def b88_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + exactly-balanced shard layout:
+    every doc gets (global_pos, shard_id, pos_in_shard) under the
+    md5-keyed pseudo-random total order.
+
+    The oracle's ROW_NUMBER() OVER (ORDER BY sort_key) is a
+    single-partition global sort — a non-starter at 100 TB. The
+    distributed form reuses b82's two-phase prefix pattern, keyed by
+    the HASH ORDER instead of doc_id:
+
+    1. bucket = first hex nibble of the sort key (16 range buckets of
+       the key space — uniform by construction, since md5 output is
+       uniform; no sampling needed, unlike RangePartitioner);
+    2. per-bucket rank: ROW_NUMBER windows partitioned by bucket,
+       ordered by (sort_key, doc_id) — bucket-parallel;
+    3. bucket row-counts cumsum'd into exclusive offsets on the
+       BOUNDED 16-row totals table, broadcast back:
+       global_pos = bucket_offset + bucket_rank - 1.
+
+    Hex-prefix buckets ARE ranges of the sort order (lexicographic on
+    lowercase hex), so offset + in-bucket rank is the exact global
+    rank. At real scale widen the prefix (2 hex chars = 256 buckets,
+    4 = 65536) to match cluster parallelism — changes no semantics.
+    Shard assignment is then pure arithmetic on global_pos: shard =
+    pos % S (round-robin, sizes exact to +/-1), pos_in_shard =
+    pos DIV S — each shard reads back in sort order.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    bucketed = docs.withColumn("bucket", F.substring("sort_key", 1, 1))
+
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets_df = F.broadcast(
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "bucket_offset", F.coalesce(F.sum("_n").over(ow), F.lit(0))
+        )
+        .drop("_n")
+    )
+
+    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    ranked = (
+        bucketed.join(offsets_df, "bucket")
+        .withColumn(
+            "global_pos",
+            (F.col("bucket_offset") + F.row_number().over(w) - 1).cast("long"),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "sort_key",
+        "global_pos",
+        (F.col("global_pos") % B88_SHARDS).cast("long").alias("shard_id"),
+        F.expr(f"global_pos DIV {B88_SHARDS}").cast("long").alias("pos_in_shard"),
+    )
+
+
+@query("b89_shard_write_manifest")  # rows-only: a side-effecting sink
+def b89_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard SINK: provision a managed dataset
+    location (a10's TopicAdmin DDL), write b88's shuffled layout as
+    shard_id-partitioned parquet, then re-read the files and verify
+    the layout contract before emitting the per-shard manifest.
+
+    In-query asserts (a run that returns rows certifies them):
+      - read-back row count == corpus count (nothing lost in the sink)
+      - shard sizes exactly balanced (max - min <= 1, b88's guarantee)
+      - pos_in_shard is a dense 0..n-1 sequence per shard (each shard
+        replays in deterministic order)
+      - the DDL manifest's declared partition count == shard count
+
+    Scale: `repartition(shard_id) -> partitionBy(shard_id)` gives one
+    writer task per shard and one directory per shard; at 100 TB use
+    repartition(N, shard_id, pos_in_shard DIV chunk) plus
+    maxRecordsPerFile so each shard becomes a bounded file chain. The
+    manifest collect is 16 rows (shard count), not data-sized.
+    """
+    import shutil
+
+    # streaming.ddl precedes this module in the registry's import
+    # order, so this import can never reorder driver registration.
+    from kafka_streams_sandbox_spark.streaming.ddl import TopicAdmin, TopicSpec
+
+    admin = TopicAdmin()
+    try:
+        admin.create_topics([TopicSpec("training-shards", partitions=B88_SHARDS)])
+        assert admin.describe("training-shards")["partitions"] == B88_SHARDS
+        loc = admin.location("training-shards") + "/data"
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        layout = b88_shard_shuffle(spark, sf_dir).join(docs, "doc_id")
+        (
+            layout.repartition("shard_id")
+            .write.partitionBy("shard_id")
+            .mode("overwrite")
+            .parquet(loc)
+        )
+
+        n_docs = docs.count()
+        rows = []
+        if n_docs:  # empty corpus writes no files -> nothing to read back
+            rb = spark.read.parquet(loc)
+            manifest = (
+                rb.groupBy("shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("total_chars"),
+                    F.max("pos_in_shard").alias("_max_pos"),
+                    F.count_distinct("pos_in_shard").alias("_n_pos"),
+                )
+                .orderBy("shard_id")
+            )
+            rows = manifest.collect()  # bounded: one row per shard
+        assert sum(r["n_docs"] for r in rows) == n_docs, "sink lost rows"
+        sizes = [r["n_docs"] for r in rows] or [0]  # empty corpus: no shards
+        assert max(sizes) - min(sizes) <= 1, f"unbalanced shards {sizes}"
+        for r in rows:
+            assert r["_n_pos"] == r["n_docs"] == r["_max_pos"] + 1, (
+                "pos_in_shard not dense in shard %d" % r["shard_id"]
+            )
+    finally:
+        shutil.rmtree(admin.root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["shard_id"]), int(r["n_docs"]), int(r["total_chars"])) for r in rows],
+        "shard_id long, n_docs long, total_chars long",
+    )

@@ -56,6 +56,10 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
+    # --- NEW in round 4 (no driver row exists at all yet) ---
+    "b87_duplicated_spans",        # span-level substring-dedup coverage
+    "b88_shard_shuffle",           # deterministic global shuffle + shards
+    "b89_shard_write_manifest",    # partitioned shard sink + read-back
     # --- changed in round 4 (code touched this round; rows must refresh) ---
     "b44_cosine_topk_arrow",       # driver-side query collect removed
     "b82_context_packing",         # bucket id now integer DIV (ADVICE r3)

@@ -21,6 +21,10 @@ from kafka_streams_sandbox_spark.operators.extended import (
     b48_hybrid_search,
     b51_sliding_window_agg,
 )
+from kafka_streams_sandbox_spark.operators.packing import (
+    b88_shard_shuffle,
+    b89_shard_write_manifest,
+)
 
 _DOC_SCHEMA = pa.schema(
     [
@@ -87,6 +91,9 @@ _QUERIES = [
     semantic.b20_sessionization,
     b41_pivot_event_counts,
     b51_sliding_window_agg,
+    dedup.b87_duplicated_spans,
+    b88_shard_shuffle,
+    b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
 ]
 
 

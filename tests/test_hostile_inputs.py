@@ -116,3 +116,21 @@ def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
         assert (8, 9) in pairs, fn.__name__
         bad = {p for p in pairs if p != (8, 9)}
         assert not bad, (fn.__name__, bad)
+
+
+def test_duplicated_spans_on_hostile_docs(spark, hostile_dir):
+    """b87: every doc yields a row (zeros for NULL/empty/short); the
+    planted exact-dup pair (8/9) is fully span-covered; the 100 kB
+    single-doc repetition (doc 10) must NOT count — its spans repeat
+    only within one document (intra-doc repetition is b63's signal,
+    not cross-doc duplication)."""
+    from kafka_streams_sandbox_spark.operators.dedup import b87_duplicated_spans
+
+    out = {r["doc_id"]: r for r in b87_duplicated_spans(spark, hostile_dir).collect()}
+    assert set(out) == {d[0] for d in _DOCS}
+    for d in (0, 1, 2, 3, 4, 12, 13):  # null/empty/whitespace/short docs
+        assert out[d]["n_spans"] == 0 and out[d]["dup_token_ratio"] == 0.0
+    for d in (8, 9):  # exact dup pair: full coverage
+        assert out[d]["dup_token_ratio"] == 1.0
+        assert out[d]["covered_tokens"] == out[d]["n_tokens"]
+    assert out[10]["dup_spans"] == 0  # intra-doc repeats don't count

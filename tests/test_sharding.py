@@ -1,0 +1,150 @@
+"""Span-level dedup (b87) and training-shard layout (b88/b89).
+
+b87's planted-corpus test pins the span semantics the sf-data oracle
+can't isolate (exact coverage arithmetic on known overlaps); b88/b89
+pin the layout contract (dense global positions, exact shard balance,
+read-back integrity) and the two-phase plan shape that replaces the
+oracle's single-partition global sort.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_sandbox_spark.operators.dedup import (
+    B87_SPAN,
+    b87_duplicated_spans,
+)
+from kafka_streams_sandbox_spark.operators.packing import (
+    B88_SHARDS,
+    b88_shard_shuffle,
+    b89_shard_write_manifest,
+)
+from kafka_streams_sandbox_spark.plans.inspect import (
+    has_operator,
+    plan_string,
+    uses_row_python_udf,
+)
+
+# Planted span corpus (B87_SPAN == 8):
+#   doc 0 and doc 1 share a verbatim 10-token span ("s1".."s10") with
+#   distinct 8-token prefixes/suffixes -> each has 3 duplicated span
+#   positions covering exactly the 10 shared tokens;
+#   doc 2 is clean; doc 3 is shorter than a span (no spans at all).
+_SHARED = " ".join(f"s{i}" for i in range(1, 11))
+_DOCS = [
+    (0, " ".join(f"a{i}" for i in range(8)) + " " + _SHARED),
+    (1, _SHARED + " " + " ".join(f"b{i}" for i in range(8))),
+    (2, " ".join(f"c{i}" for i in range(30))),
+    (3, "tiny doc below span length"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_dir(tmp_path_factory) -> str:
+    tmp = tmp_path_factory.mktemp("span_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+                "text": pa.array([d[1] for d in _DOCS], pa.string()),
+                "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+                "source": pa.array(["s"] * len(_DOCS), pa.string()),
+                "n_chars": pa.array(
+                    [len(d[1]) for d in _DOCS], pa.int64()
+                ),
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    return str(tmp)
+
+
+def test_b87_planted_span_coverage(spark, span_dir):
+    assert B87_SPAN == 8  # the planted arithmetic below assumes it
+    out = {r["doc_id"]: r for r in b87_duplicated_spans(spark, span_dir).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # docs 0/1: 18 tokens -> 11 spans; the shared 10-token run yields
+    # exactly 3 duplicated 8-gram positions; interval union covers the
+    # 10 shared tokens only
+    for d in (0, 1):
+        r = out[d]
+        assert r["n_tokens"] == 18 and r["n_spans"] == 11
+        assert r["dup_spans"] == 3
+        assert r["covered_tokens"] == 10
+        assert r["dup_token_ratio"] == pytest.approx(10 / 18)
+    # clean doc: spans exist, none duplicated
+    assert out[2]["n_spans"] == 23 and out[2]["dup_spans"] == 0
+    assert out[2]["covered_tokens"] == 0 and out[2]["dup_token_ratio"] == 0.0
+    # short doc: no spans at all, still present with zeros
+    assert out[3]["n_spans"] == 0 and out[3]["dup_token_ratio"] == 0.0
+
+
+def test_b87_plan_never_pairwise(spark, sf_dir):
+    """The span pipeline is posting-list shaped: no nested-loop join
+    (never all-pairs) and no Python anywhere."""
+    df = b87_duplicated_spans(spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not uses_row_python_udf(df), plan
+
+
+def test_b88_layout_contract(spark, sf_dir):
+    rows = b88_shard_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    # global_pos is a dense permutation of 0..n-1
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    # shard/pos are pure arithmetic on global_pos (round-robin)
+    for r in rows:
+        assert r["shard_id"] == r["global_pos"] % B88_SHARDS
+        assert r["pos_in_shard"] == r["global_pos"] // B88_SHARDS
+    # exact balance: shard sizes differ by at most 1
+    sizes = [0] * B88_SHARDS
+    for r in rows:
+        sizes[r["shard_id"]] += 1
+    assert max(sizes) - min(sizes) <= 1, sizes
+    # the order really is the md5 order (not doc_id order)
+    by_pos = sorted(rows, key=lambda r: r["global_pos"])
+    assert [r["sort_key"] for r in by_pos] == sorted(
+        r["sort_key"] for r in rows
+    )
+    assert [r["doc_id"] for r in by_pos] != sorted(r["doc_id"] for r in rows)
+
+
+def test_b88_runs_are_identical(spark, sf_dir):
+    """Seeded shuffle: two independent runs produce byte-identical
+    layouts (no RNG state, no partitioning dependence)."""
+    a = sorted(map(tuple, b88_shard_shuffle(spark, sf_dir).collect()))
+    b = sorted(map(tuple, b88_shard_shuffle(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_b88_no_global_order_window(spark, sf_dir):
+    """The oracle's ROW_NUMBER() OVER (ORDER BY key) is a global sort;
+    the operator must instead rank within hex-prefix buckets and add
+    bounded offsets — exactly one single-partition stage (the 16-row
+    offsets cumsum), corpus windows partitioned by bucket, offsets
+    reaching the corpus via a broadcast join."""
+    df = b88_shard_shuffle(spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count("SinglePartition") == 1, plan
+    assert "windowspecdefinition(bucket#" in plan, plan
+    assert has_operator(df, "BroadcastHashJoin"), plan
+    assert not uses_row_python_udf(df), plan
+
+
+def test_b89_manifest_matches_corpus(spark, sf_dir):
+    """The sink's own in-query asserts (read-back count, balance,
+    dense pos) ran if this returns; check the manifest agrees with
+    the corpus totals."""
+    from kafka_streams_sandbox_spark.catalog import table
+
+    rows = b89_shard_write_manifest(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    total_chars = docs.groupBy().sum("n_chars").collect()[0][0]
+    assert sum(r["total_chars"] for r in rows) == total_chars
+    assert len(rows) == min(B88_SHARDS, docs.count())
