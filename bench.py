@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "b86_phash_neardup",
     "b87_duplicated_spans",
     "b88_shard_shuffle",
+    "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes
     # + re-reads parquet under a temp root) — it times filesystem churn,
     # not operator throughput, same reason the a* streaming jobs are out.

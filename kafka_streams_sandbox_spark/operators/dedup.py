@@ -648,38 +648,11 @@ B87_ORACLE = f"""
 """
 
 
-@query("b87_duplicated_spans", oracle=B87_ORACLE)
-def b87_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplicated-SPAN coverage: the fraction of each
-    doc's tokens lying under some {B87_SPAN}-token span that appears
-    verbatim in >= 2 distinct documents (Lee et al.'s substring-dedup
-    signal, re-expressed as a distributed shingle pipeline).
-
-    Plan (three uniform-key shuffles, never all-pairs):
-
-        tokenize once -> positional 8-gram postings
-            (doc_id, pos, xxhash64(span))              map-only explode
-        groupBy span-hash -> distinct-doc count >= 2   shuffle 1 (64-bit
-                                                       uniform keys)
-        postings LEFT SEMI dup-hashes                  shuffle 2
-        groupBy doc -> dup position list -> coverage   shuffle 3 (doc_id)
-        left join back to all docs (zeros for clean)
-
-    Coverage is exact interval union: dup positions p expand to token
-    indices [p, p+{B87_SPAN - 1}]; array_distinct of the flattened
-    expansions counts each covered token once, so overlapping spans
-    don't double-count. Per-doc arrays are bounded by doc length.
-
-    Scale: postings are ~tokens-per-corpus rows of (int64, int, int64)
-    — narrow and uniform; the dup set is unbounded so the semi join is
-    a shuffled join by construction (no broadcast hint; AQE may still
-    broadcast when genuinely small). Hashing spans to int64 keeps the
-    shuffle narrow; Jaccard-style collision risk is negligible (b26's
-    argument), so the string-keyed oracle matches exactly. At 100 TB
-    cap df per span (stopword-boilerplate posting lists) exactly as
-    b26 documents.
-    """
-    docs = documents_wide(spark, sf_dir)
+def duplicated_spans(docs: DataFrame) -> DataFrame:
+    """Core of b87 over any (doc_id, text) relation — see
+    b87_duplicated_spans for the full design notes. Exposed so
+    property tests can drive arbitrary in-memory corpora through the
+    exact production lineage."""
     toks = docs.select(
         "doc_id", F.expr(TOKENS_EXPR).alias("toks")
     ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
@@ -745,3 +718,37 @@ def b87_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_token_ratio"),
         )
     )
+
+
+@query("b87_duplicated_spans", oracle=B87_ORACLE)
+def b87_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of each
+    doc's tokens lying under some {B87_SPAN}-token span that appears
+    verbatim in >= 2 distinct documents (Lee et al.'s substring-dedup
+    signal, re-expressed as a distributed shingle pipeline).
+
+    Plan (three uniform-key shuffles, never all-pairs):
+
+        tokenize once -> positional 8-gram postings
+            (doc_id, pos, xxhash64(span))              map-only explode
+        groupBy span-hash -> distinct-doc count >= 2   shuffle 1 (64-bit
+                                                       uniform keys)
+        postings LEFT SEMI dup-hashes                  shuffle 2
+        groupBy doc -> dup position list -> coverage   shuffle 3 (doc_id)
+        left join back to all docs (zeros for clean)
+
+    Coverage is exact interval union: dup positions p expand to token
+    indices [p, p+{B87_SPAN - 1}]; array_distinct of the flattened
+    expansions counts each covered token once, so overlapping spans
+    don't double-count. Per-doc arrays are bounded by doc length.
+
+    Scale: postings are ~tokens-per-corpus rows of (int64, int, int64)
+    — narrow and uniform; the dup set is unbounded so the semi join is
+    a shuffled join by construction (no broadcast hint; AQE may still
+    broadcast when genuinely small). Hashing spans to int64 keeps the
+    shuffle narrow; Jaccard-style collision risk is negligible (b26's
+    argument), so the string-keyed oracle matches exactly. At 100 TB
+    cap df per span (stopword-boilerplate posting lists) exactly as
+    b26 documents.
+    """
+    return duplicated_spans(documents_wide(spark, sf_dir))

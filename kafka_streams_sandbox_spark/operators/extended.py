@@ -898,3 +898,131 @@ def b56_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b90: time-grid resample + forward fill (gap-fill)
+# ---------------------------------------------------------------------------
+# The temporal family's missing member (b40 as-of, b51 hopping
+# windows, b66 SCD2, b73 cohorts): regularize an irregular event
+# stream onto a fixed per-key time grid, carrying the latest
+# observation forward — the standard step before feature windows /
+# charting / downsampled storage.
+B90_ORACLE = """
+    WITH spans AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        FROM spans
+    ),
+    u AS (
+        SELECT user_id, grid_ts, CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS DOUBLE) AS value, 1 AS kind, grid_ts AS ord_ts
+        FROM grid
+        UNION ALL
+        SELECT user_id, CAST(NULL AS TIMESTAMP), event_id, value, 0, ts
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, grid_ts, kind,
+               last_value(CASE WHEN kind = 0
+                               THEN {'v': value, 'ts': ord_ts, 'id': event_id}
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ord_ts, kind, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lastev
+        FROM u
+    )
+    SELECT user_id, grid_ts,
+           lastev.v AS filled_value,
+           lastev.ts AS filled_from_ts,
+           lastev.id AS filled_from_id
+    FROM carried WHERE kind = 1
+"""
+
+
+@query("b90_time_grid_fill", oracle=B90_ORACLE)
+def b90_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per user with forward fill: one grid row per
+    (user, hour) between the user's first and last event hour,
+    carrying the value/ts/id of the latest event at-or-before the
+    grid instant.
+
+    Plan is b40's union-sort trick pointed at a generated grid (NOT a
+    per-user range join, which is O(|grid| x |events|) in a hot-user
+    partition): per-user span agg (shuffle 1) -> sequence()/explode
+    builds the grid map-side -> union with tagged events -> ONE
+    per-user window sort (shuffle 2) carries the last event struct
+    forward. Ties at a grid instant: events sort before grid rows
+    (kind 0 < 1), so an event AT the hour boundary fills it; equal-ts
+    events resolve by event_id — both pinned in the oracle's ordering
+    too. The whole-struct carry keeps (value, ts, id) from one row —
+    independent per-column carries would mix rows when an event's
+    value is NULL.
+
+    Scale: grid size is bounded by span-hours per key, not events;
+    both shuffles key by user_id (uniform); sequence() arrays are
+    per-row bounded (720 for a 30-day span). A pathological years-long
+    key span would fatten one array — cap with a greatest(t0, t1 -
+    INTERVAL N) guard in deployment if keys can idle for years.
+    """
+    ev = table(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias(
+                "grid_ts"
+            ),
+        )
+    )
+    tagged = grid.select(
+        "user_id",
+        "grid_ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("kind"),
+        F.col("grid_ts").alias("ord_ts"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.lit(None).cast("timestamp").alias("grid_ts"),
+            "event_id",
+            "value",
+            F.lit(0).alias("kind"),
+            F.col("ts").alias("ord_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_struct = F.when(
+        F.col("kind") == 0,
+        F.struct(
+            F.col("value").alias("v"),
+            F.col("ord_ts").alias("ts"),
+            F.col("event_id").alias("id"),
+        ),
+    )
+    carried = tagged.withColumn(
+        "lastev", F.last(ev_struct, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "user_id",
+        "grid_ts",
+        F.col("lastev.v").alias("filled_value"),
+        F.col("lastev.ts").alias("filled_from_ts"),
+        F.col("lastev.id").alias("filled_from_id"),
+    )

@@ -199,13 +199,21 @@ def b88_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos % S (round-robin, sizes exact to +/-1), pos_in_shard =
     pos DIV S — each shard reads back in sort order.
     """
-    docs = table(spark, sf_dir, "documents").select(
+    return shard_layout(table(spark, sf_dir, "documents"))
+
+
+def shard_layout(docs: DataFrame) -> DataFrame:
+    """Core of b88 over any relation with a doc_id column — see
+    b88_shard_shuffle for the design notes. Exposed so property tests
+    can drive arbitrary in-memory corpora through the production
+    lineage."""
+    keyed = docs.select(
         "doc_id",
         F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
             "sort_key"
         ),
     )
-    bucketed = docs.withColumn("bucket", F.substring("sort_key", 1, 1))
+    bucketed = keyed.withColumn("bucket", F.substring("sort_key", 1, 1))
 
     ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets_df = F.broadcast(

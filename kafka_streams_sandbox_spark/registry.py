@@ -60,6 +60,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b87_duplicated_spans",        # span-level substring-dedup coverage
     "b88_shard_shuffle",           # deterministic global shuffle + shards
     "b89_shard_write_manifest",    # partitioned shard sink + read-back
+    "b90_time_grid_fill",          # hourly resample + forward fill
     # --- changed in round 4 (code touched this round; rows must refresh) ---
     "b44_cosine_topk_arrow",       # driver-side query collect removed
     "b82_context_packing",         # bucket id now integer DIV (ADVICE r3)

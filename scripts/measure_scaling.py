@@ -47,6 +47,10 @@ QUERIES = (
     "b35_ann_random_projection",
     "b33_cosine_topk",
     "b44_cosine_topk_arrow",
+    # late-r4 additions: the span-posting pipeline and the two-phase
+    # distributed global rank — both claimed near-linear
+    "b87_duplicated_spans",
+    "b88_shard_shuffle",
 )
 
 

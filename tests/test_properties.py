@@ -298,3 +298,86 @@ def test_context_packing_invariants(spark):
     for p in packs[:-1]:
         cum += p.pack_tokens
         assert cum >= (p.pack_id + 1) * PACK_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# b87 / b88 cores vs pure-Python re-derivations
+# ---------------------------------------------------------------------------
+
+DOC_TEXT = st.lists(
+    # tiny vocabulary + short docs: span overlaps and boundary cases
+    # (len == SPAN, len == SPAN-1, empty) show up fast
+    st.sampled_from(["a", "b", "c"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(texts=st.lists(DOC_TEXT, min_size=0, max_size=8))
+@SETTINGS
+def test_duplicated_spans_matches_python(spark, texts):
+    """b87 core == brute-force Python: for every doc, positions whose
+    8-gram occurs in >= 2 distinct docs, interval-union coverage."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        B87_SPAN,
+        duplicated_spans,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(df).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    span_docs: dict[tuple, set] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - B87_SPAN + 1):
+            span_docs.setdefault(tuple(tk[p : p + B87_SPAN]), set()).add(i)
+    assert set(got) == set(toks)
+    for i, tk in toks.items():
+        dup_pos = [
+            p
+            for p in range(len(tk) - B87_SPAN + 1)
+            if len(span_docs[tuple(tk[p : p + B87_SPAN])]) >= 2
+        ]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + B87_SPAN))
+        r = got[i]
+        assert r["n_tokens"] == len(tk)
+        assert r["n_spans"] == max(len(tk) - B87_SPAN + 1, 0)
+        assert r["dup_spans"] == len(dup_pos)
+        assert r["covered_tokens"] == len(covered)
+        expect_ratio = (len(covered) / len(tk)) if tk else 0.0
+        assert abs(r["dup_token_ratio"] - expect_ratio) < 1e-12
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=0, max_size=40, unique=True
+    )
+)
+@SETTINGS
+def test_shard_layout_matches_python(spark, ids):
+    """b88 core == Python sort by md5('shard:'+id): identical global
+    positions, shards balanced to +/-1 by round-robin construction."""
+    import hashlib
+
+    from kafka_streams_sandbox_spark.operators.packing import (
+        B88_SHARDS,
+        shard_layout,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in shard_layout(df).collect()}
+    order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"shard:{i}".encode()).hexdigest(), i)
+    )
+    assert set(got) == set(ids)
+    for pos, i in enumerate(order):
+        r = got[i]
+        assert r["global_pos"] == pos
+        assert r["shard_id"] == pos % B88_SHARDS
+        assert r["pos_in_shard"] == pos // B88_SHARDS

@@ -148,3 +148,49 @@ def test_b89_manifest_matches_corpus(spark, sf_dir):
     total_chars = docs.groupBy().sum("n_chars").collect()[0][0]
     assert sum(r["total_chars"] for r in rows) == total_chars
     assert len(rows) == min(B88_SHARDS, docs.count())
+
+
+def test_b90_forward_fill_semantics(spark):
+    """Planted stream: hour-boundary event fills its own hour; a NULL
+    value travels with its row (struct carry — the fill must not mix
+    an older value with a newer ts); equal-ts events resolve to the
+    higher event_id; grid points before any event stay NULL."""
+    from kafka_streams_sandbox_spark.operators.extended import b90_time_grid_fill
+    import datetime as dt
+
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, ts(0, 30), 7, "view", 1.0, "{}"),
+        (2, ts(2, 0), 7, "view", 2.0, "{}"),   # exactly at grid point
+        (3, ts(2, 0), 7, "view", 3.0, "{}"),   # same-ts tie: id 3 wins
+        (4, ts(3, 0), 7, "view", None, "{}"),  # NULL value AT the boundary
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="b90-")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(tmp, "events.parquet"),
+    )
+    out = {
+        r["grid_ts"].hour: r
+        for r in b90_time_grid_fill(spark, tmp).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}  # trunc(first)=00:00 .. trunc(last)=03:00
+    assert out[0]["filled_value"] is None  # grid point before any event
+    assert out[1]["filled_value"] == 1.0 and out[1]["filled_from_id"] == 1
+    assert out[2]["filled_value"] == 3.0 and out[2]["filled_from_id"] == 3
+    # newest row has NULL value: the whole struct carries (NULL, ts, 4)
+    assert out[3]["filled_value"] is None and out[3]["filled_from_id"] == 4
