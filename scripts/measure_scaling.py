@@ -29,8 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
 SEED = 777
-N_DOCS = 50_000
-N_VECS = 20_000
+# Overridable for deeper probes (e.g. a 100x sweep of just the banded
+# paths: KSS_SCALE_DOCS=500000 KSS_SCALE_VECS=200000
+# KSS_SCALE_QUERIES=b27_...,b87_... python scripts/measure_scaling.py /tmp/kss_100x)
+N_DOCS = int(os.environ.get("KSS_SCALE_DOCS", 50_000))
+N_VECS = int(os.environ.get("KSS_SCALE_VECS", 20_000))
 P_DUP_DOC = 0.05  # mutated-copy rate -> same dup regime as sf0.1
 P_DUP_VEC = 0.07
 QUERIES = (
@@ -52,6 +55,8 @@ QUERIES = (
     "b87_duplicated_spans",
     "b88_shard_shuffle",
 )
+if os.environ.get("KSS_SCALE_QUERIES"):
+    QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))
 
 
 def build_10x(out_dir: str) -> None:
