@@ -502,10 +502,19 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
-    half = v.join(candidates, v.vec_id == F.col("vec_a")).select(
+    # merge-pinned verify joins: BOTH sides are corpus-sized, and the
+    # vector side's in-memory footprint is ~10-20x its parquet bytes
+    # (float arrays decompress into boxed JVM rows) — Catalyst's
+    # file-size estimate sits under the autoBroadcast threshold long
+    # after the broadcast stopped fitting. The round-4 100x probe
+    # (500k docs / 200k vecs) OOMed the driver on exactly that static
+    # BHJ pick; an SMJ sorts-and-spills instead of building a hash
+    # relation, so it is the only memory-safe strategy for an
+    # unbounded x unbounded equi-join.
+    half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    pairs = v.join(half, v.vec_id == F.col("vec_b")).select(
+    pairs = v.join(half.hint("merge"), v.vec_id == F.col("vec_b")).select(
         "vec_a",
         "vec_b",
         (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),

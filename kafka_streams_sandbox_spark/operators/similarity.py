@@ -160,8 +160,13 @@ def b34_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
+    # merge-pinned: both sides are the corpus-sized vector table.
+    # Catalyst estimates scan sizes from FILE bytes, but float-array
+    # rows balloon ~10-20x when built into a broadcast hash relation —
+    # the round-4 100x probe OOMed b39_lsh's driver on that static
+    # pick at 51 MB of parquet under the 64 MB threshold. SMJ spills.
     pairs = v.join(
-        q, (v.label == q.cell) & (v.vec_id != q.query_id)
+        q.hint("merge"), (v.label == q.cell) & (v.vec_id != q.query_id)
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -221,8 +226,10 @@ def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
+    # merge-pinned for the same reason as b34: corpus x corpus with
+    # array columns must never ride a file-size-estimated broadcast.
     pairs = v.join(
-        q, (v.sig == q.qsig) & (v.vec_id != q.query_id)
+        q.hint("merge"), (v.sig == q.qsig) & (v.vec_id != q.query_id)
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -99,21 +99,38 @@ def test_map_only_text_ops_have_no_shuffle(queries, spark, sf_dir):
 
 def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
     """b39_lsh is the scale path: candidates come from LSH buckets and
-    the verify joins are shuffled equi-joins — a nested-loop join over
-    the corpus would mean it degenerated to all-pairs, and a FORCED
+    the verify joins are merge-pinned equi-joins — a nested-loop join
+    over the corpus would mean it degenerated to all-pairs, a FORCED
     broadcast of the candidate set is unbounded (Σ bucket² growth;
-    OOMed the round-4 10x slope measurement). AQE may still choose a
-    broadcast at this tiny sf, so only the hint is pinned, not the
-    runtime strategy."""
+    OOMed the round-4 10x slope measurement), and a STATIC
+    auto-broadcast of the vector side OOMs once the corpus outgrows
+    the driver (the 100x probe: 51 MB of parquet under the 64 MB
+    threshold ballooned past 8 GB as a hash relation). The merge hints
+    make both verify joins SortMergeJoin regardless of size stats."""
     df = queries["b39_lsh_embedding_neardup"](spark, sf_dir)
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
     assert not has_operator(df, "CartesianProduct"), plan_string(df)
+    assert not has_operator(df, "BroadcastHashJoin"), plan_string(df)
+    assert has_operator(df, "SortMergeJoin"), plan_string(df)
     import inspect
 
     from kafka_streams_sandbox_spark.operators import dedup
 
     src = inspect.getsource(dedup.b39_lsh_embedding_neardup)
     assert "broadcast(" not in src, "unbounded candidate broadcast"
+
+
+def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
+    """b34/b35 self-join the corpus-sized vector table on cell/bucket
+    keys. File-size stats under-estimate array columns' in-memory
+    footprint ~10-20x, so a static BroadcastHashJoin pick survives the
+    autoBroadcast threshold long after the build side stopped fitting
+    in driver memory (measured: the 100x probe OOM). Both must compile
+    to SortMergeJoin — the spillable strategy — at any size."""
+    for name in ("b34_ann_ivf_label", "b35_ann_random_projection"):
+        df = queries[name](spark, sf_dir)
+        assert has_operator(df, "SortMergeJoin"), (name, plan_string(df))
+        assert not has_operator(df, "BroadcastHashJoin"), (name, plan_string(df))
 
 
 def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
