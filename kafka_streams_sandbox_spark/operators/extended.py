@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -781,18 +782,22 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 1)
     )
+    # STAR edges, not clique edges: a fingerprint group is a clique by
+    # construction, so connecting every member to the group MINIMUM
+    # (g-1 edges) yields the identical components as all g(g-1)/2
+    # pairs — with linear instead of quadratic emission. This is not
+    # theoretical: the round-4 100x probe corpus contains a 24k-doc
+    # fingerprint group (short docs over a Zipf vocabulary collide on
+    # token SETS constantly at corpus scale); its clique form is 289M
+    # structs materialized inside ONE task's HOF — the job ground into
+    # GC collapse. Star form: 24k edges, and component diameter drops
+    # to <= 2 so the label loop converges in one verify round.
     pairs = (
         dup.select(
-            F.explode(
-                F.expr(
-                    """flatten(transform(ids, x ->
-                           filter(transform(ids, y ->
-                                      struct(x AS doc_a, y AS doc_b)),
-                                  p -> p.doc_a < p.doc_b)))"""
-                )
-            ).alias("p")
+            F.array_min("ids").alias("doc_a"),
+            F.explode("ids").alias("doc_b"),
         )
-        .select("p.*")
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
     labels, _rounds = min_label_components(pairs)
     return labels.select(
@@ -831,7 +836,13 @@ def min_label_components(
             F.col("src").alias("node"),
             F.least("src", "_m").alias("label"),
         )
-    ).localCheckpoint(eager=False)
+        # DISK_ONLY for every loop checkpoint: each round's blocks stay
+        # alive until the context cleaner GCs them, so on-heap rounds
+        # ACCUMULATE — the round-4 100x probe (500k docs) OOMed the
+        # JVM on exactly that. Disk blocks make the accumulation
+        # benign (bounded by rounds x label-table size on local disk);
+        # each checkpoint is read back once, by the next round's join.
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     converged = False
     rounds = 0
     for _ in range(max_rounds):
@@ -857,7 +868,9 @@ def min_label_components(
         # iterative-DataFrame trap; checkpoint() on a real cluster.
         # Lazy: the convergence count below is the materializing
         # action, so each round runs ONE job, not two.
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

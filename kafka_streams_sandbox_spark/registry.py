@@ -68,7 +68,11 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a10_topic_ddl",               # cached process-lifetime admin root
     "a22_stream_static_join",      # in-query duality assert added
     "a23_stream_stream_join",      # in-query duality assert added
-    "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed
+    "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed;
+                                   # late r4: verify joins merge-pinned
+                                   # (100x-probe broadcast OOM); b34/b35
+                                   # got the same pin — their rows refresh
+                                   # via the rotation block below
     "b27_minhash_lsh_dedup",       # same removal + token-less-doc guard
     "b54_merge_upsert",            # |users|-sized change-set broadcast removed
     # hostile-input hardening (late r4) also touched b23/b30 (nullif
