@@ -773,15 +773,6 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
         )
     )
-    dup = (
-        docs.select(fingerprint.alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(
-            F.collect_list("doc_id").alias("ids"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .filter(F.col("n") > 1)
-    )
     # STAR edges, not clique edges: a fingerprint group is a clique by
     # construction, so connecting every member to the group MINIMUM
     # (g-1 edges) yields the identical components as all g(g-1)/2
@@ -792,12 +783,18 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structs materialized inside ONE task's HOF — the job ground into
     # GC collapse. Star form: 24k edges, and component diameter drops
     # to <= 2 so the label loop converges in one verify round.
+    # Window-min (not groupBy+collect_list): WindowExec buffers a
+    # fingerprint group in a SPILLABLE row buffer, whereas a
+    # collect_list agg holds the whole group's id array in one
+    # in-memory agg-buffer row — a boilerplate fingerprint shared by
+    # 10M docs at 100 TB would pin ~80 MB in a single row there; here
+    # it just spills. One shuffle either way.
+    wfp = Window.partitionBy("fingerprint")
     pairs = (
-        dup.select(
-            F.array_min("ids").alias("doc_a"),
-            F.explode("ids").alias("doc_b"),
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        docs.select(fingerprint.alias("fingerprint"), "doc_id")
+        .withColumn("doc_a", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_a") < F.col("doc_id"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
     )
     labels, _rounds = min_label_components(pairs)
     return labels.select(

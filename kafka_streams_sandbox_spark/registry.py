@@ -90,6 +90,12 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b83_pii_mask",                # NULL-name concat engine parity
     "a25_stream_quality_gate",     # shared quality_verdict now uses
                                    # the single TRIGRAMS_EXPR constant
+    "b55_dedup_clusters",          # star-edge emission now window-min
+                                   # (spillable), not collect_list;
+                                   # b60/b78 consume b55's pairs so
+                                   # their rows must refresh too
+    "b60_canonical_assignment",
+    "b78_keep_best_in_cluster",
     # DELIBERATE TRADEOFF: the two review waves above grew this list
     # to ~64 against a ~50-query window, so the rotation tail (the
     # schema-stable relational basics at the bottom) may keep its r2
