@@ -218,3 +218,36 @@ def test_arrow_topk_matches_exact_topk(spark):
         a_nbr, a_cos = arrow[key]
         assert a_nbr == nbr, key
         assert a_cos == pytest.approx(cos, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# b39_lsh candidate-fed near-dup vs its exact oracle twin
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_neardup_precision_subset_and_planted_recall(spark, tmp_path):
+    """The scale path may only LOSE pairs to bucketing, never invent
+    or mis-score them: emitted pairs must be a subset of the exact
+    twin's output with numpy-exact cosines, and the planted 0.01-noise
+    copies (cos ~0.9999 — a plane sign flip is vanishingly unlikely)
+    must all survive bucketing."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b39_embedding_neardup,
+        b39_lsh_embedding_neardup,
+    )
+
+    sf_dir, planted, by_id = _planted_vecs_dir(tmp_path)
+    lsh = b39_lsh_embedding_neardup(spark, sf_dir).collect()
+    assert lsh
+    for r in lsh:
+        a, b = by_id[r["vec_a"]], by_id[r["vec_b"]]
+        truth = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(truth, abs=1e-9)
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in b39_embedding_neardup(spark, sf_dir).collect()
+    }
+    lsh_pairs = {(r["vec_a"], r["vec_b"]) for r in lsh}
+    assert lsh_pairs <= exact_pairs
+    for base_id, copy_id in planted:
+        assert (base_id, copy_id) in lsh_pairs
