@@ -1364,54 +1364,73 @@ def b75_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max per column — the stats pass that feeds partition/broadcast
     planning and data-quality monitors.
 
-    One aggregate computes every column's stats in a single scan
-    (Catalyst expands the multi-distinct into one Expand + aggregate);
-    the long-format output is a driver-side stack of the single stats
-    row. At 100 TB swap exact distinct for approx_count_distinct (b45)
-    — the plan shape is unchanged.
+    ONE scan, by construction: the naive multi-countDistinct agg looks
+    single-pass but Catalyst's RewriteDistinctAggregates planned it as
+    FIVE separate FileScans (one per distinct column, each with its own
+    shuffle) — 5x the read at 100 TB. Instead the profiler unpivots
+    map-side — explode of one (col, num_val, str_val) struct per
+    profiled column per row — then aggregates twice on narrow keys:
+
+        per (col, value): count            shuffle 1 (map-side partial
+                                           collapses dup values first)
+        per col: rows/nulls/distinct/min/max over the DISTINCT-value
+                                           table — shuffle 2, tiny
+
+    n_rows = sum of value-counts, n_nulls = the NULL value's count,
+    n_distinct = non-null distinct-value rows — all exact, same
+    definition countDistinct/COUNT(DISTINCT) uses (NULLs excluded).
+    At 100 TB swap the per-value exact layer for approx_count_distinct
+    (b45) if distincts explode; plan stays one-scan.
     """
     li = table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _B75_NUM_COLS + _B75_STR_COLS:
-        aggs += [
-            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
-            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-        ]
-    stats = li.agg(*aggs)
-    rows = []
-    for c in _B75_NUM_COLS:
-        rows.append(
-            stats.select(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
-                F.col(f"{c}__min").cast("double").alias("min_num"),
-                F.col(f"{c}__max").cast("double").alias("max_num"),
-                F.lit(None).cast("string").alias("min_str"),
-                F.lit(None).cast("string").alias("max_str"),
-            )
+    cells = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(c).cast("double").alias("nv"),
+            F.lit(None).cast("string").alias("sv"),
         )
-    for c in _B75_STR_COLS:
-        rows.append(
-            stats.select(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
-                F.lit(None).cast("double").alias("min_num"),
-                F.lit(None).cast("double").alias("max_num"),
-                F.col(f"{c}__min").alias("min_str"),
-                F.col(f"{c}__max").alias("max_str"),
-            )
+        for c in _B75_NUM_COLS
+    ] + [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.lit(None).cast("double").alias("nv"),
+            F.col(c).cast("string").alias("sv"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        for c in _B75_STR_COLS
+    ]
+    long = li.select(F.explode(F.array(*cells)).alias("kv")).select("kv.*")
+    per_val = long.groupBy("col", "nv", "sv").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_val.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("nv").isNull() & F.col("sv").isNull(), F.col("cnt"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(
+            F.when(F.col("nv").isNotNull() | F.col("sv").isNotNull(), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.min("nv").alias("min_num"),
+        F.max("nv").alias("max_num"),
+        F.min("sv").alias("min_str"),
+        F.max("sv").alias("max_str"),
+    ).select(
+        F.col("col").alias("column_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                    # their rows must refresh too
     "b60_canonical_assignment",
     "b78_keep_best_in_cluster",
+    "b75_table_profile",          # single-scan unpivot profiler replaces
+                                  # the 5-scan multi-countDistinct plan
     # DELIBERATE TRADEOFF: the two review waves above grew this list
     # to ~64 against a ~50-query window, so the rotation tail (the
     # schema-stable relational basics at the bottom) may keep its r2
@@ -149,7 +151,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b69_quality_gate",
     "b70_bigram_lm",
     # b71 moved to the operator-review block above
-    "b75_table_profile",
+    # b75 moved to the changed-code block above
     "b76_fuzzy_match",
     "b66_scd2_history",
     # r2 rows, TPC-H relational basics — most schema-stable family,
