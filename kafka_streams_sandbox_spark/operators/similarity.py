@@ -152,6 +152,19 @@ def b34_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides by cell (or broadcasts the smaller), so each task does a
     dense little brute-force within one cell. With parquet partitioned
     by cell id, non-probed cells are never read.
+
+    Cost model — the cell count MUST scale with n (IVF doctrine:
+    k ~ sqrt(n) centroids): in-cell rerank is sum(|cell|^2), so FIXED
+    cells grow quadratically. The data's label column stands in for
+    the coarse quantizer here (oracle-checkable: DuckDB runs the same
+    join), and the 10x probe measured exactly the fixed-config trap:
+    20k vectors over the SAME 10 labels took 349 s, while subdividing
+    each label with b35's 8-plane hash bucket (10 x 256 cells — the
+    same plan shape, one extra equi-join key) ran 14.2 s
+    (BASELINE.md). Same configuration-must-scale class as
+    b35@8planes; the remedy needs no new machinery — compose the
+    label cell with the hash sub-bucket, or feed real k-means
+    centroid ids in as `label`.
     """
     v = _vectors(spark, sf_dir)
     q = v.select(
