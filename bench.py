@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "b33_cosine_topk",
     "b34_ann_ivf_label",
     "b35_ann_random_projection",
+    # rows-only (no oracle): adds a Spark-timed row without touching
+    # the shared-ratio membership
+    "b91_ann_ivf_scaled_cells",
     "b36_multimodal_metadata",
     "b39_embedding_neardup",
     "b39_lsh_embedding_neardup",

@@ -256,3 +256,58 @@ def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint"))
     )
+
+
+@query("b91_ann_ivf_scaled_cells")  # rows-only: sub-bucket recall is
+def b91_ann_ivf_scaled_cells(  # probabilistic (xxhash planes, no DuckDB twin)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b34's IVF with the cell count scaled the way production IVF
+    demands: each coarse label cell is subdivided by b35's 8-plane
+    hash bucket, so cells = |labels| x 256 and expected in-cell
+    population stays flat as the corpus grows (raise the plane count
+    with log2(n) exactly as b35 documents).
+
+    This is the measured remedy for the fixed-config trap the late-r4
+    sweep caught in b34 (BASELINE.md): the same 10x corpus that takes
+    349 s over 10 fixed label cells runs in 14.2 s over 10 x 256 —
+    identical plan shape (merge-pinned SMJ self-join, WindowGroupLimit
+    top-3), one extra equi-join key. Recall within a label follows
+    b35's bucket-collision odds; b34 stays the oracle-checked exact
+    within-cell twin.
+    """
+    v = (
+        _vectors(spark, sf_dir)
+        .withColumn("sub", F.expr(_SIGNATURE_EXPR))
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("sub").alias("qsub"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # merge-pinned: corpus x corpus with array columns (see b34).
+    pairs = v.join(
+        q.hint("merge"),
+        (v.label == q.cell) & (v.sub == q.qsub) & (v.vec_id != q.query_id),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "cos_sim",
+            F.col("rnk").cast("bigint"),
+        )
+    )

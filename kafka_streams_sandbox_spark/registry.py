@@ -61,6 +61,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b88_shard_shuffle",           # deterministic global shuffle + shards
     "b89_shard_write_manifest",    # partitioned shard sink + read-back
     "b90_time_grid_fill",          # hourly resample + forward fill
+    "b91_ann_ivf_scaled_cells",    # late r4: the measured remedy for
+                                   # b34's fixed-cell trap, registered
     # --- changed in round 4 (code touched this round; rows must refresh) ---
     "b44_cosine_topk_arrow",       # driver-side query collect removed
     "b82_context_packing",         # bucket id now integer DIV (ADVICE r3)

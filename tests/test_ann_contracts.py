@@ -251,3 +251,31 @@ def test_lsh_neardup_precision_subset_and_planted_recall(spark, tmp_path):
     assert lsh_pairs <= exact_pairs
     for base_id, copy_id in planted:
         assert (base_id, copy_id) in lsh_pairs
+
+
+# ---------------------------------------------------------------------------
+# b91 scaled-cells IVF (label x hash sub-bucket)
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_ivf_precision_and_planted_recall(spark, tmp_path):
+    """b91 = b34's cell join with the 256-way hash subdivision. The
+    fixture's copies share their base's label (40 = 0 mod 5) and a
+    0.01-noise copy shares the hash bucket (b35's argument), so every
+    planted pair must survive the finer cells and rank mutual top-1;
+    every emitted cosine must be numpy-exact."""
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        b91_ann_ivf_scaled_cells,
+    )
+
+    sf_dir, planted, by_id = _planted_vecs_dir(tmp_path)
+    rows = b91_ann_ivf_scaled_cells(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = by_id[r["query_id"]], by_id[r["neighbor_id"]]
+        truth = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(truth, abs=1e-9)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rnk"] == 1}
+    for base_id, copy_id in planted:
+        assert top1.get(base_id) == copy_id
+        assert top1.get(copy_id) == base_id

@@ -127,7 +127,11 @@ def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
     autoBroadcast threshold long after the build side stopped fitting
     in driver memory (measured: the 100x probe OOM). Both must compile
     to SortMergeJoin — the spillable strategy — at any size."""
-    for name in ("b34_ann_ivf_label", "b35_ann_random_projection"):
+    for name in (
+        "b34_ann_ivf_label",
+        "b35_ann_random_projection",
+        "b91_ann_ivf_scaled_cells",
+    ):
         df = queries[name](spark, sf_dir)
         assert has_operator(df, "SortMergeJoin"), (name, plan_string(df))
         assert not has_operator(df, "BroadcastHashJoin"), (name, plan_string(df))
