@@ -54,6 +54,11 @@ QUERIES = (
     # distributed global rank — both claimed near-linear
     "b87_duplicated_spans",
     "b88_shard_shuffle",
+    # end-r4: b34's scaled-cells remedy (measured 14.2 s vs 349 s at
+    # 10x; 82 s at 100x) — keep it in every future sweep. b34 itself
+    # is the documented fixed-config anchor; time it deliberately,
+    # not by default (349 s at 10x).
+    "b91_ann_ivf_scaled_cells",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))
