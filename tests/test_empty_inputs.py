@@ -83,6 +83,7 @@ _QUERIES = [
     similarity.b33_cosine_topk,
     similarity.b34_ann_ivf_label,
     similarity.b35_ann_random_projection,
+    similarity.b91_ann_ivf_scaled_cells,
     b44_cosine_topk_arrow,
     b48_hybrid_search,
     semantic.b17_latest_per_user,

@@ -17,6 +17,7 @@ from kafka_streams_sandbox_spark.operators.similarity import (
     b33_cosine_topk,
     b34_ann_ivf_label,
     b35_ann_random_projection,
+    b91_ann_ivf_scaled_cells,
 )
 
 _DIM = 64
@@ -83,6 +84,20 @@ def test_similarity_family_survives_hostile_vectors(spark, hostile_vec_dir, fn):
     for r in rows:
         # degenerate vectors are neither queries nor neighbors, and no
         # NaN/NULL similarity leaks into the ranking
+        assert r["query_id"] not in hostile_ids, r
+        assert r["neighbor_id"] not in hostile_ids, r
+        assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
+
+
+def test_scaled_ivf_survives_hostile_vectors(spark, hostile_vec_dir):
+    """b91 subdivides each label into 256 hash cells, so on this
+    ~20-vector fixture most cells hold a single vector and an EMPTY
+    result is legitimate (bucket geometry is sized for large corpora
+    — the sf0.01 corpus yields rows). The hostile guarantee is only
+    that degenerate vectors never appear and no NaN leaks."""
+    rows = b91_ann_ivf_scaled_cells(spark, hostile_vec_dir).collect()
+    hostile_ids = {100, 101, 102, 103, 104}
+    for r in rows:
         assert r["query_id"] not in hostile_ids, r
         assert r["neighbor_id"] not in hostile_ids, r
         assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"]), r
