@@ -936,7 +936,7 @@ B90_ORACLE = """
         FROM grid
         UNION ALL
         SELECT user_id, CAST(NULL AS TIMESTAMP), event_id, value, 0, ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     carried AS (
         SELECT user_id, grid_ts, kind,
@@ -1004,7 +1004,12 @@ def b90_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("kind"),
         F.col("grid_ts").alias("ord_ts"),
     ).unionByName(
-        ev.select(
+        # NULL-ts events can never legitimately fill a grid point, and
+        # the engines disagree on where NULLs sort (Spark ASC = NULLS
+        # FIRST, DuckDB = NULLS LAST) — dropping them before the union
+        # removes the divergence instead of papering over it with a
+        # nulls-last ordering on both sides.
+        ev.filter(F.col("ts").isNotNull()).select(
             "user_id",
             F.lit(None).cast("timestamp").alias("grid_ts"),
             "event_id",

@@ -31,6 +31,8 @@ collect, no sampling, no corpus-sized single-partition stage.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,6 +157,16 @@ def b82_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which binomial hash-mod sharding cannot guarantee.
 B88_SHARDS = 16
 
+# Width of the hex prefix that forms b88's range buckets: W chars =
+# 16^W buckets, each ranked by one task. 1 char (16 buckets) matches
+# the local[32] test harness; at real scale set KSS_B88_BUCKET_HEX=2
+# (256 buckets) or 3-4 to match cluster parallelism — bucket count
+# changes NO semantics (hex prefixes are ranges of the sort order, so
+# global_pos is identical at any width; tests sweep widths to pin
+# that). The env knob exists so deployments/sweeps need no code edit —
+# the same fixed-configuration trap class b34 documents.
+B88_BUCKET_HEX_CHARS = int(os.environ.get("KSS_B88_BUCKET_HEX", "1"))
+
 B88_ORACLE = f"""
     WITH k AS (
         SELECT doc_id,
@@ -213,7 +225,9 @@ def shard_layout(docs: DataFrame) -> DataFrame:
             "sort_key"
         ),
     )
-    bucketed = keyed.withColumn("bucket", F.substring("sort_key", 1, 1))
+    bucketed = keyed.withColumn(
+        "bucket", F.substring("sort_key", 1, B88_BUCKET_HEX_CHARS)
+    )
 
     ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets_df = F.broadcast(
@@ -249,7 +263,9 @@ def b89_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_id-partitioned parquet, then re-read the files and verify
     the layout contract before emitting the per-shard manifest.
 
-    In-query asserts (a run that returns rows certifies them):
+    In-query contract checks (raised as RuntimeError, never `assert`,
+    so `python -O` cannot strip them — a run that returns rows
+    certifies them):
       - read-back row count == corpus count (nothing lost in the sink)
       - shard sizes exactly balanced (max - min <= 1, b88's guarantee)
       - pos_in_shard is a dense 0..n-1 sequence per shard (each shard
@@ -271,7 +287,11 @@ def b89_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     admin = TopicAdmin()
     try:
         admin.create_topics([TopicSpec("training-shards", partitions=B88_SHARDS)])
-        assert admin.describe("training-shards")["partitions"] == B88_SHARDS
+        # contract checks raise real exceptions, not `assert`: asserts
+        # are stripped under `python -O`, which would silently void the
+        # "a run that returns rows certifies the layout" guarantee.
+        if admin.describe("training-shards")["partitions"] != B88_SHARDS:
+            raise RuntimeError("DDL manifest partition count != shard count")
         loc = admin.location("training-shards") + "/data"
 
         docs = table(spark, sf_dir, "documents").select(
@@ -300,13 +320,16 @@ def b89_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("shard_id")
             )
             rows = manifest.collect()  # bounded: one row per shard
-        assert sum(r["n_docs"] for r in rows) == n_docs, "sink lost rows"
+        if sum(r["n_docs"] for r in rows) != n_docs:
+            raise RuntimeError("sink lost rows: read-back count != corpus count")
         sizes = [r["n_docs"] for r in rows] or [0]  # empty corpus: no shards
-        assert max(sizes) - min(sizes) <= 1, f"unbalanced shards {sizes}"
+        if max(sizes) - min(sizes) > 1:
+            raise RuntimeError(f"unbalanced shards {sizes}")
         for r in rows:
-            assert r["_n_pos"] == r["n_docs"] == r["_max_pos"] + 1, (
-                "pos_in_shard not dense in shard %d" % r["shard_id"]
-            )
+            if not (r["_n_pos"] == r["n_docs"] == r["_max_pos"] + 1):
+                raise RuntimeError(
+                    "pos_in_shard not dense in shard %d" % r["shard_id"]
+                )
     finally:
         shutil.rmtree(admin.root, ignore_errors=True)
     return spark.createDataFrame(

@@ -20,6 +20,7 @@ from kafka_streams_sandbox_spark.operators.extended import (
     b44_cosine_topk_arrow,
     b48_hybrid_search,
     b51_sliding_window_agg,
+    b90_time_grid_fill,
 )
 from kafka_streams_sandbox_spark.operators.packing import (
     b88_shard_shuffle,
@@ -95,6 +96,7 @@ _QUERIES = [
     dedup.b87_duplicated_spans,
     b88_shard_shuffle,
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
+    b90_time_grid_fill,  # sequence() over an empty agg + tagged union
 ]
 
 

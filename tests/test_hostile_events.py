@@ -18,6 +18,7 @@ from kafka_streams_sandbox_spark.operators import semantic
 from kafka_streams_sandbox_spark.operators.extended import (
     b41_pivot_event_counts,
     b51_sliding_window_agg,
+    b90_time_grid_fill,
 )
 
 _T0 = dt.datetime(2024, 1, 1)
@@ -96,3 +97,17 @@ def test_pivot_hostile(spark, hostile_events_dir):
 def test_hopping_window_hostile(spark, hostile_events_dir):
     rows = b51_sliding_window_agg(spark, hostile_events_dir).collect()
     assert rows
+
+
+def test_time_grid_fill_null_ts_never_carries(spark, hostile_events_dir):
+    """A NULL-ts event (eid 5) must never fill a grid point: Spark
+    sorts NULLs FIRST under ASC while the DuckDB oracle sorts them
+    LAST, so carrying it would be a silent engine-parity divergence
+    (ADVICE r4). b90 drops NULL-ts events before the union; user 3's
+    only other events are at 00:05, after its 00:00 grid instant, so
+    that grid row must stay unfilled."""
+    rows = b90_time_grid_fill(spark, hostile_events_dir).collect()
+    assert rows
+    assert all(r["filled_from_id"] != 5 for r in rows)
+    u3 = [r for r in rows if r["user_id"] == 3]
+    assert len(u3) == 1 and u3[0]["filled_from_id"] is None

@@ -122,6 +122,19 @@ def test_b88_runs_are_identical(spark, sf_dir):
     assert a == b
 
 
+def test_b88_bucket_width_changes_no_semantics(spark, sf_dir, monkeypatch):
+    """Hex-prefix buckets are RANGES of the sort order, so the layout
+    must be byte-identical at any prefix width (ADVICE r4 made the
+    width a module constant + env knob; this pins that widening it for
+    cluster parallelism is semantics-free)."""
+    from kafka_streams_sandbox_spark.operators import packing
+
+    narrow = sorted(map(tuple, b88_shard_shuffle(spark, sf_dir).collect()))
+    monkeypatch.setattr(packing, "B88_BUCKET_HEX_CHARS", 2)
+    wide = sorted(map(tuple, b88_shard_shuffle(spark, sf_dir).collect()))
+    assert narrow == wide
+
+
 def test_b88_no_global_order_window(spark, sf_dir):
     """The oracle's ROW_NUMBER() OVER (ORDER BY key) is a global sort;
     the operator must instead rank within hex-prefix buckets and add
