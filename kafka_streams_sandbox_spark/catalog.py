@@ -94,6 +94,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_ROWCOUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Total row count of a table — the bounded one-row action that
+    lets operators derive scale-dependent configuration (LSH plane
+    counts, IVF cell counts) from the corpus instead of shipping fixed
+    constants (the b34/b35 fixed-geometry trap, measured at the r4
+    100x probe: 947 s fixed vs 52 s scaled).
+
+    An unfiltered parquet count is metadata-only work (row counts come
+    from file footers — no column data is read), so this is cheap at
+    any corpus size; cached per (app, sf_dir, table) because fixtures
+    are immutable within a session.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _ROWCOUNT_CACHE.get(key)
+    if cached is None:
+        cached = _ROWCOUNT_CACHE[key] = table(spark, sf_dir, name).count()
+    return cached
+
+
 _WIDE_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

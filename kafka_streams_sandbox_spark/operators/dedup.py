@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import documents_wide, table
@@ -279,12 +279,29 @@ _PRIME = 4294967291
 
 @query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
 def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: signature -> band keys -> bucket
-    grouping -> candidate pairs -> exact char-shingle Jaccard >= 0.8
-    verification.
+    """MinHash-LSH near-dup pairs with EXACT-DUP COLLAPSE first:
+    byte-identical texts are collapsed to one representative before
+    any banding; only representatives flow through signature -> band
+    keys -> bucket grouping -> candidate pairs -> exact char-shingle
+    Jaccard >= 0.8 verification. Exact-dup groups surface as STAR
+    edges (rep -> member, jaccard 1.0, g-1 edges per group).
+
+    Why the collapse is mandatory at scale (VERDICT r4 Next #3): LSH
+    bucket cost is Σ|bucket|², and a group of g byte-identical docs
+    lands intact in EVERY band bucket — the r4 100x probe's single
+    24k-doc boilerplate clique put ~289M genuine candidate pairs into
+    one band (321 s just emitting them). Identical docs carry zero
+    information for near-dup detection, so production pipelines always
+    run exact dedup first; composing it here turns that clique into
+    one representative plus a linear 24k-edge star. pair_weight keeps
+    the collapsed mass auditable: a rep-rep pair stands for
+    |group_a| x |group_b| underlying doc pairs, a star edge for one.
 
     Plan shape (same inverted-index discipline as b26):
-      1. per-doc minhash signature (map-only, single fold pass)
+      0. md5(text) fingerprint groupBy (one uniform hash shuffle —
+         measured flat at the 100x probe as b21) -> rep = min(doc_id),
+         group size; reps rejoin the corpus via a doc_id equi-join
+      1. per-rep minhash signature (map-only, single fold pass)
       2. explode band keys; groupBy (band, key) collecting doc ids —
          ONE narrow shuffle, no self-join of the signature pipeline
       3. ordered pairs within each bucket + distinct (a pair can
@@ -296,11 +313,37 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          — the same unbounded-broadcast defect the round-4 10x slope
          measurement caught in b39_lsh. AQE still broadcasts when the
          set is genuinely small.
+      5. weights join against the |dup-groups|-sized (>1) slice only —
+         singleton reps default to weight 1 without touching the
+         full fingerprint table again.
 
     Per-doc work is map-only; every shuffle is proportional to data
     size, never n². This is the scale path whose recall b26 checks.
     """
-    docs = documents_wide(spark, sf_dir)
+    all_docs = documents_wide(spark, sf_dir)
+    fp = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    # star edges inside exact groups: rep = min(doc_id) < member, so
+    # doc_a < doc_b holds by construction; identical texts have
+    # jaccard exactly 1.0 (the precision contract re-derives it)
+    stars = (
+        fp.join(groups, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(1).cast("long").alias("pair_weight"),
+        )
+    )
+    # only representatives feed the banding pipeline
+    docs = all_docs.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
     # Signature as 32 plain min() aggregates over exploded shingle
     # hashes: every permutation update is straight-line codegen (no
     # per-element array rebuild — the HOF fold form allocs a k-array
@@ -310,12 +353,11 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles never span partitions, so map-side partial aggregation
     # collapses the exploded postings before the shuffle — the
     # exchange moves one row per doc.
-    # content guard: token-less docs (NULL/empty/whitespace-only)
-    # otherwise form their own degenerate match bucket at corpus
-    # scale. Must be the real token test — trim() strips only ASCII
-    # spaces, so a cheaper length(trim(text)) > 0 lets tab/newline-
-    # only docs through (tests/test_hostile_inputs.py).
-    posting = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
+    # the token-less-doc guard (NULL/empty/whitespace-only docs would
+    # form a degenerate match bucket) is applied up at the fingerprint
+    # step, so every rep here is already token-bearing — no re-filter,
+    # the TOKENS_EXPR regex doesn't run a second time over the corpus
+    posting = docs.select(
         "doc_id",
         F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
     ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
@@ -373,9 +415,34 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = docs.withColumnRenamed("doc_id", "doc_b").join(
         half, "doc_b"
     ).select("doc_a", "doc_b", "sh_a", F.expr(char_ngrams_hashed_expr(5)).alias("sh_b"))
-    return verified.select(
+    near = verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
+    # pair_weight = |group_a| x |group_b| underlying doc pairs. Only
+    # groups with gsz > 1 need a join (a tiny, AQE-broadcastable
+    # slice); singleton reps coalesce to 1.
+    multi = groups.filter(F.col("gsz") > 1).select("rep", "gsz")
+    weighted = (
+        near.join(
+            multi.select(F.col("rep").alias("doc_a"), F.col("gsz").alias("_ga")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            multi.select(F.col("rep").alias("doc_b"), F.col("gsz").alias("_gb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.coalesce(F.col("_ga"), F.lit(1)) * F.coalesce(F.col("_gb"), F.lit(1)))
+            .cast("long")
+            .alias("pair_weight"),
+        )
+    )
+    return weighted.unionByName(stars)
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +587,185 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup capstone (SemDeDup-shape): cluster embeddings, keep one
+# representative per semantic cluster
+# ---------------------------------------------------------------------------
+
+
+def _semantic_keep(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Shared tail of b93/b94: near-dup pairs -> connected components
+    (b55's min-label fixpoint loop) -> keep-best representative per
+    cluster (b78's policy, quality = vector norm here: the magnitude a
+    real pipeline would replace with a quality score column).
+
+    Every vector appears in the output exactly once: components label
+    only paired vectors, singletons coalesce to themselves. The keeper
+    pick is one WindowGroupLimit pass per cluster; the labeling table
+    is pairs-sized + corpus-sized joins on uniform keys — no forced
+    broadcasts, AQE picks strategies.
+    """
+    from kafka_streams_sandbox_spark.operators.extended import (
+        min_label_components,
+    )
+    from kafka_streams_sandbox_spark.operators.similarity import _vectors
+
+    v = _vectors(spark, sf_dir).select("vec_id", "nrm")
+    # min_label_components takes (doc_a, doc_b)-named pair sets
+    labels, _rounds = min_label_components(pairs.toDF("doc_a", "doc_b"))
+    lab = v.join(
+        labels.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("label", F.col("vec_id")).cast("bigint").alias("cluster_id"),
+        "nrm",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("nrm").desc(), "vec_id")
+    keep = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("vec_id").alias("keep_id"))
+    )
+    return lab.join(keep, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "keep_id",
+        (F.col("vec_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+B94_ORACLE = f"""
+    WITH RECURSIVE v AS (
+        SELECT * FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x), 'sum')) AS nrm
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ) WHERE nrm > 0 AND nrm < 'infinity'::DOUBLE
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE (list_aggregate(list_transform(range(1, {_EMB_DIM + 1}),
+                                             i -> a.e[i] * b.e[i]), 'sum')
+               / (a.nrm * b.nrm)) >= {_NEARDUP_COS}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+    lab AS (
+        SELECT v.vec_id,
+               CAST(COALESCE(c.cluster, v.vec_id) AS BIGINT) AS cluster_id,
+               v.nrm
+        FROM v LEFT JOIN comp c ON v.vec_id = c.node
+    ),
+    keep AS (
+        SELECT cluster_id, vec_id AS keep_id
+        FROM (SELECT cluster_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY nrm DESC, vec_id) AS rn
+              FROM lab)
+        WHERE rn = 1
+    )
+    SELECT l.vec_id, l.cluster_id, CAST(k.keep_id AS BIGINT) AS keep_id,
+           l.vec_id = k.keep_id AS is_kept
+    FROM lab l JOIN keep k USING (cluster_id)
+"""
+
+
+@query("b94_semantic_dedup_exact", oracle=B94_ORACLE)
+def b94_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, EXACT-threshold oracle twin of b93: all-pairs
+    cosine >= {threshold} pairs (b39's oracle-checked anchor) ->
+    connected components -> keep-best (max-norm) per cluster.
+
+    This is the oracle-checkable half of the SemDeDup capstone
+    (Abbas et al. 2023's pipeline shape: embed, cluster, keep one
+    representative per semantic cluster). The DuckDB twin re-derives
+    the identical clustering via a recursive CTE and the identical
+    keeper via the same (nrm DESC, vec_id) ranking — norms are
+    sequential folds, bit-identical across engines. Like b26/b33/b39
+    this exact variant exists for verification; never run the
+    all-pairs candidate stage at scale (b93 is the banded path).
+    """
+    pairs = b39_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    return _semantic_keep(spark, sf_dir, pairs)
+
+
+@query("b93_semantic_dedup")  # rows-only: bucket recall is probabilistic
+def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at scale (SemDeDup-shape capstone, VERDICT r4
+    Next #5): LSH-bucketed candidate pairs -> exact-cosine verify ->
+    connected components -> keep one representative per semantic
+    cluster. The registered composition of the family's pieces: b35's
+    n-scaled sign-projection buckets feed candidates, b55's min-label
+    fixpoint clusters them, b78's keep-best policy picks survivors
+    (quality = norm; swap in a model score column in deployment).
+
+    SemDeDup (Abbas et al. 2023) dedups WITHIN coarse embedding
+    cells, accepting that cross-cell near-dups are missed — that is
+    exactly the bucket restriction here, which is what makes the
+    candidate stage O(n + Σ bucket²) instead of n². With n-scaled
+    planes expected bucket occupancy stays ~16 at any corpus size, so
+    the whole pipeline is: map-only signatures, one bucket-key
+    shuffle, merge-pinned verify joins (the b39_lsh discipline — no
+    static broadcast of array columns), a pairs-sized label loop with
+    DISK_ONLY checkpoints, one keeper window. Clusters are a
+    refinement of b94's exact clustering (pairs are a subset at the
+    same threshold — pinned by tests), hence rows-only.
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import dot
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        _vectors,
+        plane_count,
+        signature_expr,
+    )
+
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    planes = plane_count(table_rowcount(spark, sf_dir, "embeddings"))
+    v = _vectors(spark, sf_dir)
+    sig = v.select("vec_id", F.expr(signature_expr(planes)).alias("sig"))
+    candidates = (
+        sig.groupBy("sig")
+        .agg(F.collect_list("vec_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x AS vec_a, y AS vec_b)),
+                                  p -> p.vec_a < p.vec_b)))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
+        "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    pairs = (
+        v.join(half.hint("merge"), v.vec_id == F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEARDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+    return _semantic_keep(spark, sf_dir, pairs)
 
 
 # ---------------------------------------------------------------------------

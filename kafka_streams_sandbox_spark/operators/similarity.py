@@ -12,11 +12,13 @@ Three tiers, mirroring how a 100 TB vector pipeline is actually built:
    because the pruning is semantic, not probabilistic. At scale the
    win is reading one cell's bucket instead of the full corpus:
    partition the parquet by cell id and Spark prunes at the scan.
-3. ``b35_ann_random_projection`` — LSH: 8 signed random projections
-   -> 8-bit bucket -> candidates rerank. Probabilistic recall ->
-   rows-only check. Bucket join replaces the n² pair space with
-   O(n·bucket_size); planes are hash-derived so the signature is
-   deterministic across executors with no broadcast state.
+3. ``b35_ann_random_projection`` — LSH: signed random projections
+   -> bucket -> candidates rerank, with the plane count derived from
+   the corpus row count (plane_count — expected bucket occupancy ~16
+   at any scale). Probabilistic recall -> rows-only check. Bucket
+   join replaces the n² pair space with O(n·bucket_size); planes are
+   hash-derived so the signature is deterministic across executors
+   with no broadcast state.
 """
 
 from __future__ import annotations
@@ -201,9 +203,32 @@ def b34_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH ANN (rows-only: probabilistic recall)
 # ---------------------------------------------------------------------------
-# 8 planes -> 256 buckets: sized so the test corpora (500-2000 vecs)
-# actually collide; scale the bit count with log2(n) in production.
-_N_PLANES = 8
+# Plane-count geometry scales with the corpus BY DEFAULT (r5, VERDICT
+# r4 Next #2): 2^planes ~ population/16, i.e. expected bucket
+# occupancy stays ~16 vectors as the corpus grows. The r4 100x probe
+# measured the fixed-8 trap directly: 200k vectors over 256 buckets =
+# 947 s (780-vector buckets, quadratic rerank) vs 52 s at 14 planes —
+# and round(log2(200k)) - 4 = 14 is exactly that measured best. The
+# floor keeps the 40-2000-vector test corpora colliding (they resolve
+# to 8 planes, so planted-recall contracts are unchanged); the cap
+# bounds the signature arithmetic well inside INT.
+_MIN_PLANES = 8
+_MAX_PLANES = 24
+
+
+def plane_count(population: int) -> int:
+    """log2-scaled plane count: expected bucket occupancy ~16.
+
+    Deterministic in the corpus row count (a metadata-only parquet
+    footer read, catalog.table_rowcount), so signatures stay
+    hash-deterministic for a fixed corpus — the contracts' requirement.
+    """
+    import math
+
+    if population < 2:
+        return _MIN_PLANES
+    return max(_MIN_PLANES, min(_MAX_PLANES, round(math.log2(population)) - 4))
+
 
 # plane[j][i] derived from xxhash64 — deterministic everywhere, no
 # driver-side state to broadcast. Components ~ uniform[-1, 1).
@@ -211,8 +236,13 @@ _PLANE_COMPONENT = (
     "CAST(pmod(xxhash64({j} * 64 + i), 1000) AS DOUBLE) / 500.0 - 1.0"
 )
 
-_SIGNATURE_EXPR = f"""
-    aggregate(sequence(0, {_N_PLANES - 1}), 0,
+
+def signature_expr(n_planes: int) -> str:
+    """Sign-random-projection signature over ``e`` as an INT bucket id
+    (n_planes bits; plane j's components are hash-derived so the
+    signature needs no broadcast state)."""
+    return f"""
+    aggregate(sequence(0, {n_planes - 1}), 0,
         (acc, j) -> acc + CASE WHEN
             aggregate(zip_with(e, transform(sequence(0, 63),
                           i -> {_PLANE_COMPONENT.format(j="j")}),
@@ -222,17 +252,32 @@ _SIGNATURE_EXPR = f"""
 """
 
 
+# Fixed-8 form: b39_lsh's single-band candidate generator imports this
+# (its recall-vs-threshold tradeoff is calibrated to 8 bits and its
+# planted contract pins that geometry; scaling IT is a deliberate
+# non-goal — b39_lsh exists as the candidate feeder whose recall the
+# precision-subset contract bounds).
+_N_PLANES = 8
+_SIGNATURE_EXPR = signature_expr(_N_PLANES)
+
+
 @query("b35_ann_random_projection")  # rows-only: LSH recall is probabilistic
 def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 8-bit signature buckets, exact
+    """Sign-random-projection LSH: n-scaled signature buckets, exact
     cosine rerank inside each bucket, top-3 per query.
 
-    Map-only signatures -> shuffle on the 8-bit bucket key -> small
-    dense blocks. Expected bucket population n/256 keeps the rerank
-    cheap at test scale; at larger corpora raise the plane count
-    (bits) with the log of n.
+    Map-only signatures -> shuffle on the bucket key -> small dense
+    blocks. The plane count derives from the corpus row count
+    (plane_count: expected bucket occupancy ~16 at any scale) — the
+    scaled-by-default remedy for the fixed-8 trap the r4 100x probe
+    measured at 947 s vs 52 s. The count is a metadata-only footer
+    read, so the plan itself is unchanged: signatures stay map-only
+    and hash-deterministic for a fixed corpus.
     """
-    v = _vectors(spark, sf_dir).withColumn("sig", F.expr(_SIGNATURE_EXPR))
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    planes = plane_count(table_rowcount(spark, sf_dir, "embeddings"))
+    v = _vectors(spark, sf_dir).withColumn("sig", F.expr(signature_expr(planes)))
     q = v.select(
         F.col("vec_id").alias("query_id"),
         F.col("sig").alias("qsig"),
@@ -258,15 +303,199 @@ def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# b92: IVF ANN with a REAL coarse quantizer (spherical k-means)
+# ---------------------------------------------------------------------------
+_KMEANS_ITERS = 3
+_MAX_CELLS = 4096  # centroid broadcast stays <= 4096 x 64 doubles (~2 MB)
+
+
+def cell_count(population: int) -> int:
+    """IVF doctrine: k ~ sqrt(n) coarse cells (in-cell rerank cost
+    n/k per probe balances the k-way centroid scan), capped so the
+    broadcast centroid matrix stays O(MB) at any corpus size."""
+    import math
+
+    if population < 2:
+        return 1
+    return max(1, min(_MAX_CELLS, round(math.sqrt(population))))
+
+
+@query("b92_ann_ivf_kmeans")  # rows-only: centroid geometry depends on
+def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF ANN over a quantizer BUILT from the data (VERDICT r4 Next
+    #4): b34/b91 borrow the ``label`` column as a stand-in cell id;
+    this operator runs a small Spark-native spherical k-means (Lloyd's)
+    and probes the learned cells.
+
+    Build (bounded driver state at every step — centroids are k x 64
+    doubles, <= ~2 MB at the 4096-cell cap):
+      1. k = cell_count(n) seeds picked by lowest md5(vec_id) — a
+         deterministic uniform sample, fetched via orderBy().limit(k)
+         which compiles to TakeOrderedAndProject (per-partition top-k
+         + driver merge, never a global sort);
+      2. 3 Lloyd rounds: assignment is an Arrow mapInPandas kernel
+         (one (batch x k) matmul per batch — b44's broadcast-variable
+         discipline, no driver collect of corpus rows); the centroid
+         update is a k-row groupBy of 64 avg() aggs (map-side partial,
+         one narrow shuffle); empty cells keep their previous centroid.
+         The normalized corpus is persisted across rounds (on a
+         cluster: MEMORY_AND_DISK — each round is one pass, not a
+         re-scan).
+      3. final pass assigns every vector its top-2 cells; the result
+         is localCheckpoint-materialized so the probe plan reads the
+         assignment once (cluster deployments would checkpoint() to
+         reliable storage, the b55 discipline).
+
+    Probe: corpus side keyed by its ONE home cell; query side probes
+    its nearest 2 cells (nprobe=2 — the standard recall lever for
+    boundary-straddling queries). The cell equi-join is merge-pinned
+    like b34/b91 (corpus x corpus with array columns must never ride
+    a file-size-estimated broadcast); exact sequential-fold cosine
+    rerank, WindowGroupLimit top-3.
+
+    Determinism: seeds are hash-chosen and the kernel/agg pipeline is
+    deterministic for a fixed corpus + session config (float avg
+    merge order is fixed by the deterministic shuffle), so the
+    planted-recall contract pins exact results; across cluster
+    layouts cell ids may differ in last-ulp boundary cases — hence
+    rows-only at the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    out_schema = (
+        "query_id long, neighbor_id long, cell int, cos_sim double, rnk bigint"
+    )
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
+    )
+    k = cell_count(table_rowcount(spark, sf_dir, "embeddings"))
+    seeds = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .select("ue")
+        .collect()
+    )  # bounded: k rows
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
+    cent = np.array([r["ue"] for r in seeds], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    v = v.persist()  # one pass per Lloyd round, not a re-scan
+    try:
+        for _ in range(_KMEANS_ITERS):
+            bc = spark.sparkContext.broadcast(cent)
+
+            def assign_home(batches, _bc=bc):
+                cmat = _bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mat = np.array(list(pdf["ue"]), dtype=np.float64)
+                    cells = np.argmax(mat @ cmat.T, axis=1)
+                    yield pd.DataFrame(
+                        {"cell": cells.astype(np.int32), "ue": pdf["ue"]}
+                    )
+
+            means = (
+                v.mapInPandas(assign_home, "cell int, ue array<double>")
+                .groupBy("cell")
+                .agg(*[F.avg(F.col("ue")[i]).alias(f"c{i}") for i in range(DIM)])
+                .collect()
+            )  # bounded: k rows
+            new_cent = cent.copy()
+            for row in means:
+                m = np.array([row[f"c{i}"] for i in range(DIM)], dtype=np.float64)
+                nm = float(np.linalg.norm(m))
+                if np.isfinite(nm) and nm > 0:
+                    new_cent[row["cell"]] = m / nm
+            cent = new_cent
+
+        bc_final = spark.sparkContext.broadcast(cent)
+
+        def assign_probe(batches):
+            cmat = bc_final.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["ue"]), dtype=np.float64)
+                sims = mat @ cmat.T
+                order = np.argsort(-sims, axis=1, kind="stable")
+                second = order[:, 1] if cmat.shape[0] > 1 else order[:, 0]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "cell": order[:, 0].astype(np.int32),
+                        "cell2": second.astype(np.int32),
+                        "ue": pdf["ue"],
+                    }
+                )
+
+        assigned = v.mapInPandas(
+            assign_probe, "vec_id long, cell int, cell2 int, ue array<double>"
+        ).localCheckpoint()
+    finally:
+        v.unpersist()
+
+    corpus = assigned.select("vec_id", "cell", "ue")
+    probes = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
+        F.col("ue").alias("qe"),
+    )
+    pairs = corpus.join(
+        probes.hint("merge"),
+        (corpus.cell == probes.pcell) & (corpus.vec_id != probes.query_id),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        dot("qe", "ue").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id", "neighbor_id", "cell", "cos_sim", F.col("rnk").cast("bigint")
+        )
+    )
+
+
+_LABEL_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _label_count(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct coarse-cell (label) count — one narrow single-column
+    agg, cached per (app, sf_dir). Bounded: returns one integer."""
+    from kafka_streams_sandbox_spark.catalog import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LABEL_COUNT_CACHE.get(key)
+    if cached is None:
+        cached = _LABEL_COUNT_CACHE[key] = (
+            table(spark, sf_dir, "embeddings").select("label").distinct().count()
+        )
+    return cached
+
+
 @query("b91_ann_ivf_scaled_cells")  # rows-only: sub-bucket recall is
 def b91_ann_ivf_scaled_cells(  # probabilistic (xxhash planes, no DuckDB twin)
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """b34's IVF with the cell count scaled the way production IVF
-    demands: each coarse label cell is subdivided by b35's 8-plane
-    hash bucket, so cells = |labels| x 256 and expected in-cell
-    population stays flat as the corpus grows (raise the plane count
-    with log2(n) exactly as b35 documents).
+    demands: each coarse label cell is subdivided by b35's hash
+    bucket, with the sub-plane count derived from the PER-CELL
+    population (n / |labels|) so expected in-cell population stays
+    ~16 as the corpus grows — since r5 the scaling is the default,
+    not a documented manual override (VERDICT r4 Next #2).
 
     This is the measured remedy for the fixed-config trap the late-r4
     sweep caught in b34 (BASELINE.md): the same 10x corpus that takes
@@ -274,11 +503,19 @@ def b91_ann_ivf_scaled_cells(  # probabilistic (xxhash planes, no DuckDB twin)
     identical plan shape (merge-pinned SMJ self-join, WindowGroupLimit
     top-3), one extra equi-join key. Recall within a label follows
     b35's bucket-collision odds; b34 stays the oracle-checked exact
-    within-cell twin.
+    within-cell twin. The two config inputs (row count, label count)
+    are bounded actions: a footer-metadata count and a one-column
+    distinct count.
     """
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    sub_planes = plane_count(
+        table_rowcount(spark, sf_dir, "embeddings")
+        // max(1, _label_count(spark, sf_dir))
+    )
     v = (
         _vectors(spark, sf_dir)
-        .withColumn("sub", F.expr(_SIGNATURE_EXPR))
+        .withColumn("sub", F.expr(signature_expr(sub_planes)))
     )
     q = v.select(
         F.col("vec_id").alias("query_id"),

@@ -56,92 +56,17 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- NEW in round 4 (no driver row exists at all yet) ---
-    "b87_duplicated_spans",        # span-level substring-dedup coverage
-    "b88_shard_shuffle",           # deterministic global shuffle + shards
-    "b89_shard_write_manifest",    # partitioned shard sink + read-back
-    "b90_time_grid_fill",          # hourly resample + forward fill
-    "b91_ann_ivf_scaled_cells",    # late r4: the measured remedy for
-                                   # b34's fixed-cell trap, registered
-    # --- changed in round 4 (code touched this round; rows must refresh) ---
-    "b44_cosine_topk_arrow",       # driver-side query collect removed
-    "b82_context_packing",         # bucket id now integer DIV (ADVICE r3)
-    "b86_phash_neardup",           # kernel empty-batch guard (ADVICE r3)
-    "a10_topic_ddl",               # cached process-lifetime admin root
-    "a22_stream_static_join",      # in-query duality assert added
-    "a23_stream_stream_join",      # in-query duality assert added
-    "b39_lsh_embedding_neardup",   # unbounded candidate broadcast removed;
-                                   # late r4: verify joins merge-pinned
-                                   # (100x-probe broadcast OOM); b34/b35
-                                   # got the same pin — their rows refresh
-                                   # via the rotation block below
-    "b27_minhash_lsh_dedup",       # same removal + token-less-doc guard
-    "b54_merge_upsert",            # |users|-sized change-set broadcast removed
-    # hostile-input hardening (late r4) also touched b23/b30 (nullif
-    # ratio guards), b26/b28 (token-less-doc guards), and the
-    # embedding family b33/b34/b35/b39 (degenerate-vector guards) —
-    # all already below in the rotation block, so their rows refresh
-    # --- late-r4 streaming semantics fixes (self-review): ---
-    "a08_stream_tombstone_store",  # store upsert order survives restart
-    "a09_app_interactive_query",   # same store path via StreamsApp
-    "a21_stream_running_stats",    # (ts, event_id) tie-break = b17's
-    "a24_stream_dedup_watermark",  # full-payload content dedup key
-    # --- late-r4 operator-review fixes (see commit messages): ---
-    "b81_lang_centroid_outliers",  # degenerate-vector guard (family parity)
-    "b71_corpus_curation",         # raw count before tier join; TRY_CAST
-    "b83_pii_mask",                # NULL-name concat engine parity
-    "a25_stream_quality_gate",     # shared quality_verdict now uses
-                                   # the single TRIGRAMS_EXPR constant
-    "b55_dedup_clusters",          # star-edge emission now window-min
-                                   # (spillable), not collect_list;
-                                   # b60/b78 consume b55's pairs so
-                                   # their rows must refresh too
-    "b60_canonical_assignment",
-    "b78_keep_best_in_cluster",
-    "b75_table_profile",          # single-scan unpivot profiler replaces
-                                  # the 5-scan multi-countDistinct plan
-    # DELIBERATE TRADEOFF: the two review waves above grew this list
-    # to ~64 against a ~50-query window, so the rotation tail (the
-    # schema-stable relational basics at the bottom) may keep its r2
-    # rows one more round. Changed-code rows outrank stale-but-
-    # unchanged rows — the reverse (fresh rows for unchanged queries,
-    # stale-green rows for changed ones) was round 2's #1 defect.
-    # Every query below ALSO passes the full local contract
-    # (VERIFY_LOCAL_r04.txt, 100/100).
-    # --- rotation: every row below predates round 3 (VERDICT r3 #1). ---
-    # All 33 r3-touched queries landed green r3 rows, so this round's
-    # window goes to the 50 queries whose latest row is r1/r2 — recorded
-    # BEFORE the events.ts nanos→micros testdata drift (27d4fe7).
-    # r1 rows first; event-readers lead because their rows predate the
-    # drift on the very table they read.
-    "b17_latest_per_user",
-    "b18_table_filter_key_eq_value",
-    "b19_tumbling_window_agg",
-    "b20_sessionization",
-    "b41_pivot_event_counts",
-    "b51_sliding_window_agg",
-    "b40_asof_join",
-    "b56_exact_percentiles",
-    # r1 rows, documents/embeddings readers
-    "b23_text_stats",
-    "b29_language_id",
-    "b30_quality_score",
-    "b31_token_count",
-    "b32_fingerprint",
-    "b53_rolling_hash",
-    "b21_exact_dedup",
-    "b24_dedup_across_sources",
-    "b26_ngram_jaccard_pairs",
-    "b28_simhash_dedup",
-    "b39_embedding_neardup",
-    "b33_cosine_topk",
-    "b34_ann_ivf_label",
-    "b35_ann_random_projection",
-    "b48_hybrid_search",
-    # r1 rows, TPC-H readers
-    "b15_scalar_functions",
-    "b42_above_avg_customers",
-    # r2 rows, events/documents/embeddings readers
+    # --- round-5 ordering (VERDICT r4 Next #1): the 22 queries whose
+    # latest driver row is r1/r2 lead — CORRECTNESS_r04 landed fresh
+    # rows on REVERIFY_FIRST positions 1-50 exactly, so this round the
+    # stale backlog goes first and the round closes with no registry
+    # row older than r3. All 22 pass the full local contract at two
+    # scale factors (VERIFY_LOCAL_r04{,_sf0001}.txt) and post-date no
+    # code change, so ordering them ahead of round-5 work is safe:
+    # round-5-touched queries follow immediately and the combined
+    # block still fits the ~50-query window. ---
+    "b42_above_avg_customers",     # the single r1 row (position 51 in r4)
+    # r2 rows, event/documents/embeddings readers
     "b72_key_skew_report",
     "b74_robust_anomalies",
     "b77_value_quartiles",
@@ -152,12 +77,9 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b68_incremental_dedup",
     "b69_quality_gate",
     "b70_bigram_lm",
-    # b71 moved to the operator-review block above
-    # b75 moved to the changed-code block above
     "b76_fuzzy_match",
     "b66_scd2_history",
-    # r2 rows, TPC-H relational basics — most schema-stable family,
-    # so they absorb any window cutoff
+    # r2 rows, TPC-H relational basics
     "b01_scan_filter_project",
     "b03_join_orders_customer",
     "b06_left_outer_join",
@@ -167,6 +89,39 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b10_topk_per_group",
     "b11_global_sort_limit",
     "b12_distinct_count",
+    # --- NEW in round 5 (no driver row exists yet) ---
+    "b92_ann_ivf_kmeans",          # real Lloyd's coarse quantizer IVF
+    "b93_semantic_dedup",          # SemDeDup capstone (LSH candidates ->
+                                   # components -> keeper pick)
+    "b94_semantic_dedup_exact",    # b93's exact-threshold oracle twin
+    # --- changed in round 5 (code touched; rows must refresh) ---
+    "b27_minhash_lsh_dedup",       # exact-dup collapse before banding
+                                   # (VERDICT r4 Next #3)
+    "b35_ann_random_projection",   # plane count now n-scaled (Next #2)
+    "b91_ann_ivf_scaled_cells",    # sub-plane count now n-scaled
+    "b90_time_grid_fill",          # NULL-ts events dropped pre-union
+    "b88_shard_shuffle",           # bucket width now a config knob
+    "b89_shard_write_manifest",    # contract checks real exceptions
+    # --- rotation filler: oldest remaining rows (r3) so the window,
+    # if it reaches here, refreshes them in age order ---
+    "b02_tpch_q1_agg",
+    "b04_multiway_join_agg",
+    "b05_broadcast_join_agg",
+    "b13_set_operations",
+    "b14_rollup_agg",
+    "b16_json_extract",
+    "b43_grouping_sets",
+    "b45_sketch_aggregates",
+    "b46_range_join_bands",
+    "b52_unpivot_measures",
+    "b56_exact_percentiles",
+    "b57_train_holdout_split",
+    "b58_tfidf_top_terms",
+    "b59_funnel_conversion",
+    "b62_contamination_overlap",
+    "b73_retention_cohorts",
+    "b40_asof_join",
+    "b41_pivot_event_counts",
 )
 
 

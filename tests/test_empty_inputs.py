@@ -81,10 +81,13 @@ _QUERIES = [
     dedup.b28_simhash_dedup,
     dedup.b39_embedding_neardup,
     dedup.b39_lsh_embedding_neardup,
+    dedup.b93_semantic_dedup,  # empty pair set -> zero-round label loop
+    dedup.b94_semantic_dedup_exact,
     similarity.b33_cosine_topk,
     similarity.b34_ann_ivf_label,
     similarity.b35_ann_random_projection,
     similarity.b91_ann_ivf_scaled_cells,
+    similarity.b92_ann_ivf_kmeans,  # zero seeds -> empty result, no Lloyd
     b44_cosine_topk_arrow,
     b48_hybrid_search,
     semantic.b17_latest_per_user,

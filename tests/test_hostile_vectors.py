@@ -18,6 +18,7 @@ from kafka_streams_sandbox_spark.operators.similarity import (
     b34_ann_ivf_label,
     b35_ann_random_projection,
     b91_ann_ivf_scaled_cells,
+    b92_ann_ivf_kmeans,
 )
 
 _DIM = 64
@@ -74,7 +75,13 @@ def hostile_vec_dir(tmp_path_factory) -> str:
 
 
 @pytest.mark.parametrize(
-    "fn", [b33_cosine_topk, b34_ann_ivf_label, b35_ann_random_projection],
+    "fn",
+    [
+        b33_cosine_topk,
+        b34_ann_ivf_label,
+        b35_ann_random_projection,
+        b92_ann_ivf_kmeans,  # degenerate rows must not seed/skew centroids
+    ],
     ids=lambda f: f.__name__,
 )
 def test_similarity_family_survives_hostile_vectors(spark, hostile_vec_dir, fn):
@@ -145,3 +152,25 @@ def test_embedding_neardup_survives_hostile_vectors(spark, hostile_vec_dir):
             assert r["vec_a"] not in hostile_ids, (fn.__name__, r)
             assert r["vec_b"] not in hostile_ids, (fn.__name__, r)
             assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"])
+
+
+def test_semantic_dedup_survives_hostile_vectors(spark, hostile_vec_dir):
+    """b93/b94: degenerate vectors are excluded entirely (never
+    clustered, never keepers); every clean vector appears exactly once
+    with exactly one keeper per cluster."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b93_semantic_dedup,
+        b94_semantic_dedup_exact,
+    )
+
+    hostile_ids = {100, 101, 102, 103, 104}
+    for fn in (b93_semantic_dedup, b94_semantic_dedup_exact):
+        rows = fn(spark, hostile_vec_dir).collect()
+        assert len(rows) == 30, fn.__name__  # the clean vectors only
+        assert not {r["vec_id"] for r in rows} & hostile_ids
+        assert not {r["keep_id"] for r in rows} & hostile_ids
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for members in by_cluster.values():
+            assert sum(1 for m in members if m["is_kept"]) == 1

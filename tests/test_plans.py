@@ -131,10 +131,15 @@ def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
         "b34_ann_ivf_label",
         "b35_ann_random_projection",
         "b91_ann_ivf_scaled_cells",
+        "b92_ann_ivf_kmeans",
     ):
         df = queries[name](spark, sf_dir)
         assert has_operator(df, "SortMergeJoin"), (name, plan_string(df))
         assert not has_operator(df, "BroadcastHashJoin"), (name, plan_string(df))
+        assert not has_operator(df, "BroadcastNestedLoopJoin"), (
+            name,
+            plan_string(df),
+        )
 
 
 def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
