@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # rows-only (no oracle): adds a Spark-timed row without touching
     # the shared-ratio membership
     "b91_ann_ivf_scaled_cells",
+    # round-5: learned-quantizer IVF + the SemDeDup capstone pair
+    "b92_ann_ivf_kmeans",
+    "b93_semantic_dedup",
+    "b94_semantic_dedup_exact",
     "b36_multimodal_metadata",
     "b39_embedding_neardup",
     "b39_lsh_embedding_neardup",

@@ -123,7 +123,14 @@ def b37_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_batch(b) for b in pdf["blob"]]
+            if not len(pdf):  # empty batch: pd.DataFrame([]) would
+                continue  # drop the schema's columns (b86's r4 lesson)
+            # NULL blob (e.g. NULL text upstream) decodes as an empty
+            # payload rather than crashing the whole partition
+            feats = [
+                decode_image_batch(b if b is not None else b"")
+                for b in pdf["blob"]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -159,8 +166,11 @@ def b38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
+            if not len(pdf):  # empty batch: see b37
+                continue
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = blob if blob is not None else b""  # NULL payload
                 n_frames = max(len(blob) // _FRAME_SIZE, 1)
                 for idx in range(0, n_frames, _FRAME_STRIDE):
                     frame = bytes(blob[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE])
@@ -208,8 +218,11 @@ def b49_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # empty batch: see b37
+                continue
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = blob if blob is not None else b""  # NULL payload
                 pcm = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
                     np.float64
                 ) - 128.0

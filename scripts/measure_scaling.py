@@ -34,6 +34,11 @@ SEED = 777
 # KSS_SCALE_QUERIES=b27_...,b87_... python scripts/measure_scaling.py /tmp/kss_100x)
 N_DOCS = int(os.environ.get("KSS_SCALE_DOCS", 50_000))
 N_VECS = int(os.environ.get("KSS_SCALE_VECS", 20_000))
+# Timing repeats per (query, scale). VERDICT r4 #7: the 100x tier must
+# be at least best-of-2 — a single draw on a multi-minute job makes
+# the headline slope table noisy — so the floor is 2 regardless of the
+# env override (use KSS_SCALE_REPEATS=2 for big sweeps to bound cost).
+REPEATS = max(2, int(os.environ.get("KSS_SCALE_REPEATS", "3")))
 P_DUP_DOC = 0.05  # mutated-copy rate -> same dup regime as sf0.1
 P_DUP_VEC = 0.07
 QUERIES = (
@@ -59,6 +64,11 @@ QUERIES = (
     # is the documented fixed-config anchor; time it deliberately,
     # not by default (349 s at 10x).
     "b91_ann_ivf_scaled_cells",
+    # round-5 additions: the learned-quantizer IVF and the SemDeDup
+    # capstone (bucketed candidates -> components -> keeper), plus the
+    # collapsed-b27 rewrite already covered above
+    "b92_ann_ivf_kmeans",
+    "b93_semantic_dedup",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))
@@ -187,7 +197,7 @@ def main() -> int:
         row: dict = {}
         for label, d in (("sf0.1", SF_DIR), ("10x", out_dir)):
             best, rows = float("inf"), None
-            for _ in range(3):
+            for _ in range(REPEATS):
                 t0 = time.perf_counter()
                 rows = qs[name](spark, d).count()
                 best = min(best, time.perf_counter() - t0)

@@ -162,3 +162,87 @@ def test_phash_batch_kernel_matches_reference(spark, sf_dir):
     got = dict(zip(out["doc_id"], out["phash"]))
     for r in rows:
         assert int(got[r.doc_id]) == phash_batch(bytes(r.blob)), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Hostile-kernel sweep (ADVICE r4 / VERDICT r4 #8): the Arrow kernels
+# must survive degenerate inputs Spark usually shields them from —
+# empty Arrow batches, NULL payloads, empty payloads — both through
+# the plan and as direct calls on the public kernel functions.
+# ---------------------------------------------------------------------------
+
+
+def _hostile_docs_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("hostile_blobs")
+    rows = [
+        (0, "a normal document with some words"),
+        (1, ""),  # empty text -> empty blob
+        (2, None),  # NULL text -> NULL blob
+        (3, "é中文 unicode \U0001f600"),  # multi-byte utf-8
+        (4, "x" * 10_000),  # oversized payload
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    return str(tmp)
+
+
+def test_decode_kernels_survive_hostile_blobs(spark, tmp_path_factory):
+    """b37/b38/b49 through the plan over NULL/empty/unicode/oversized
+    payloads: every doc yields its row(s), nothing crashes, NULL
+    decodes as an empty payload."""
+    from kafka_streams_sandbox_spark.operators.multimodal import (
+        b37_image_decode_stub,
+        b38_frame_sample,
+        b49_audio_features,
+    )
+
+    d = _hostile_docs_dir(tmp_path_factory)
+    dec = {r["doc_id"]: r for r in b37_image_decode_stub(spark, d).collect()}
+    assert set(dec) == {0, 1, 2, 3, 4}
+    for did in (1, 2):  # empty and NULL decode identically
+        assert dec[did]["mean_luma"] == 0.0 and dec[did]["width"] == 64
+
+    frames = b38_frame_sample(spark, d).collect()
+    assert {r["frame_idx"] for r in frames if r["doc_id"] in (1, 2)} == {0}
+    assert sum(1 for r in frames if r["doc_id"] == 4) > 1  # long blob
+
+    au = {r["doc_id"]: r for r in b49_audio_features(spark, d).collect()}
+    assert set(au) == {0, 1, 2, 3, 4}
+    for did in (1, 2):
+        assert au[did]["n_samples"] == 0 and au[did]["rms"] == 0.0
+
+
+def test_kernel_functions_survive_direct_degenerate_calls():
+    """The public kernels as plain functions: empty payloads and empty
+    Arrow batches (which Spark may deliver after a selective filter)
+    must not raise or emit schema-less frames."""
+    import pandas as pd
+
+    from kafka_streams_sandbox_spark.operators.multimodal import (
+        decode_image_batch,
+        phash_batch,
+    )
+
+    feats = decode_image_batch(b"")
+    assert feats["mean_luma"] == 0.0 and feats["n_pixels"] > 0
+    assert isinstance(phash_batch(b""), int)
+    # NotImplementedError gate still pinned for the real-codec path
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_batch(b"abc", fake=False)
