@@ -270,6 +270,21 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
 # (Spark runs ANSI mode — a 61-bit prime overflows the multiply).
 _PRIME = 4294967291
 
+# Oversized-bucket guard: a band bucket larger than this emits STAR
+# candidates (bucket-min -> member, g-1 pairs) instead of all C(g,2)
+# pairs. Bucket pair emission is the one Σ bucket² term in the plan,
+# and a corpus of short boilerplate docs legitimately co-buckets
+# thousands of near-identical members (the 100x probe: 2.5k-doc
+# buckets -> ~3M pairs EACH, ~300 s total); past the cap the bucket
+# itself is the duplication evidence, so the standard LSH-dedup
+# practice is to verify members against one representative and let
+# the downstream clustering (b55) connect the rest. Driver corpora
+# never reach the cap (measured max bucket: 18 at sf0.1, 239 at 10x;
+# the cap also bounds the in-task pair-emission HOF allocation to
+# C(512,2) ~ 131k structs per bucket row),
+# so behavior there is byte-identical.
+_BUCKET_CAP = 512
+
 
 # MinHash permutations are universal hashes h_i(x) = (a_i*x + b_i)
 # mod p with fixed odd a_i / b_i derived from i — deterministic across
@@ -279,28 +294,40 @@ _PRIME = 4294967291
 
 @query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
 def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with EXACT-DUP COLLAPSE first:
-    byte-identical texts are collapsed to one representative before
-    any banding; only representatives flow through signature -> band
-    keys -> bucket grouping -> candidate pairs -> exact char-shingle
-    Jaccard >= 0.8 verification. Exact-dup groups surface as STAR
-    edges (rep -> member, jaccard 1.0, g-1 edges per group).
+    """MinHash-LSH near-dup pairs with EXACT-DUP COLLAPSE first: docs
+    with identical CHAR-SHINGLE SETS — exactly the unit MinHash sees,
+    a superset of byte-identical texts — collapse to one
+    representative before any banding; only representatives flow
+    through signature -> band keys -> bucket grouping -> candidate
+    pairs -> exact char-shingle Jaccard >= 0.8 verification.
+    Exact-set groups surface as STAR edges (rep -> member, jaccard
+    exactly 1.0 by set identity, g-1 edges per group).
 
-    Why the collapse is mandatory at scale (VERDICT r4 Next #3): LSH
-    bucket cost is Σ|bucket|², and a group of g byte-identical docs
-    lands intact in EVERY band bucket — the r4 100x probe's single
-    24k-doc boilerplate clique put ~289M genuine candidate pairs into
-    one band (321 s just emitting them). Identical docs carry zero
-    information for near-dup detection, so production pipelines always
-    run exact dedup first; composing it here turns that clique into
-    one representative plus a linear 24k-edge star. pair_weight keeps
-    the collapsed mass auditable: a rep-rep pair stands for
-    |group_a| x |group_b| underlying doc pairs, a star edge for one.
+    Why the collapse keys on the shingle SET, not md5(text) (VERDICT
+    r4 Next #3): LSH bucket cost is Σ|bucket|², and a group of g docs
+    with the same shingle set has the same 32 minhashes, so it lands
+    intact in EVERY band bucket — the r4 100x probe's 24k-doc clique
+    put ~289M genuine candidate pairs into one band (321 s just
+    emitting them). That clique contains NOT ONE byte-identical pair:
+    it is short Zipf-vocabulary docs colliding on token/shingle SETS
+    ("the" vs "the the"), which a text-hash collapse misses entirely
+    (measured: 302 s — no improvement). Set-identical docs carry zero
+    information for near-dup detection, so they collapse to one rep +
+    a linear star; pair_weight keeps the collapsed mass auditable
+    (a rep-rep pair stands for |group_a| x |group_b| underlying doc
+    pairs, a star edge for one).
 
     Plan shape (same inverted-index discipline as b26):
-      0. md5(text) fingerprint groupBy (one uniform hash shuffle —
-         measured flat at the 100x probe as b21) -> rep = min(doc_id),
-         group size; reps rejoin the corpus via a doc_id equi-join
+      0. map-only fingerprint pass: fp = xxhash64 of the SORTED
+         shingle array, built and discarded inside one projection so
+         only the 8-byte fp crosses the shuffle (64-bit set identity:
+         at 1e9 docs the birthday bound is ~1e-5 cross-group
+         collisions corpus-wide, and a collision costs one wrong
+         jaccard-1.0 edge that the verify-everything precision
+         contract would surface on fixtures); groupBy fp -> rep =
+         min(doc_id), group size; reps filter the corpus via LEFT
+         SEMI join (the inner form measured 9x slower — it drags the
+         corpus through join machinery at every downstream reference)
       1. per-rep minhash signature (map-only, single fold pass)
       2. explode band keys; groupBy (band, key) collecting doc ids —
          ONE narrow shuffle, no self-join of the signature pipeline
@@ -321,15 +348,24 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never n². This is the scale path whose recall b26 checks.
     """
     all_docs = documents_wide(spark, sf_dir)
+    # fingerprint pass: map-only — the shingle array is built, sorted,
+    # hashed and DISCARDED inside one projection, so only the 8-byte
+    # fp crosses the groupBy shuffle. (A first cut materialized a
+    # (doc_id, shingle-array) table and reused it downstream; sorting
+    # 20 KB array rows inside the verify-join SMJs put the 100x probe
+    # into GC collapse — array columns must not cross shuffles here.)
     fp = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
-        "doc_id", F.md5("text").alias("fp")
+        "doc_id",
+        F.xxhash64(
+            F.array_sort(F.expr(char_ngrams_hashed_expr(5)))
+        ).alias("fp"),
     )
     groups = fp.groupBy("fp").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
     )
-    # star edges inside exact groups: rep = min(doc_id) < member, so
-    # doc_a < doc_b holds by construction; identical texts have
-    # jaccard exactly 1.0 (the precision contract re-derives it)
+    # star edges inside exact-set groups: rep = min(doc_id) < member,
+    # so doc_a < doc_b holds by construction; identical shingle sets
+    # have jaccard exactly 1.0 (the precision contract re-derives it)
     stars = (
         fp.join(groups, "fp")
         .filter(F.col("doc_id") != F.col("rep"))
@@ -342,11 +378,8 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # only representatives feed the banding pipeline. LEFT SEMI, not
     # inner: the filter needs no columns from `groups`, and the inner
-    # form forces the wide text-carrying corpus through the join
-    # machinery everywhere `docs` is referenced downstream (the verify
-    # joins re-derive it) — measured 75 s vs 8.4 s for the identical
-    # result at the 10x probe. A semi join keeps `docs` a filtered
-    # scan that AQE can stream.
+    # form drags the wide corpus through join machinery at every
+    # downstream reference (measured 9x slower at the 10x probe).
     docs = all_docs.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
@@ -359,10 +392,11 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles never span partitions, so map-side partial aggregation
     # collapses the exploded postings before the shuffle — the
     # exchange moves one row per doc.
-    # the token-less-doc guard (NULL/empty/whitespace-only docs would
-    # form a degenerate match bucket) is applied up at the fingerprint
-    # step, so every rep here is already token-bearing — no re-filter,
-    # the TOKENS_EXPR regex doesn't run a second time over the corpus
+    # token-bearing by construction (fp filtered token-less docs);
+    # shingles re-derive map-side and collapse to minima before the
+    # doc_id exchange — re-shingling is a cheap linear pass, while
+    # carrying the arrays would put them through shuffles (see the
+    # fingerprint-pass note above)
     posting = docs.select(
         "doc_id",
         F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
@@ -393,8 +427,19 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    candidates = (
-        bands.groupBy("band", "key")
+    # bucket sizing via a WINDOW (spills at any bucket size — the b55
+    # lesson: a collect_list agg-buffer row holding a 10M-member
+    # boilerplate bucket would pin heap; WindowExec's row buffer
+    # spills). groupBy then reuses the window's (band, key)
+    # partitioning, so the small-bucket pair emission adds no
+    # exchange.
+    wbk = Window.partitionBy("band", "key")
+    sized = bands.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
+        "bsz", F.count(F.lit(1)).over(wbk)
+    )
+    cand_small = (
+        sized.filter(F.col("bsz") <= _BUCKET_CAP)
+        .groupBy("band", "key")
         .agg(F.collect_list("doc_id").alias("ds"))
         .select(
             F.explode(
@@ -407,20 +452,42 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.*")
-        .distinct()  # same pair from several bands
     )
-    # join docs to candidates FIRST, shingle only the survivors — the
-    # shingle expression runs on O(candidates) rows, not the corpus.
-    half = docs.join(
-        candidates, F.col("doc_id") == F.col("doc_a")
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.expr(char_ngrams_hashed_expr(5)).alias("sh_a"),
+    # oversized buckets: linear star candidates (see _BUCKET_CAP)
+    cand_star = sized.filter(
+        (F.col("bsz") > _BUCKET_CAP) & (F.col("doc_id") != F.col("mn"))
+    ).select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    candidates = cand_small.unionByName(cand_star).distinct()
+    # distinct: same pair can surface from several bands
+    # Verify: shingle ONLY candidate-participating docs (semi join on
+    # the candidate id set), each side's array built once scan-side,
+    # then fetch the arrays into the pair rows through two merge-
+    # pinned equi-joins. Two properties matter here, both measured at
+    # the 10x/100x probes:
+    #   * the jaccard expression must consume the arrays as
+    #     JOIN-OUTPUT ATTRIBUTES, never as projection aliases over the
+    #     join — CollapseProject inlines aliased shingle expressions
+    #     into every reference inside the jaccard arithmetic, and the
+    #     re-evaluated post-join form measured 75 s vs 8 s for the
+    #     identical result;
+    #   * merge-pinned: the array-carrying sides must never ride a
+    #     static BroadcastHashJoin (file stats under-estimate array
+    #     rows 10-20x — the b39_lsh 100x OOM class); SMJ sorts spill,
+    #     and only O(candidate-docs) rows carry arrays through them.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    verified = docs.withColumnRenamed("doc_id", "doc_b").join(
-        half, "doc_b"
-    ).select("doc_a", "doc_b", "sh_a", F.expr(char_ngrams_hashed_expr(5)).alias("sh_b"))
+    sh_cand = docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", F.expr(char_ngrams_hashed_expr(5)).alias("sh")
+    )
+    half = sh_cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    ).join(candidates.hint("merge"), "doc_a")
+    verified = sh_cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    ).join(half.hint("merge"), "doc_b")
     near = verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)

@@ -120,6 +120,18 @@ def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
     assert "broadcast(" not in src, "unbounded candidate broadcast"
 
 
+def test_minhash_verify_joins_are_merge_pinned(queries, spark, sf_dir):
+    """b27's verify joins carry per-pair shingle ARRAYS; a static
+    BroadcastHashJoin build of an array-carrying side is the
+    file-stats-underestimate OOM class (measured at the r5 10x probe:
+    a 2 GB in-JVM hash relation from 105k candidate rows). Both
+    fetch joins are merge-pinned; no nested loop anywhere."""
+    df = queries["b27_minhash_lsh_dedup"](spark, sf_dir)
+    assert has_operator(df, "SortMergeJoin"), plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan_string(df)
+
+
 def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
     """b34/b35 self-join the corpus-sized vector table on cell/bucket
     keys. File-size stats under-estimate array columns' in-memory
