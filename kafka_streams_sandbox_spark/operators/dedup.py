@@ -360,8 +360,19 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.expr(char_ngrams_hashed_expr(5)))
         ).alias("fp"),
     )
-    groups = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    # groups is referenced by FOUR consumers (stars, the rep semi
+    # filter, and both weight joins); without lineage truncation each
+    # reference re-runs the corpus-wide shingle+sort fingerprint pass
+    # (the plan audit showed 70 exchanges / 5 fp subtrees). One lazy
+    # DISK_ONLY checkpoint of this NARROW table (24 bytes/row — never
+    # the array-carrying ones) computes it once; b55's loop uses the
+    # same discipline (checkpoint() on a real cluster).
+    from pyspark import StorageLevel
+
+    groups = (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     # star edges inside exact-set groups: rep = min(doc_id) < member,
     # so doc_a < doc_b holds by construction; identical shingle sets
