@@ -142,6 +142,11 @@ DUCKDB_TIMEOUT_S = 60.0
 DUCKDB_EXCLUDED = {
     "b26_ngram_jaccard_pairs",
     "b62_contamination_overlap",
+    # b94's recursive-CTE-over-all-pairs oracle exceeds the budget at
+    # sf0.1 every observed run (the all-pairs stage is the documented
+    # exact anchor); pinned like b26/b62 so the shared-query set stays
+    # IDENTICAL run to run instead of flapping on a dead 60 s wait.
+    "b94_semantic_dedup_exact",
 }
 
 

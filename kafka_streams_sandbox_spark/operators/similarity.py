@@ -351,10 +351,16 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
 
     Probe: corpus side keyed by its ONE home cell; query side probes
     its nearest 2 cells (nprobe=2 — the standard recall lever for
-    boundary-straddling queries). The cell equi-join is merge-pinned
-    like b34/b91 (corpus x corpus with array columns must never ride
-    a file-size-estimated broadcast); exact sequential-fold cosine
-    rerank, WindowGroupLimit top-3.
+    boundary-straddling queries). The rerank is a COGROUPED Arrow
+    matmul per cell (one (queries x members) BLAS product), emitting
+    only each query's in-cell top-3 — the candidate pair space
+    (n x n/k x nprobe rows) is never materialized. Measured at the
+    100x probe: 312 s for the SMJ + sequential-fold pair join this
+    replaced vs the kernel form's wall (BASELINE.md round-5 table) —
+    the b44 "Arrow kernel as throughput lever" doctrine applied to
+    the IVF probe. Both cogroup sides exchange on the cell key (the
+    same shuffle class as the join it replaces; no broadcast of any
+    array-carrying side exists to mis-size).
 
     Determinism: seeds are hash-chosen and the kernel/agg pipeline is
     deterministic for a fixed corpus + session config (float avg
@@ -448,20 +454,68 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
         F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
         F.col("ue").alias("qe"),
     )
-    pairs = corpus.join(
-        probes.hint("merge"),
-        (corpus.cell == probes.pcell) & (corpus.vec_id != probes.query_id),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "cell",
-        dot("qe", "ue").alias("cos_sim"),
+
+    # Per-cell rerank as a COGROUPED Arrow matmul (r5): cogroup the
+    # corpus and the probe set on the cell key and run one
+    # (queries x members) BLAS matmul per cell, emitting each query's
+    # in-cell top-3 — so the candidate PAIR space (n x n/k x nprobe
+    # rows; 179M pairs at the 100x probe, 312 s through the
+    # SMJ + sequential-fold form this replaces) is never materialized:
+    # Arrow moves each cell's vectors once and only <= 3 rows per
+    # (query, probed cell) come back. Same shuffle class as the join
+    # it replaces (both sides exchange on the cell key); in-kernel
+    # id-stable ordering (sort members by id, stable argsort on -sims)
+    # makes tie-handling identical to the global window's
+    # (cos DESC, neighbor_id ASC) — the b44 lesson.
+    def rerank_cell(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
+        if not len(corpus_pdf) or not len(probe_pdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cell": [], "cos_sim": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64",
+                 "cell": "int32", "cos_sim": "float64"}
+            )
+        ids = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(list(corpus_pdf["ue"]), dtype=np.float64)[order]
+        qids = probe_pdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(probe_pdf["qe"]), dtype=np.float64)
+        sims = qmat @ mat.T  # (queries, members)
+        # self-match mask: a query's own row never ranks as neighbor
+        pos = np.searchsorted(ids, qids)
+        in_range = pos < len(ids)
+        hit = np.flatnonzero(in_range & (ids[np.minimum(pos, len(ids) - 1)] == qids))
+        sims[hit, pos[hit]] = -np.inf
+        kk = min(3, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = top.ravel()
+        qcol = np.repeat(qids, kk)
+        scol = sims[np.repeat(np.arange(len(qids)), kk), rows]
+        keep = np.isfinite(scol)  # drop -inf self rows in tiny cells
+        cell_id = np.int32(corpus_pdf["cell"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": ids[rows][keep],
+                "cell": np.full(int(keep.sum()), cell_id, dtype=np.int32),
+                "cos_sim": scol[keep],
+            }
+        )
+
+    partial = (
+        corpus.groupBy("cell")
+        .cogroup(probes.groupBy("pcell"))
+        .applyInPandas(
+            rerank_cell,
+            "query_id long, neighbor_id long, cell int, cos_sim double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select(
             "query_id", "neighbor_id", "cell", "cos_sim", F.col("rnk").cast("bigint")

@@ -143,7 +143,6 @@ def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
         "b34_ann_ivf_label",
         "b35_ann_random_projection",
         "b91_ann_ivf_scaled_cells",
-        "b92_ann_ivf_kmeans",
     ):
         df = queries[name](spark, sf_dir)
         assert has_operator(df, "SortMergeJoin"), (name, plan_string(df))
@@ -152,6 +151,19 @@ def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
             name,
             plan_string(df),
         )
+
+
+def test_kmeans_ivf_probe_is_cogrouped_kernel(queries, spark, sf_dir):
+    """b92's rerank must be the cogrouped per-cell Arrow matmul — no
+    join materializes the (n x in-cell x nprobe) candidate pair space
+    (312 s at the 100x probe for the SMJ pair-join form it replaced),
+    and no row-Python anywhere."""
+    df = queries["b92_ann_ivf_kmeans"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not has_operator(df, "CartesianProduct"), plan
+    assert not uses_row_python_udf(df), plan
 
 
 def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
