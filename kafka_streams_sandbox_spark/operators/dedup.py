@@ -696,9 +696,18 @@ def _semantic_keep(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFr
     )
     from kafka_streams_sandbox_spark.operators.similarity import _vectors
 
+    from pyspark import StorageLevel
+
     v = _vectors(spark, sf_dir).select("vec_id", "nrm")
-    # min_label_components takes (doc_a, doc_b)-named pair sets
-    labels, _rounds = min_label_components(pairs.toDF("doc_a", "doc_b"))
+    # one lazy DISK_ONLY checkpoint of the (narrow, pairs-sized) edge
+    # set: the label loop references it every round — without lineage
+    # truncation each round re-runs the whole candidate/verify
+    # pipeline (b94's all-pairs anchor measured 14 s at sf0.1 from
+    # exactly that; the b55/b27 checkpoint discipline)
+    pairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    labels, _rounds = min_label_components(pairs)
     lab = v.join(
         labels.withColumnRenamed("node", "vec_id"), "vec_id", "left"
     ).select(
