@@ -913,8 +913,24 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.ckey")
-    pairs = (
-        chunks.groupBy("chunk", "ckey")
+    # Oversized-bucket guard (r5, the b27 treatment — b28 was the one
+    # banded path never probed at 100x, and it OOMed the 8 g harness
+    # there: the probe corpus's 24k-doc boilerplate group shares one
+    # simhash, so its chunk bucket held the whole group in a single
+    # collect_list agg-buffer row and the pair HOF emitted its ~289M-
+    # struct clique). Bucket sizing + representative via a WINDOW
+    # (min-of-struct carries the min doc's simhash; WindowExec
+    # spills); buckets past _BUCKET_CAP emit linear star candidates —
+    # past the cap the bucket itself is the duplication evidence, and
+    # the verify (bit_count <= 8) still runs on every emitted pair.
+    # Driver corpora never reach the cap.
+    wck = Window.partitionBy("chunk", "ckey")
+    sized = chunks.withColumn(
+        "mn", F.min(F.struct("doc_id", "simhash")).over(wck)
+    ).withColumn("bsz", F.count(F.lit(1)).over(wck))
+    pairs_small = (
+        sized.filter(F.col("bsz") <= _BUCKET_CAP)
+        .groupBy("chunk", "ckey")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
         .select(
             F.explode(
@@ -928,7 +944,17 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.*")
-        .dropDuplicates(["doc_a", "doc_b"])  # same pair from several chunks
+    )
+    pairs_star = sized.filter(
+        (F.col("bsz") > _BUCKET_CAP) & (F.col("doc_id") != F.col("mn.doc_id"))
+    ).select(
+        F.col("mn.doc_id").alias("doc_a"),
+        F.col("mn.simhash").alias("sim_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    pairs = pairs_small.unionByName(pairs_star).dropDuplicates(
+        ["doc_a", "doc_b"]  # same pair from several chunks
     )
     return pairs.select(
         "doc_a",

@@ -102,6 +102,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b90_time_grid_fill",          # NULL-ts events dropped pre-union
     "b88_shard_shuffle",           # bucket width now a config knob
     "b89_shard_write_manifest",    # contract checks real exceptions
+    "b28_simhash_dedup",           # oversized-bucket star guard (its
+                                   # first 100x probe OOMed outright)
     "b37_image_decode_stub",       # empty-batch + NULL-payload guards
     "b38_frame_sample",            # same kernel hardening
     "b49_audio_features",          # same kernel hardening
