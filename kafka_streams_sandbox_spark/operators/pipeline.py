@@ -1445,13 +1445,30 @@ def b75_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup BEFORE the expensive distance call.
 _B76_HEAD = 60
 _B76_MAX_DIST = 20
+# Block purging (r5): a doc whose home (tok1, band) block exceeds this
+# cap does not participate in fuzzy matching — the standard entity-
+# resolution treatment of non-discriminative blocking keys (oversized
+# blocks mean the key carries no signal, and their pair space is
+# quadratic: the 100x probe corpus has a ~24k-doc first-token block
+# whose Levenshtein clique did not finish in 10 minutes). Applied
+# IDENTICALLY in the oracle, so the hash gate verifies the purged
+# semantics; driver-scale blocks sit far under the cap (max ~50 at
+# sf0.1, ~240 at 10x), so fixture output is unchanged.
+_B76_BLOCK_CAP = 1000
 
 B76_ORACLE = f"""
-    WITH d AS (
+    WITH d0 AS (
         SELECT doc_id, substring(trim(text), 1, {_B76_HEAD}) AS head,
                split_part(trim(text), ' ', 1) AS tok1,
                CAST(floor(length(trim(text)) / 20) AS BIGINT) AS band
         FROM documents
+    ),
+    ok_blocks AS (
+        SELECT tok1, band FROM d0 GROUP BY tok1, band
+        HAVING COUNT(*) <= {_B76_BLOCK_CAP}
+    ),
+    d AS (
+        SELECT d0.* FROM d0 JOIN ok_blocks USING (tok1, band)
     ),
     probe AS (
         SELECT doc_id, head, tok1,
@@ -1480,18 +1497,32 @@ def b76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: blocking is a pure equi-join (neighbor bands explode
     into extra probe keys — never a range/theta join); candidate
     pairs DISTINCT before the O(len^2) distance kernel so each pair
-    pays it once. Blocking-key choice is data-dependent: this corpus
-    has a tiny vocabulary, so first-token blocks are coarse; real
-    deployments block on rarer keys (rare tokens, minhash bands) with
-    the identical plan shape.
+    pays it once; oversized blocks are PURGED on both engines
+    (_B76_BLOCK_CAP — non-discriminative keys carry no signal and
+    their pair space is quadratic; the 100x probe's 24k-doc
+    first-token block did not finish in 10 min un-purged). Blocking-
+    key choice is data-dependent: this corpus has a tiny vocabulary,
+    so first-token blocks are coarse; real deployments block on rarer
+    keys (rare tokens, minhash bands) with the identical plan shape.
     """
     docs = documents_wide(spark, sf_dir)
-    d = docs.select(
+    d0 = docs.select(
         "doc_id",
         F.expr(f"substring(trim(text), 1, {_B76_HEAD})").alias("head"),
         F.expr("split_part(trim(text), ' ', 1)").alias("tok1"),
         F.floor(F.length(F.trim("text")) / 20).cast("bigint").alias("band"),
     )
+    # block purging (see _B76_BLOCK_CAP): docs in oversized home
+    # blocks are excluded BEFORE any join — LEFT SEMI against the
+    # bounded ok-blocks key set (the b27 lesson: never an inner join
+    # for a filter)
+    ok_blocks = (
+        d0.groupBy("tok1", "band")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _B76_BLOCK_CAP)
+        .select("tok1", "band")
+    )
+    d = d0.join(ok_blocks, ["tok1", "band"], "left_semi")
     probe = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("head").alias("head_b"),
