@@ -805,6 +805,13 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-scaled sign-projection buckets feed candidates, b55's min-label
     fixpoint clusters them, b78's keep-best policy picks survivors
     (quality = norm; swap in a model score column in deployment).
+    Since r6 the candidate stage carries the b27/b28 oversized-bucket
+    star guard (_BUCKET_CAP): identical-embedding masses defeat plane
+    scaling (they share every sig bit at any plane count), so buckets
+    past the cap emit g-1 min-id star candidates instead of a C(g,2)
+    clique materialized inside one agg-buffer row — stars still pass
+    the exact-cosine verify and the component loop reconnects members
+    through the representative.
 
     SemDeDup (Abbas et al. 2023) dedups WITHIN coarse embedding
     cells, accepting that cross-cell near-dups are missed — that is
@@ -830,8 +837,28 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = plane_count(table_rowcount(spark, sf_dir, "embeddings"))
     v = _vectors(spark, sf_dir)
     sig = v.select("vec_id", F.expr(signature_expr(planes)).alias("sig"))
-    candidates = (
-        sig.groupBy("sig")
+    # Oversized-bucket guard (r6, VERDICT r5 Next #1 — the b27/b28
+    # treatment): n-scaled planes bound EXPECTED occupancy for random
+    # vectors only. Identical/near-identical embeddings share a
+    # signature at any plane count, so a boilerplate mass (routine in
+    # a dup-heavy corpus — the expected input of a dedup operator)
+    # would land one giant collect_list agg-buffer row and a C(g,2)
+    # struct clique in a single task: the exact pattern whose 24k-doc
+    # bucket OOMed b28's first 100x probe this repo measured. Bucket
+    # sizing + min-id representative via a WINDOW (WindowExec spills
+    # at any bucket size); buckets past _BUCKET_CAP emit linear STAR
+    # candidates instead. Star edges still pass the exact-cosine
+    # verify below, and the min-label component loop downstream
+    # reconnects members through the representative, so the planted
+    # refinement-of-b94 contract is unchanged (stars only ever LOSE
+    # candidate pairs vs the clique, never invent them).
+    wsig = Window.partitionBy("sig")
+    sized = sig.withColumn("mn", F.min("vec_id").over(wsig)).withColumn(
+        "bsz", F.count(F.lit(1)).over(wsig)
+    )
+    cand_small = (
+        sized.filter(F.col("bsz") <= _BUCKET_CAP)
+        .groupBy("sig")
         .agg(F.collect_list("vec_id").alias("ds"))
         .select(
             F.explode(
@@ -845,6 +872,12 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
+    cand_star = sized.filter(
+        (F.col("bsz") > _BUCKET_CAP) & (F.col("vec_id") != F.col("mn"))
+    ).select(F.col("mn").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    # single-signature bucketing: one bucket per vector, so pairs are
+    # unique by construction (no multi-band distinct needed)
+    candidates = cand_small.unionByName(cand_star)
     half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )

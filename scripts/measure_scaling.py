@@ -41,6 +41,15 @@ N_VECS = int(os.environ.get("KSS_SCALE_VECS", 20_000))
 REPEATS = max(2, int(os.environ.get("KSS_SCALE_REPEATS", "3")))
 P_DUP_DOC = 0.05  # mutated-copy rate -> same dup regime as sf0.1
 P_DUP_VEC = 0.07
+# r6 hostile-mass knob (VERDICT r5 Next #1): overwrite the first M
+# vector rows with ONE identical embedding — the boilerplate-mass
+# shape that defeats LSH plane scaling (identical vectors share every
+# signature bit at any plane count). Used to probe b93's oversized-
+# bucket star guard at 100x:
+#   KSS_SCALE_VEC_MASS=20000 KSS_SCALE_QUERIES=b93_semantic_dedup \
+#   KSS_SCALE_DOCS=500000 KSS_SCALE_VECS=200000 KSS_SCALE_REPEATS=2 \
+#   python scripts/measure_scaling.py /tmp/kss_100x_mass
+VEC_MASS = int(os.environ.get("KSS_SCALE_VEC_MASS", "0"))
 QUERIES = (
     "b26_ngram_jaccard_pairs",
     "b27_minhash_lsh_dedup",
@@ -168,6 +177,9 @@ def build_10x(out_dir: str) -> None:
             j = int(rng.integers(0, i))
             vecs[i] = vecs[j] + rng.normal(0, 0.01, dim)
             lab[i] = lab[j]
+    if VEC_MASS:  # planted identical-embedding mass (see VEC_MASS)
+        vecs[:VEC_MASS] = vecs[0]
+        lab[:VEC_MASS] = lab[0]
     pq.write_table(
         pa.table(
             {

@@ -154,6 +154,50 @@ def test_embedding_neardup_survives_hostile_vectors(spark, hostile_vec_dir):
             assert r["cos_sim"] is not None and not np.isnan(r["cos_sim"])
 
 
+def test_semantic_dedup_survives_identical_embedding_mass(spark, tmp_path):
+    """r6 (VERDICT r5 Next #1): a mass of IDENTICAL embeddings defeats
+    plane scaling — they share every signature bit at any plane count,
+    so without the oversized-bucket star guard the candidate stage
+    materializes a C(g,2) clique inside one collect_list agg-buffer
+    row (the pattern that OOMed b28's first 100x probe). Plant a mass
+    comfortably past _BUCKET_CAP (600 > 512): the guard must emit g-1
+    star candidates, the exact-cosine verify passes them (cos exactly
+    1.0), and the component loop must still produce ONE cluster
+    holding the whole mass with the min-id member as keeper (all
+    norms identical -> vec_id ASC tiebreak)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        _BUCKET_CAP,
+        b93_semantic_dedup,
+    )
+
+    g = np.random.default_rng(1234)
+    mass_n = _BUCKET_CAP + 88  # 600: one bucket, guard must trip
+    mass_vec = g.normal(size=_DIM).astype(np.float32)
+    base = g.normal(size=(40, _DIM)).astype(np.float32)
+    ids = list(range(1000, 1000 + mass_n)) + list(range(40))
+    vecs = [mass_vec.tolist()] * mass_n + [v.tolist() for v in base]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = {r["vec_id"]: r for r in b93_semantic_dedup(spark, str(tmp_path)).collect()}
+    assert len(rows) == len(ids)  # every vector exactly once
+    mass_ids = set(range(1000, 1000 + mass_n))
+    mass_clusters = {rows[i]["cluster_id"] for i in mass_ids}
+    assert len(mass_clusters) == 1  # stars + CC reconnect the mass
+    keeper = {rows[i]["keep_id"] for i in mass_ids}
+    assert keeper == {min(mass_ids)}  # equal norms -> min-id keeper
+    kept = [i for i in mass_ids if rows[i]["is_kept"]]
+    assert kept == [min(mass_ids)]
+
+
 def test_semantic_dedup_survives_hostile_vectors(spark, hostile_vec_dir):
     """b93/b94: degenerate vectors are excluded entirely (never
     clustered, never keepers); every clean vector appears exactly once
