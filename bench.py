@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "b36_multimodal_metadata",
     "b39_embedding_neardup",
     "b39_lsh_embedding_neardup",
+    # round-6: n-scaled LSH twin + minhash-blocked fuzzy ER (both
+    # rows-only — Spark-timed rows, shared-ratio membership untouched)
+    "b96_lsh_embedding_neardup_scaled",
+    "b95_fuzzy_match_minhash_blocked",
     "b40_asof_join",
     "b41_pivot_event_counts",
     "b43_grouping_sets",

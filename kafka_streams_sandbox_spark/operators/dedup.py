@@ -292,6 +292,68 @@ _BUCKET_CAP = 512
 # int64 (Spark runs ANSI mode — a 61-bit prime overflows).
 
 
+def _minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """token-bearing docs -> (doc_id, band, key) LSH band bucket ids:
+    32 minhashes over char-5-grams, {_BANDS} bands x {_ROWS_PER_BAND}
+    rows each, band slice hashed to one 64-bit key. Shared by b27
+    (near-dup banding) and b95 (minhash-blocked fuzzy ER).
+
+    Signature as 32 plain min() aggregates over exploded shingle
+    hashes: every permutation update is straight-line codegen (no
+    per-element array rebuild — the HOF fold form allocs a k-array
+    per shingle and measured 3x slower; the per-permutation
+    transform(array_min(...)) form re-built the shingle array 32x
+    after project-collapse, 64 s vs 2.6 s at sf0.1). A doc's
+    shingles never span partitions, so map-side partial aggregation
+    collapses the exploded postings before the shuffle — the
+    exchange moves one row per doc. Shingles re-derive map-side and
+    collapse to minima before the doc_id exchange — re-shingling is
+    a cheap linear pass, while carrying the arrays would put them
+    through shuffles (see b27's fingerprint-pass note). Callers must
+    pre-filter token-less docs."""
+    posting = docs.select(
+        "doc_id",
+        F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
+    ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
+    sig = (
+        posting.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.expr(f"pmod({2 * i + 1} * h + {7919 * i + 13}, {_PRIME})")
+                ).alias(f"m{i}")
+                for i in range(_MINHASH_K)
+            ]
+        )
+        .select(
+            "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_K)]).alias("sig")
+        )
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}), b ->
+                    named_struct('band', b, 'key',
+                        xxhash64(array_join(slice(sig, b * {_ROWS_PER_BAND} + 1,
+                                                  {_ROWS_PER_BAND}), '_'))))"""
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+# Below this corpus row count the exact-dup collapse is pure fixed
+# cost (r6, VERDICT r5 Next #6): the r5 machinery tripled sf0.1 wall
+# (1.28 -> 4.17 s) for zero benefit — set-identical groups small
+# enough to band directly cost nothing, and the oversized-bucket star
+# guard (independent of the collapse) already bounds any degenerate
+# bucket. The gate is a metadata-only parquet footer read (the b35
+# idiom), so the plan choice is deterministic for a fixed corpus.
+# 100x-class corpora (>= 1e5 docs) take the collapse path, where the
+# shingle-set collapse bought 321 s -> 73 s at the 100x probe.
+_COLLAPSE_MIN_DOCS = 100_000
+
+
 @query("b27_minhash_lsh_dedup")  # no SQL oracle: banding is engine-specific
 def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT-DUP COLLAPSE first: docs
@@ -346,98 +408,86 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-doc work is map-only; every shuffle is proportional to data
     size, never n². This is the scale path whose recall b26 checks.
+
+    Small corpora (< _COLLAPSE_MIN_DOCS, a footer-metadata gate) skip
+    the collapse: every doc bands directly, pairs carry weight 1, and
+    the oversized-bucket star guard still applies. Output then
+    enumerates each verified pair explicitly instead of aggregating
+    set-identical groups behind a representative — the same underlying
+    near-dup relation (connected components agree between the two
+    forms; pinned by tests/test_ann_contracts.py).
     """
-    all_docs = documents_wide(spark, sf_dir)
-    # fingerprint pass: map-only — the shingle array is built, sorted,
-    # hashed and DISCARDED inside one projection, so only the 8-byte
-    # fp crosses the groupBy shuffle. (A first cut materialized a
-    # (doc_id, shingle-array) table and reused it downstream; sorting
-    # 20 KB array rows inside the verify-join SMJs put the 100x probe
-    # into GC collapse — array columns must not cross shuffles here.)
-    fp = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
-        "doc_id",
-        F.xxhash64(
-            F.array_sort(F.expr(char_ngrams_hashed_expr(5)))
-        ).alias("fp"),
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    return _minhash_lsh(
+        spark,
+        sf_dir,
+        collapse=table_rowcount(spark, sf_dir, "documents")
+        >= _COLLAPSE_MIN_DOCS,
     )
-    # groups is referenced by FOUR consumers (stars, the rep semi
-    # filter, and both weight joins); without lineage truncation each
-    # reference re-runs the corpus-wide shingle+sort fingerprint pass
-    # (the plan audit showed 70 exchanges / 5 fp subtrees). One lazy
-    # DISK_ONLY checkpoint of this NARROW table (24 bytes/row — never
-    # the array-carrying ones) computes it once; b55's loop uses the
-    # same discipline (checkpoint() on a real cluster).
+
+
+def _minhash_lsh(
+    spark: SparkSession, sf_dir: str, collapse: bool
+) -> DataFrame:
+    """b27's body with the collapse gate exposed for tests (the
+    collapse-semantics and path-equivalence contracts force each
+    path explicitly on small planted corpora)."""
+    all_docs = documents_wide(spark, sf_dir)
     from pyspark import StorageLevel
 
-    groups = (
-        fp.groupBy("fp")
-        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    # star edges inside exact-set groups: rep = min(doc_id) < member,
-    # so doc_a < doc_b holds by construction; identical shingle sets
-    # have jaccard exactly 1.0 (the precision contract re-derives it)
-    stars = (
-        fp.join(groups, "fp")
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(
-            F.col("rep").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-            F.lit(1).cast("long").alias("pair_weight"),
+    if collapse:
+        # fingerprint pass: map-only — the shingle array is built,
+        # sorted, hashed and DISCARDED inside one projection, so only
+        # the 8-byte fp crosses the groupBy shuffle. (A first cut
+        # materialized a (doc_id, shingle-array) table and reused it
+        # downstream; sorting 20 KB array rows inside the verify-join
+        # SMJs put the 100x probe into GC collapse — array columns
+        # must not cross shuffles here.)
+        fp = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
+            "doc_id",
+            F.xxhash64(
+                F.array_sort(F.expr(char_ngrams_hashed_expr(5)))
+            ).alias("fp"),
         )
-    )
-    # only representatives feed the banding pipeline. LEFT SEMI, not
-    # inner: the filter needs no columns from `groups`, and the inner
-    # form drags the wide corpus through join machinery at every
-    # downstream reference (measured 9x slower at the 10x probe).
-    docs = all_docs.join(
-        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-    )
-    # Signature as 32 plain min() aggregates over exploded shingle
-    # hashes: every permutation update is straight-line codegen (no
-    # per-element array rebuild — the HOF fold form allocs a k-array
-    # per shingle and measured 3× slower; the per-permutation
-    # transform(array_min(...)) form re-built the shingle array 32×
-    # after project-collapse, 64 s vs 2.6 s at sf0.1). A doc's
-    # shingles never span partitions, so map-side partial aggregation
-    # collapses the exploded postings before the shuffle — the
-    # exchange moves one row per doc.
-    # token-bearing by construction (fp filtered token-less docs);
-    # shingles re-derive map-side and collapse to minima before the
-    # doc_id exchange — re-shingling is a cheap linear pass, while
-    # carrying the arrays would put them through shuffles (see the
-    # fingerprint-pass note above)
-    posting = docs.select(
-        "doc_id",
-        F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
-    ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
-    sig = (
-        posting.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.expr(f"pmod({2 * i + 1} * h + {7919 * i + 13}, {_PRIME})")
-                ).alias(f"m{i}")
-                for i in range(_MINHASH_K)
-            ]
+        # groups is referenced by FOUR consumers (stars, the rep semi
+        # filter, and both weight joins); without lineage truncation
+        # each reference re-runs the corpus-wide shingle+sort
+        # fingerprint pass (the plan audit showed 70 exchanges / 5 fp
+        # subtrees). One lazy DISK_ONLY checkpoint of this NARROW
+        # table (24 bytes/row — never the array-carrying ones)
+        # computes it once; b55's loop uses the same discipline
+        # (checkpoint() on a real cluster).
+        groups = (
+            fp.groupBy("fp")
+            .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz"))
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
-        .select(
-            "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_K)]).alias("sig")
-        )
-    )
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.expr(
-                f"""transform(sequence(0, {_BANDS - 1}), b ->
-                    named_struct('band', b, 'key',
-                        xxhash64(array_join(slice(sig, b * {_ROWS_PER_BAND} + 1,
-                                                  {_ROWS_PER_BAND}), '_'))))"""
+        # star edges inside exact-set groups: rep = min(doc_id) <
+        # member, so doc_a < doc_b holds by construction; identical
+        # shingle sets have jaccard exactly 1.0 (the precision
+        # contract re-derives it)
+        stars = (
+            fp.join(groups, "fp")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+                F.lit(1).cast("long").alias("pair_weight"),
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+        )
+        # only representatives feed the banding pipeline. LEFT SEMI,
+        # not inner: the filter needs no columns from `groups`, and
+        # the inner form drags the wide corpus through join machinery
+        # at every downstream reference (measured 9x slower at the
+        # 10x probe).
+        docs = all_docs.join(
+            groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
+    else:
+        docs = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    bands = _minhash_band_keys(docs)
     # bucket sizing via a WINDOW (spills at any bucket size — the b55
     # lesson: a collect_list agg-buffer row holding a 10M-member
     # boilerplate bucket would pin heap; WindowExec's row buffer
@@ -502,6 +552,10 @@ def b27_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
+    if not collapse:
+        # direct path: every doc banded itself, so each emitted pair
+        # stands for exactly one underlying doc pair
+        return near.withColumn("pair_weight", F.lit(1).cast("long"))
     # pair_weight = |group_a| x |group_b| underlying doc pairs. Only
     # groups with gsz > 1 need a join (a tiny, AQE-broadcastable
     # slice); singleton reps coalesce to 1.
@@ -673,10 +727,102 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
 
 
+@query("b96_lsh_embedding_neardup_scaled")  # rows-only: LSH recall is
+def b96_lsh_embedding_neardup_scaled(  # probabilistic, geometry n-scaled
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b39_lsh with n-SCALED plane geometry + the oversized-bucket
+    star guard (r6, VERDICT r5 Next #5): the one banded path still
+    running a fixed 8-plane config at 100x (265 s, 780-vector buckets
+    => quadratic rerank) gets the b35 treatment — plane count derives
+    from the corpus row count (plane_count: expected bucket occupancy
+    ~16 at any scale; a metadata-only footer read), and candidates go
+    through _guarded_sig_pairs so an identical-embedding mass emits
+    linear stars instead of a one-task C(g,2) clique.
+
+    b39_lsh itself stays registered unchanged: its 8-plane form is
+    pinned by the precision-subset contract and calibrated as the
+    candidate feeder whose recall that contract bounds — this is the
+    additive scaled twin, exactly like b35-over-b39_lsh's geometry.
+    On fixture corpora (< ~2k vectors) plane_count resolves to the
+    same 8-plane floor, so the two emit identical pairs there
+    (pinned by tests); they diverge only where the fixed config
+    stops scaling. Verify joins are merge-pinned for the same
+    array-over-static-BHJ reason as b39_lsh.
+    """
+    from kafka_streams_sandbox_spark.functions.vectors import dot
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        _vectors,
+        plane_count,
+        signature_expr,
+    )
+
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
+    planes = plane_count(table_rowcount(spark, sf_dir, "embeddings"))
+    v = _vectors(spark, sf_dir)
+    sig = v.select("vec_id", F.expr(signature_expr(planes)).alias("sig"))
+    candidates = _guarded_sig_pairs(sig)
+    half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
+        "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    pairs = v.join(half.hint("merge"), v.vec_id == F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup capstone (SemDeDup-shape): cluster embeddings, keep one
 # representative per semantic cluster
 # ---------------------------------------------------------------------------
+
+
+def _guarded_sig_pairs(sig: DataFrame) -> DataFrame:
+    """(vec_id, sig) -> candidate (vec_a, vec_b) pairs within each
+    signature bucket, with the family's oversized-bucket STAR guard
+    (r6, VERDICT r5 Next #1 — the b27/b28 treatment).
+
+    n-scaled planes bound EXPECTED occupancy for random vectors only:
+    identical/near-identical embeddings share a signature at any plane
+    count, so a boilerplate mass (routine in a dup-heavy corpus — the
+    expected input of a dedup operator) would land one giant
+    collect_list agg-buffer row and a C(g,2) struct clique in a single
+    task — the exact pattern whose 24k-doc bucket OOMed b28's first
+    100x probe. Bucket sizing + min-id representative via a WINDOW
+    (WindowExec spills at any bucket size); buckets past _BUCKET_CAP
+    emit linear STAR candidates instead. Star edges still face the
+    caller's exact verify, and a downstream component loop reconnects
+    members through the representative — stars only ever LOSE
+    candidate pairs vs the clique, never invent them. Single-signature
+    bucketing means one bucket per vector, so pairs are unique by
+    construction (no multi-band distinct needed)."""
+    wsig = Window.partitionBy("sig")
+    sized = sig.withColumn("mn", F.min("vec_id").over(wsig)).withColumn(
+        "bsz", F.count(F.lit(1)).over(wsig)
+    )
+    cand_small = (
+        sized.filter(F.col("bsz") <= _BUCKET_CAP)
+        .groupBy("sig")
+        .agg(F.collect_list("vec_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x AS vec_a, y AS vec_b)),
+                                  p -> p.vec_a < p.vec_b)))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    cand_star = sized.filter(
+        (F.col("bsz") > _BUCKET_CAP) & (F.col("vec_id") != F.col("mn"))
+    ).select(F.col("mn").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    return cand_small.unionByName(cand_star)
 
 
 def _semantic_keep(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
@@ -837,47 +983,7 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = plane_count(table_rowcount(spark, sf_dir, "embeddings"))
     v = _vectors(spark, sf_dir)
     sig = v.select("vec_id", F.expr(signature_expr(planes)).alias("sig"))
-    # Oversized-bucket guard (r6, VERDICT r5 Next #1 — the b27/b28
-    # treatment): n-scaled planes bound EXPECTED occupancy for random
-    # vectors only. Identical/near-identical embeddings share a
-    # signature at any plane count, so a boilerplate mass (routine in
-    # a dup-heavy corpus — the expected input of a dedup operator)
-    # would land one giant collect_list agg-buffer row and a C(g,2)
-    # struct clique in a single task: the exact pattern whose 24k-doc
-    # bucket OOMed b28's first 100x probe this repo measured. Bucket
-    # sizing + min-id representative via a WINDOW (WindowExec spills
-    # at any bucket size); buckets past _BUCKET_CAP emit linear STAR
-    # candidates instead. Star edges still pass the exact-cosine
-    # verify below, and the min-label component loop downstream
-    # reconnects members through the representative, so the planted
-    # refinement-of-b94 contract is unchanged (stars only ever LOSE
-    # candidate pairs vs the clique, never invent them).
-    wsig = Window.partitionBy("sig")
-    sized = sig.withColumn("mn", F.min("vec_id").over(wsig)).withColumn(
-        "bsz", F.count(F.lit(1)).over(wsig)
-    )
-    cand_small = (
-        sized.filter(F.col("bsz") <= _BUCKET_CAP)
-        .groupBy("sig")
-        .agg(F.collect_list("vec_id").alias("ds"))
-        .select(
-            F.explode(
-                F.expr(
-                    """flatten(transform(ds, x ->
-                           filter(transform(ds, y ->
-                                      struct(x AS vec_a, y AS vec_b)),
-                                  p -> p.vec_a < p.vec_b)))"""
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-    )
-    cand_star = sized.filter(
-        (F.col("bsz") > _BUCKET_CAP) & (F.col("vec_id") != F.col("mn"))
-    ).select(F.col("mn").alias("vec_a"), F.col("vec_id").alias("vec_b"))
-    # single-signature bucketing: one bucket per vector, so pairs are
-    # unique by construction (no multi-band distinct needed)
-    candidates = cand_small.unionByName(cand_star)
+    candidates = _guarded_sig_pairs(sig)
     half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
@@ -1159,3 +1265,95 @@ def b87_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     b26 documents.
     """
     return duplicated_spans(documents_wide(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# b95: fuzzy entity resolution with MINHASH-BAND blocking (b76's
+# corpus-appropriate blocking key)
+# ---------------------------------------------------------------------------
+
+
+@query("b95_fuzzy_match_minhash_blocked")  # rows-only: minhash banding
+def b95_fuzzy_match_minhash_blocked(  # is engine-specific (no DuckDB twin)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b76's fuzzy ER with MINHASH-BAND blocking (r6, VERDICT r5 Next
+    #4): blocks are b27's (band, key) LSH bucket ids instead of
+    (first-token, length-band), then the identical Levenshtein verify
+    over the {_B76_HEAD}-char head.
+
+    Why: blocking-key choice is data-dependent. On a small-vocabulary
+    corpus (the 100x Zipf probe: 200 words), every (first-token,
+    length-band) block is DENSE — ~495M candidate pairs with no
+    purgeable mega-block, so b76 is quarantined there as a data
+    property. Minhash bands key on full-document shingle-set
+    similarity: two docs share a block w.p. ~ jaccard^{_ROWS_PER_BAND}
+    per band, so random same-vocabulary docs (j ~ 0.1 => ~1e-8) almost
+    never collide while genuine near-dups (j ~ 0.95) collide with
+    near-certainty. Same plan discipline as the dedup family:
+    map-only signatures -> one (band, key) shuffle -> in-block pair
+    emission with the oversized-bucket STAR guard (_BUCKET_CAP — a
+    near-identical clique emits g-1 star candidates, never a one-task
+    C(g,2) clique) -> DISTINCT before the O(len^2) distance kernel so
+    each pair pays it once -> two narrow equi-joins fetch the 60-char
+    heads (no array columns cross these joins; no mandatory broadcast
+    — the candidate set grows with sum(block^2), AQE may broadcast
+    when genuinely small).
+
+    Semantics note vs b76: minhash blocks recall FULL-DOCUMENT
+    near-dups and verify their head edit distance; b76's length-band
+    blocks recall same-prefix docs regardless of tail similarity. The
+    two agree on the planted near-identical regime (contract-tested);
+    rows-only at the driver because band bucketing has no SQL twin.
+    Reference parity: the sandbox (KStreamsToKTable.java) has no
+    corpus layer; this is part of the mandated training-data-pipeline
+    surface.
+    """
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B76_HEAD,
+        _B76_MAX_DIST,
+    )
+
+    docs = documents_wide(spark, sf_dir)
+    d = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
+        "doc_id",
+        F.expr(f"substring(trim(text), 1, {_B76_HEAD})").alias("head"),
+    )
+    bands = _minhash_band_keys(docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")))
+    # block guard: same window-sized star treatment as b27/b28/b93
+    wbk = Window.partitionBy("band", "key")
+    sized = bands.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
+        "bsz", F.count(F.lit(1)).over(wbk)
+    )
+    cand_small = (
+        sized.filter(F.col("bsz") <= _BUCKET_CAP)
+        .groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ds, x ->
+                           filter(transform(ds, y ->
+                                      struct(x AS doc_a, y AS doc_b)),
+                                  p -> p.doc_a < p.doc_b)))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    cand_star = sized.filter(
+        (F.col("bsz") > _BUCKET_CAP) & (F.col("doc_id") != F.col("mn"))
+    ).select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    pairs = cand_small.unionByName(cand_star).distinct()
+    # fetch heads for the verify — candidates are narrow (two int64s)
+    # and the head side is a 60-char projection of the corpus
+    half = d.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")).join(
+        pairs, "doc_a"
+    )
+    verified = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+    ).join(half, "doc_b")
+    dist = F.levenshtein("head_a", "head_b")
+    return verified.select(
+        "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
+    ).filter(F.col("edit_dist") <= _B76_MAX_DIST)

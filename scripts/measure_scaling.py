@@ -78,6 +78,11 @@ QUERIES = (
     # collapsed-b27 rewrite already covered above
     "b92_ann_ivf_kmeans",
     "b93_semantic_dedup",
+    # round-6 additions: the n-scaled star-guarded twin of b39_lsh and
+    # the minhash-blocked fuzzy ER (the blocking key that completes
+    # the 100x Zipf corpus b76's first-token blocks cannot)
+    "b96_lsh_embedding_neardup_scaled",
+    "b95_fuzzy_match_minhash_blocked",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))
