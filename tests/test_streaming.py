@@ -888,3 +888,109 @@ def test_processing_time_cadence_advances_store_versions(spark, tmp_path):
         }
 
     assert fstore_dict() == {"c": "c"}
+
+
+def test_concurrent_reader_at_cadence_sees_only_consistent_snapshots(
+    spark, tmp_path
+):
+    """Durable-sink IQ (r6, VERDICT r5 Next #8): while the a02 store
+    merges at a processingTime cadence, an INDEPENDENT reader loops
+    open_store(path) reads — the cross-session endpoint a 100x
+    deployment uses instead of the in-process handle. Every snapshot
+    the reader collects must be one of the three content states the
+    batch sequence can produce (atomic _CURRENT flip + one-cycle
+    version pinning => no torn read ever shows a partial merge), and
+    the reader must observe the final state."""
+    import threading
+    import time as _time
+
+    from kafka_streams_sandbox_spark.streaming.app import open_store
+    from kafka_streams_sandbox_spark.streaming.ktable import (
+        latest_by_key_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, _RECORDS_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    drop("f1", [("a", "a", _ts(1), 1), ("b", "x", _ts(1), 2)])
+    stream = (
+        spark.readStream.schema(_RECORDS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src) + "/*")
+    )
+    tbl = latest_by_key_stream(
+        stream,
+        key="key",
+        ts="timestamp",
+        tiebreak="event_id",
+        payload=("value", "timestamp", "event_id"),
+        tombstone_col="value",
+    )
+    store = ParquetKTableStore(spark, str(tmp_path / "store"), key="key")
+    q = (
+        tbl.writeStream.foreachBatch(store.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    valid_states = [
+        {"a": "a", "b": "x"},                      # after f1
+        {"a": "A2", "b": "x", "c": "c"},           # after f2
+        {"a": "A2", "c": "c"},                     # after f3 (b tombstoned)
+    ]
+    snapshots: list[dict] = []
+    reader_errors: list[BaseException] = []
+    stop_flag = threading.Event()
+
+    def reader():
+        # a reader knows only the PATH — no shared store object
+        while not stop_flag.is_set():
+            try:
+                df = open_store(spark, str(tmp_path / "store"))
+                snapshots.append(
+                    {r["key"]: r["value"] for r in df.collect()}
+                )
+            except RuntimeError:
+                pass  # not materialized yet — the documented signal
+            except BaseException as exc:  # torn read = test failure
+                reader_errors.append(exc)
+                return
+            _time.sleep(0.05)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    def wait_for(state, timeout=60.0):
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            if snapshots and snapshots[-1] == state:
+                return
+            _time.sleep(0.2)
+        raise AssertionError(
+            f"reader never observed {state}; last: {snapshots[-5:]}"
+        )
+
+    try:
+        wait_for(valid_states[0])
+        drop("f2", [("a", "A2", _ts(2), 3), ("c", "c", _ts(2), 4)])
+        wait_for(valid_states[1])
+        drop("f3", [("b", None, _ts(3), 5)])  # tombstone during reads
+        wait_for(valid_states[2])
+    finally:
+        stop_flag.set()
+        t.join(10)
+        q.stop()
+        q.awaitTermination(10)
+
+    assert not reader_errors, reader_errors
+    assert len(snapshots) >= 3
+    for snap in snapshots:  # no torn/partial state ever surfaced
+        assert snap in valid_states, snap
