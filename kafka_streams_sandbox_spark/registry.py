@@ -56,77 +56,73 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-5 ordering (VERDICT r4 Next #1): the 22 queries whose
-    # latest driver row is r1/r2 lead — CORRECTNESS_r04 landed fresh
-    # rows on REVERIFY_FIRST positions 1-50 exactly, so this round the
-    # stale backlog goes first and the round closes with no registry
-    # row older than r3. All 22 pass the full local contract at two
-    # scale factors (VERIFY_LOCAL_r04{,_sf0001}.txt) and post-date no
-    # code change, so ordering them ahead of round-5 work is safe:
-    # round-5-touched queries follow immediately and the combined
-    # block still fits the ~50-query window. ---
-    "b42_above_avg_customers",     # the single r1 row (position 51 in r4)
-    # r2 rows, event/documents/embeddings readers
-    "b72_key_skew_report",
-    "b74_robust_anomalies",
-    "b77_value_quartiles",
-    "b63_intradoc_repetition",
-    "b64_stratified_sample",
-    "b65_embedding_quantize",
-    "b67_mixture_sample",
-    "b68_incremental_dedup",
-    "b69_quality_gate",
-    "b70_bigram_lm",
-    "b76_fuzzy_match",
-    "b66_scd2_history",
-    # r2 rows, TPC-H relational basics
-    "b01_scan_filter_project",
-    "b03_join_orders_customer",
-    "b06_left_outer_join",
-    "b07_left_semi_join",
-    "b08_left_anti_join",
-    "b09_window_functions",
-    "b10_topk_per_group",
-    "b11_global_sort_limit",
-    "b12_distinct_count",
-    # --- NEW in round 5 (no driver row exists yet) ---
-    "b92_ann_ivf_kmeans",          # real Lloyd's coarse quantizer IVF
-    "b93_semantic_dedup",          # SemDeDup capstone (LSH candidates ->
-                                   # components -> keeper pick)
-    "b94_semantic_dedup_exact",    # b93's exact-threshold oracle twin
-    # --- changed in round 5 (code touched; rows must refresh) ---
-    "b27_minhash_lsh_dedup",       # exact-dup collapse before banding
-                                   # (VERDICT r4 Next #3)
-    "b35_ann_random_projection",   # plane count now n-scaled (Next #2)
-    "b91_ann_ivf_scaled_cells",    # sub-plane count now n-scaled
-    "b90_time_grid_fill",          # NULL-ts events dropped pre-union
-    "b88_shard_shuffle",           # bucket width now a config knob
-    "b89_shard_write_manifest",    # contract checks real exceptions
-    "b28_simhash_dedup",           # oversized-bucket star guard (its
-                                   # first 100x probe OOMed outright)
-    "b37_image_decode_stub",       # empty-batch + NULL-payload guards
-    "b38_frame_sample",            # same kernel hardening
-    "b49_audio_features",          # same kernel hardening
-    # --- rotation filler: oldest remaining rows (r3) so the window,
-    # if it reaches here, refreshes them in age order ---
-    "b02_tpch_q1_agg",
-    "b04_multiway_join_agg",
-    "b05_broadcast_join_agg",
-    "b13_set_operations",
-    "b14_rollup_agg",
-    "b16_json_extract",
-    "b43_grouping_sets",
-    "b45_sketch_aggregates",
-    "b46_range_join_bands",
-    "b52_unpivot_measures",
-    "b56_exact_percentiles",
-    "b57_train_holdout_split",
-    "b58_tfidf_top_terms",
-    "b59_funnel_conversion",
-    "b62_contamination_overlap",
+    # --- round-6 ordering (VERDICT r5 Next #2): the 16 queries whose
+    # latest driver row is r3 lead — CORRECTNESS_r05 landed fresh rows
+    # on positions 1-50 exactly, so this round the r3 backlog goes
+    # first and the round closes with no registry row older than r4.
+    # All 16 pass the full local contract at two scale factors
+    # (VERIFY_LOCAL_r05{,_sf0001}.txt); none was touched in r6, so
+    # ordering them ahead of round-6 work is safe: the new/changed
+    # block follows immediately and the combined set (16 + 2 new + 4
+    # changed = 22) fits the ~50-query window with room for rotation.
+    # --- r3 rows: streaming a-layer ---
+    "a01_stream_passthrough",
+    "a02_stream_table_latest",
+    "a03_stream_peek",
+    "a04_stream_filtered_table",
+    "a11_avro_value_serde",
+    "a19_stream_tumbling_window",
+    "a20_stream_session_window",
+    "a26_stream_incremental_dedup",
+    "a27_stream_sliding_window",
+    # --- r3 rows: batch ---
+    "b36_multimodal_metadata",
+    "b50_salted_agg",
     "b73_retention_cohorts",
-    "b40_asof_join",
-    "b41_pivot_event_counts",
+    "b79_stopword_prune",
+    "b80_context_length_cdf",
+    "b84_salted_join",
+    "b85_novel_bigram_ratio",
+    # --- NEW in round 6 (no driver row exists yet) ---
+    "b95_fuzzy_match_minhash_blocked",  # minhash-band blocked fuzzy ER
+                                        # (b76's corpus-appropriate key)
+    "b96_lsh_embedding_neardup_scaled", # n-scaled + star-guarded twin
+                                        # of b39_lsh
+    # --- changed in round 6 (code touched; rows must refresh) ---
+    "b93_semantic_dedup",          # oversized-bucket star guard in the
+                                   # candidate stage (VERDICT r5 #1)
+    "b92_ann_ivf_kmeans",          # sub-bucketed oversized cells +
+                                   # broadcast destroy (VERDICT r5 #3)
+    "b27_minhash_lsh_dedup",       # collapse now gated on corpus row
+                                   # count; direct path at fixture SFs
+    "b28_simhash_dedup",           # shares _minhash_band_keys refactor
+                                   # context (no semantic change)
+    # --- rotation filler: oldest remaining rows (r4) so the window,
+    # if it reaches here, refreshes them in age order ---
+    "b17_latest_per_user",
+    "b18_table_filter_key_eq_value",
+    "b19_tumbling_window_agg",
+    "b20_sessionization",
+    "b21_exact_dedup",
+    "b23_text_stats",
+    "b24_dedup_across_sources",
+    "b15_scalar_functions",
+    "b26_ngram_jaccard_pairs",
+    "b29_language_id",
+    "b30_quality_score",
+    "b31_token_count",
+    "b32_fingerprint",
+    "b33_cosine_topk",
+    "b34_ann_ivf_label",
+    "b39_embedding_neardup",
+    "b39_lsh_embedding_neardup",
+    "b44_cosine_topk_arrow",
+    "b48_hybrid_search",
+    "b51_sliding_window_agg",
+    "b53_rolling_hash",
+    "b54_merge_upsert",
+    "b55_dedup_clusters",
+    "b60_canonical_assignment",
 )
 
 

@@ -142,16 +142,10 @@ def test_minhash_recall_on_planted_corpus(spark, tmp_path):
     assert got == set(planted)  # nothing else clears 0.8 on this corpus
 
 
-def test_minhash_exact_collapse_semantics(spark, tmp_path):
-    """r5 rewrite (VERDICT r4 Next #3): byte-identical docs collapse to
-    one representative BEFORE banding. Planted corpus: doc 0 with exact
-    copies 201/202 (group size 3), doc 1 with exact copy 301 (size 2),
-    and a near-copy 100 of doc 0. Expected:
-      - star edges rep->member, jaccard exactly 1.0, weight 1:
-        (0,201) (0,202) (1,301) — g-1 edges, never the C(g,2) clique;
-      - the near-dup surfaces ONCE at rep level (0,100) with
-        pair_weight = |group_0| x |group_100| = 3 x 1;
-      - no pair between non-representative copies (201,202), (201,301)."""
+def _collapse_corpus(tmp_path):
+    """8-doc corpus with exact-copy groups AND a near-dup: doc 0 with
+    exact copies 201/202 (group size 3), doc 1 with exact copy 301
+    (size 2), near-copy 100 of doc 0 (j ~ 0.95), unrelated 2/3."""
     rng = random.Random(99)
     base = [" ".join(rng.choice(_VOCAB) for _ in range(80)) for _ in range(4)]
     near = base[0].split()
@@ -172,9 +166,25 @@ def test_minhash_exact_collapse_semantics(spark, tmp_path):
         }
     )
     pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_minhash_exact_collapse_semantics(spark, tmp_path):
+    """r5 rewrite (VERDICT r4 Next #3): byte-identical docs collapse to
+    one representative BEFORE banding. Since r6 the collapse gates on
+    corpus row count (fixed cost below _COLLAPSE_MIN_DOCS), so the
+    contract forces collapse=True explicitly. Expected:
+      - star edges rep->member, jaccard exactly 1.0, weight 1:
+        (0,201) (0,202) (1,301) — g-1 edges, never the C(g,2) clique;
+      - the near-dup surfaces ONCE at rep level (0,100) with
+        pair_weight = |group_0| x |group_100| = 3 x 1;
+      - no pair between non-representative copies (201,202), (201,301)."""
+    from kafka_streams_sandbox_spark.operators.dedup import _minhash_lsh
+
+    sf_dir = _collapse_corpus(tmp_path)
     got = {
         (r["doc_a"], r["doc_b"]): r
-        for r in b27_minhash_lsh_dedup(spark, str(tmp_path)).collect()
+        for r in _minhash_lsh(spark, sf_dir, collapse=True).collect()
     }
     assert set(got) == {(0, 201), (0, 202), (1, 301), (0, 100)}
     for star in [(0, 201), (0, 202), (1, 301)]:
@@ -182,6 +192,52 @@ def test_minhash_exact_collapse_semantics(spark, tmp_path):
         assert got[star]["pair_weight"] == 1
     assert got[(0, 100)]["jaccard"] >= 0.8
     assert got[(0, 100)]["pair_weight"] == 3  # 3 copies of doc 0, 1 of 100
+
+
+def test_minhash_collapse_gate_and_path_equivalence(spark, tmp_path):
+    """r6 (VERDICT r5 Next #6): the registered query gates the
+    collapse on the footer row count, so small corpora take the
+    direct path — every verified pair explicit, weight 1. The two
+    paths express the SAME near-dup relation: their connected
+    components must agree, and the direct path must enumerate every
+    underlying pair the collapse path aggregates (expanding rep-level
+    pairs through group membership)."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        _COLLAPSE_MIN_DOCS,
+        _minhash_lsh,
+    )
+
+    assert _COLLAPSE_MIN_DOCS > 5000  # sf0.1 and fixtures: direct path
+    sf_dir = _collapse_corpus(tmp_path)
+    direct = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _minhash_lsh(spark, sf_dir, collapse=False).collect()
+    }
+    # registered query == direct path on a tiny corpus
+    auto = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in b27_minhash_lsh_dedup(spark, sf_dir).collect()
+    }
+    assert set(auto) == set(direct)
+    assert all(r["pair_weight"] == 1 for r in direct.values())
+    # direct path enumerates the full expansion: group {0,201,202}
+    # internally (C(3,2) = 3 pairs), x100 across (3 pairs), {1,301}
+    direct_pairs = set(direct)
+    expected = {
+        (0, 201), (0, 202), (201, 202),          # group-internal clique
+        (0, 100), (100, 201), (100, 202),        # near-dup x each copy
+        (1, 301),
+    }
+    assert direct_pairs == expected
+    # connected components agree between the two forms
+    collapse_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _minhash_lsh(spark, sf_dir, collapse=True).collect()
+    }
+    ids = [0, 1, 2, 3, 100, 201, 202, 301]
+    assert _union_find_clusters(ids, collapse_pairs) == _union_find_clusters(
+        ids, direct_pairs
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -351,13 +407,53 @@ def test_kmeans_ivf_precision_and_planted_recall(spark, tmp_path):
 
 def test_kmeans_cell_count_rule():
     """k ~ sqrt(n), floored for degenerate corpora and capped so the
-    centroid broadcast stays bounded."""
-    from kafka_streams_sandbox_spark.operators.similarity import cell_count
+    centroid broadcast stays bounded. r6: the cap no longer implies
+    linear per-cell growth — sub_plane_count subdivides past the
+    per-task expected-population cap, so the Arrow group a rerank task
+    pulls is bounded by construction at any n."""
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        cell_count,
+        plane_count,
+        sub_plane_count,
+    )
 
     assert cell_count(0) == 1 and cell_count(1) == 1
     assert cell_count(60) == 8
     assert cell_count(2000) == 45
     assert cell_count(10**9) == 4096  # capped
+    # sub-bucket rule: off for every corpus the sqrt rule keeps
+    # balanced (fixtures, 100x probe), on past the k-cap knee
+    assert sub_plane_count(60, cell_count(60)) == 0
+    assert sub_plane_count(200_000, cell_count(200_000)) == 0
+    assert sub_plane_count(4096 * 4096, 4096) == 0  # boundary: pop == cap
+    assert sub_plane_count(17_000_000, 4096) == 8  # just past the knee
+    # 1e9 rows / 4096 cells = 244k expected per cell -> 14 planes
+    # (2^14 sub-buckets -> occupancy ~15, the b35 target)
+    assert sub_plane_count(10**9, 4096) == plane_count(10**9 // 4096) == 14
+    # forced-cap probe geometry: k=16 over the 100x corpus
+    assert sub_plane_count(200_000, 16) == 10
+
+
+def test_kmeans_ivf_forced_cap_trips_sub_buckets(spark, tmp_path):
+    """Force the b34 trap shape — tiny k over a corpus whose expected
+    cell population exceeds the per-task cap — and the sub-bucket
+    guard must engage instead of one giant Arrow group: planted
+    0.01-noise copies still collide (scale-invariant sign projection
+    over ue) and rank mutual top-1, cosines stay numpy-exact."""
+    from kafka_streams_sandbox_spark.operators.similarity import _kmeans_ivf
+
+    sf_dir, planted, by_id = _planted_vecs_dir(tmp_path)
+    # 60 vectors, k=1, cap=8 -> expected pop 60 > 8 -> 8 sub-planes
+    rows = _kmeans_ivf(spark, sf_dir, k=1, cell_pop_cap=8).collect()
+    assert rows
+    for r in rows:
+        a, b = by_id[r["query_id"]], by_id[r["neighbor_id"]]
+        truth = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(truth, abs=1e-9)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rnk"] == 1}
+    for base_id, copy_id in planted:
+        assert top1.get(base_id) == copy_id
+        assert top1.get(copy_id) == base_id
 
 
 def test_plane_count_scales_with_corpus():
@@ -466,3 +562,93 @@ def test_scaled_ivf_precision_and_planted_recall(spark, tmp_path):
     for base_id, copy_id in planted:
         assert top1.get(base_id) == copy_id
         assert top1.get(copy_id) == base_id
+
+
+# ---------------------------------------------------------------------------
+# b96 n-scaled embedding-LSH near-dup (additive scaled twin of b39_lsh)
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_lsh_neardup_contracts(spark, tmp_path):
+    """b96 (r6): precision — every emitted pair must appear in exact
+    b39 with a numpy-exact cosine; recall — planted 0.01-noise copies
+    survive bucketing; geometry — on fixture corpora plane_count
+    resolves to the same 8-plane floor as b39_lsh, so the scaled twin
+    must emit EXACTLY the fixed twin's pairs there (they diverge only
+    where the fixed config stops scaling — the 100x regime)."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b39_embedding_neardup,
+        b39_lsh_embedding_neardup,
+        b96_lsh_embedding_neardup_scaled,
+    )
+
+    sf_dir, planted, by_id = _planted_vecs_dir(tmp_path)
+    scaled = b96_lsh_embedding_neardup_scaled(spark, sf_dir).collect()
+    assert scaled
+    for r in scaled:
+        a, b = by_id[r["vec_a"]], by_id[r["vec_b"]]
+        truth = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(truth, abs=1e-9)
+    scaled_pairs = {(r["vec_a"], r["vec_b"]) for r in scaled}
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in b39_embedding_neardup(spark, sf_dir).collect()
+    }
+    assert scaled_pairs <= exact_pairs
+    for base_id, copy_id in planted:
+        assert (base_id, copy_id) in scaled_pairs
+    fixed_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in b39_lsh_embedding_neardup(spark, sf_dir).collect()
+    }
+    assert scaled_pairs == fixed_pairs  # same 8-plane floor at n=60
+
+
+# ---------------------------------------------------------------------------
+# b95 minhash-band blocked fuzzy ER
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (pure-Python twin of both engines)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_minhash_blocked_fuzzy_match_contracts(spark, tmp_path):
+    """b95 (r6): precision — every emitted edit_dist is re-derived in
+    pure Python and clears the cap; recall — the planted one-token
+    mutations (token 37 of ~80, past the 60-char head => head edit 0,
+    full-doc jaccard ~0.95 => band collision near-certain) must all
+    surface; separation — unrelated same-vocabulary docs (j ~ 0.1,
+    band collision ~1e-8) must not. Deterministic: hash-derived
+    permutations, planted corpus pinned exactly."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b95_fuzzy_match_minhash_blocked,
+    )
+
+    sf_dir, planted = _planted_docs_dir(tmp_path)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in b95_fuzzy_match_minhash_blocked(spark, sf_dir).collect()
+    }
+    for (a, b), dist in got.items():
+        truth = _levenshtein(
+            texts[a].strip()[:60], texts[b].strip()[:60]
+        )
+        assert dist == truth <= 20, (a, b)
+    assert set(got) == set(planted)
+    assert all(d == 0 for d in got.values())  # heads unchanged by design

@@ -83,6 +83,8 @@ _QUERIES = [
     dedup.b39_lsh_embedding_neardup,
     dedup.b93_semantic_dedup,  # empty pair set -> zero-round label loop
     dedup.b94_semantic_dedup_exact,
+    dedup.b95_fuzzy_match_minhash_blocked,  # r6: empty block set
+    dedup.b96_lsh_embedding_neardup_scaled,  # r6: plane floor on n=0
     similarity.b33_cosine_topk,
     similarity.b34_ann_ivf_label,
     similarity.b35_ann_random_projection,

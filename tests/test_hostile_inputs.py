@@ -105,6 +105,7 @@ def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
         dedup.b26_ngram_jaccard_pairs,
         dedup.b27_minhash_lsh_dedup,
         dedup.b28_simhash_dedup,
+        dedup.b95_fuzzy_match_minhash_blocked,  # r6: same band discipline
     ):
         pairs = {
             (r["doc_a"], r["doc_b"]) for r in fn(spark, hostile_dir).collect()
@@ -113,6 +114,9 @@ def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
         # degenerate docs (NULL/empty/1-char) must not pair with
         # anything — a NULL-shingle bucket key or an empty shingle set
         # silently matching everything is the classic corpus-dedup bug
+        # (for b95, disjoint shingle sets also mean zero band-collision
+        # odds, so short unrelated docs can't reach the loose
+        # edit-distance verify)
         assert (8, 9) in pairs, fn.__name__
         bad = {p for p in pairs if p != (8, 9)}
         assert not bad, (fn.__name__, bad)

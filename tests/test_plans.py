@@ -388,3 +388,39 @@ def test_b44_no_driver_collect_and_map_only_corpus(queries, spark, sf_dir):
     assert not has_operator(df, "CartesianProduct"), plan
     assert not has_operator(df, "SortMergeJoin"), plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_scaled_lsh_neardup_merge_pinned_no_forced_broadcast(
+    queries, spark, sf_dir
+):
+    """b96 (r6) inherits b39_lsh's whole plan discipline: verify joins
+    merge-pinned (array-carrying corpus sides must never ride a
+    static file-stats BroadcastHashJoin), no nested loop, no
+    cartesian, and zero MANDATORY broadcasts (the candidate set grows
+    with sum(bucket^2))."""
+    df = queries["b96_lsh_embedding_neardup_scaled"](spark, sf_dir)
+    assert has_operator(df, "SortMergeJoin"), plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan_string(df)
+    assert not has_operator(df, "BroadcastHashJoin"), plan_string(df)
+    import inspect
+
+    from kafka_streams_sandbox_spark.operators import dedup
+
+    src = inspect.getsource(dedup.b96_lsh_embedding_neardup_scaled)
+    assert "broadcast(" not in src, "unbounded candidate broadcast"
+
+
+def test_minhash_blocked_fuzzy_match_no_forced_broadcast(
+    queries, spark, sf_dir
+):
+    """b95 (r6): the block-candidate set is unbounded (sum(block^2))
+    and the head side is corpus-sized — nothing may FORCE a broadcast
+    (AQE still may at runtime when a side measures small), and no
+    nested loop / cartesian may appear (the blocking join is pure
+    equi-join by construction)."""
+    df = queries["b95_fuzzy_match_minhash_blocked"](spark, sf_dir)
+    assert broadcast_hint_count(df) == 0, plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan_string(df)
+    assert not uses_row_python_udf(df), plan_string(df)
