@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "b85_novel_bigram_ratio",
     "b86_phash_neardup",
     "b87_duplicated_spans",
+    # round-6: keep-first span-removal rewrite (oracle-backed --
+    # joins the shared-ratio membership; its DuckDB twin is a
+    # cheap posting-list CTE, nothing like b94's recursive CTE)
+    "b97_span_removal_rewrite",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -780,10 +780,16 @@ def b96_lsh_embedding_neardup_scaled(  # probabilistic, geometry n-scaled
 # ---------------------------------------------------------------------------
 
 
-def _guarded_sig_pairs(sig: DataFrame) -> DataFrame:
-    """(vec_id, sig) -> candidate (vec_a, vec_b) pairs within each
-    signature bucket, with the family's oversized-bucket STAR guard
-    (r6, VERDICT r5 Next #1 — the b27/b28 treatment).
+def _guarded_sig_pairs(
+    sig: DataFrame,
+    keys: tuple[str, ...] = ("sig",),
+    id_col: str = "vec_id",
+    a: str = "vec_a",
+    b: str = "vec_b",
+) -> DataFrame:
+    """(id_col, *keys) -> candidate (a, b) pairs within each bucket,
+    with the family's oversized-bucket STAR guard (r6, VERDICT r5
+    Next #1 — the b27/b28 treatment).
 
     n-scaled planes bound EXPECTED occupancy for random vectors only:
     identical/near-identical embeddings share a signature at any plane
@@ -798,30 +804,38 @@ def _guarded_sig_pairs(sig: DataFrame) -> DataFrame:
     members through the representative — stars only ever LOSE
     candidate pairs vs the clique, never invent them. Single-signature
     bucketing means one bucket per vector, so pairs are unique by
-    construction (no multi-band distinct needed)."""
-    wsig = Window.partitionBy("sig")
-    sized = sig.withColumn("mn", F.min("vec_id").over(wsig)).withColumn(
+    construction (no multi-band distinct needed).
+
+    Generalized over bucket ``keys`` / ``id_col`` / output pair names
+    so the multi-band callers (b95: (band, key) blocks over doc_id —
+    those need a .distinct() after, one pair can collide in several
+    bands) share the ONE guard implementation instead of inline
+    copies. b27's inline block predates this helper and additionally
+    threads collapse weights/signatures — left as is."""
+    keys = list(keys)
+    wsig = Window.partitionBy(*keys)
+    sized = sig.withColumn("mn", F.min(id_col).over(wsig)).withColumn(
         "bsz", F.count(F.lit(1)).over(wsig)
     )
     cand_small = (
         sized.filter(F.col("bsz") <= _BUCKET_CAP)
-        .groupBy("sig")
-        .agg(F.collect_list("vec_id").alias("ds"))
+        .groupBy(*keys)
+        .agg(F.collect_list(id_col).alias("ds"))
         .select(
             F.explode(
                 F.expr(
-                    """flatten(transform(ds, x ->
+                    f"""flatten(transform(ds, x ->
                            filter(transform(ds, y ->
-                                      struct(x AS vec_a, y AS vec_b)),
-                                  p -> p.vec_a < p.vec_b)))"""
+                                      struct(x AS {a}, y AS {b})),
+                                  p -> p.{a} < p.{b})))"""
                 )
             ).alias("p")
         )
         .select("p.*")
     )
     cand_star = sized.filter(
-        (F.col("bsz") > _BUCKET_CAP) & (F.col("vec_id") != F.col("mn"))
-    ).select(F.col("mn").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+        (F.col("bsz") > _BUCKET_CAP) & (F.col(id_col) != F.col("mn"))
+    ).select(F.col("mn").alias(a), F.col(id_col).alias(b))
     return cand_small.unionByName(cand_star)
 
 
@@ -1320,31 +1334,12 @@ def b95_fuzzy_match_minhash_blocked(  # is engine-specific (no DuckDB twin)
         F.expr(f"substring(trim(text), 1, {_B76_HEAD})").alias("head"),
     )
     bands = _minhash_band_keys(docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")))
-    # block guard: same window-sized star treatment as b27/b28/b93
-    wbk = Window.partitionBy("band", "key")
-    sized = bands.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
-        "bsz", F.count(F.lit(1)).over(wbk)
-    )
-    cand_small = (
-        sized.filter(F.col("bsz") <= _BUCKET_CAP)
-        .groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .select(
-            F.explode(
-                F.expr(
-                    """flatten(transform(ds, x ->
-                           filter(transform(ds, y ->
-                                      struct(x AS doc_a, y AS doc_b)),
-                                  p -> p.doc_a < p.doc_b)))"""
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-    )
-    cand_star = sized.filter(
-        (F.col("bsz") > _BUCKET_CAP) & (F.col("doc_id") != F.col("mn"))
-    ).select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    pairs = cand_small.unionByName(cand_star).distinct()
+    # block guard: the family's ONE window-sized star-guard helper on
+    # (band, key) blocks; distinct because a pair can collide in
+    # several bands
+    pairs = _guarded_sig_pairs(
+        bands, keys=("band", "key"), id_col="doc_id", a="doc_a", b="doc_b"
+    ).distinct()
     # fetch heads for the verify — candidates are narrow (two int64s)
     # and the head side is a 60-char projection of the corpus
     half = d.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")).join(
@@ -1357,3 +1352,177 @@ def b95_fuzzy_match_minhash_blocked(  # is engine-specific (no DuckDB twin)
     return verified.select(
         "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
     ).filter(F.col("edit_dist") <= _B76_MAX_DIST)
+
+
+# ---------------------------------------------------------------------------
+# b97: exact-substring span REMOVAL — the corpus rewrite b87 only measures
+# ---------------------------------------------------------------------------
+
+B97_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, s.pos AS pos, s.sh AS sh
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {B87_SPAN - 2}),
+                          i -> {{'pos': i,
+                                 'sh': array_to_string(toks[i:i + {B87_SPAN - 1}], ' ')}})) AS s
+            FROM t
+            WHERE len(toks) >= {B87_SPAN}
+        )
+    ),
+    dup AS (
+        SELECT sh, MIN(doc_id) AS keeper_doc
+        FROM posting GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rm AS (
+        SELECT p.doc_id,
+               list_distinct(flatten(list(range(p.pos, p.pos + {B87_SPAN}))))
+                   AS rm
+        FROM posting p JOIN dup d USING (sh)
+        WHERE p.doc_id != d.keeper_doc
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(r.rm), 0) AS BIGINT) AS removed_tokens,
+           CAST(COALESCE(len(t.toks), 0) - COALESCE(len(r.rm), 0) AS BIGINT)
+               AS kept_tokens,
+           COALESCE(array_to_string(
+               list_filter(
+                   list_transform(range(1, COALESCE(len(t.toks), 0) + 1),
+                                  i -> CASE WHEN NOT list_contains(
+                                                COALESCE(r.rm, []), i)
+                                            THEN t.toks[i] END),
+                   x -> x IS NOT NULL), ' '), '') AS clean_text
+    FROM t LEFT JOIN rm r ON t.doc_id = r.doc_id
+"""
+
+
+def span_removal_rewrite(docs: DataFrame) -> DataFrame:
+    """Core of b97 over any (doc_id, text) relation — exposed (like
+    ``duplicated_spans``) so property tests can drive arbitrary
+    planted corpora through the exact production lineage."""
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
+    posting = (
+        toks.filter(F.col("n_tokens") >= B87_SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(toks) - {B87_SPAN - 1}),
+                        i -> struct(i AS pos,
+                                    xxhash64(concat_ws(' ', slice(toks, i, {B87_SPAN}))) AS sh))"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.sh")
+    )
+    # keeper = min doc_id per duplicated span: nd and min are both
+    # partial-aggregatable, so this is one map-side-combined shuffle
+    # on the uniform 64-bit span hash — never a collect_list
+    dup = (
+        posting.groupBy("sh")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("sh", "keeper_doc")
+    )
+    # shuffled equi-join on sh (dup is unbounded — one row per
+    # duplicated span — so no mandatory broadcast; AQE may still
+    # broadcast when genuinely small)
+    marked = posting.join(dup, "sh").filter(
+        F.col("doc_id") != F.col("keeper_doc")
+    )
+    # exact interval union per doc. The agg buffer holds DISTINCT span
+    # STARTS (collect_set, <= n_spans <= doc length), never the
+    # {B87_SPAN}x-expanded position lists — expanding inside the agg
+    # buffer would hold 8x the doc length in one unspillable row for
+    # a heavily-duplicated long doc. Expansion + union happen in the
+    # projection AFTER the agg, where the row is transient.
+    rm = (
+        marked.groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.flatten(
+                    F.expr(
+                        f"transform(starts, p -> sequence(p, p + {B87_SPAN - 1}))"
+                    )
+                )
+            ).alias("rm"),
+        )
+    )
+    return (
+        toks.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            (
+                F.col("n_tokens") - F.coalesce(F.size("rm"), F.lit(0))
+            ).cast("long").alias("kept_tokens"),
+            F.expr(
+                "concat_ws(' ', filter(coalesce(toks, array()), "
+                "(t, i) -> NOT array_contains(coalesce(rm, array()), i + 1)))"
+            ).alias("clean_text"),
+        )
+    )
+
+
+@query("b97_span_removal_rewrite", oracle=B97_ORACLE)
+def b97_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a corpus REWRITE (r6): remove every
+    cross-doc-duplicated {B87_SPAN}-token span from all but one
+    keeper occurrence and emit the cleaned text — Lee et al. 2022's
+    ExactSubstr treatment as an output transform, where b87 only
+    measures the coverage signal. Reference parity: the sandbox
+    (KStreamsToKTable.java) has no corpus layer; this is part of the
+    mandated training-data-pipeline surface.
+
+    Semantics (token-granular, keep-first at DOC granularity): a span
+    hash seen in >= 2 distinct docs picks keeper_doc = min(doc_id);
+    every occurrence OUTSIDE the keeper doc marks its token interval
+    [pos, pos+{B87_SPAN - 1}] for removal. A doc's removed set is the
+    exact interval UNION of its marks (overlapping spans never
+    double-count — b87's argument), and clean_text is the kept tokens
+    rejoined on single spaces. The keeper doc keeps all its own
+    occurrences; within-doc repetition is b63's signal, not this
+    operator's.
+
+    Plan (b87's three uniform-key shuffles + one doc-id join, never
+    all-pairs): postings are map-only; keeper election is min/count
+    partial aggregation on the 64-bit span hash (no collect_list —
+    boilerplate spans with billions of postings combine map-side);
+    the mark join is a shuffled equi-join on sh; interval union
+    groups by doc_id with per-doc bounded arrays; the final rewrite
+    is a doc_id equi-join back to the token table. The token arrays
+    (the only wide column) cross exactly one shuffle — the final
+    doc_id join — and clean_text materializes map-side after it.
+
+    Engine exactness: Spark keys spans by xxhash64, the DuckDB oracle
+    by the raw span string (b26/b87's negligible-collision argument);
+    counts and clean_text are integer/string — no float drift.
+
+    Known per-doc term: the rewrite filter is array_contains(rm, i)
+    per token — O(n_tokens x |rm|) inside one row, fine at real doc
+    lengths (10^4 tokens => <=10^8 cheap int compares worst case)
+    but quadratic for a pathological 10^6-token fully-duplicated doc.
+    The linear-alternative shape if a corpus ever needs it: posexplode
+    tokens, LEFT ANTI join (doc_id, pos) against the removal
+    positions, re-aggregate ordered — trades the in-row term for two
+    token-level shuffles.
+    """
+    return span_removal_rewrite(documents_wide(spark, sf_dir))

@@ -63,8 +63,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # All 16 pass the full local contract at two scale factors
     # (VERIFY_LOCAL_r05{,_sf0001}.txt); none was touched in r6, so
     # ordering them ahead of round-6 work is safe: the new/changed
-    # block follows immediately and the combined set (16 + 2 new + 4
-    # changed = 22) fits the ~50-query window with room for rotation.
+    # block follows immediately and the combined set (16 + 3 new + 4
+    # changed = 23) fits the ~50-query window with room for rotation.
     # --- r3 rows: streaming a-layer ---
     "a01_stream_passthrough",
     "a02_stream_table_latest",
@@ -88,6 +88,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                         # (b76's corpus-appropriate key)
     "b96_lsh_embedding_neardup_scaled", # n-scaled + star-guarded twin
                                         # of b39_lsh
+    "b97_span_removal_rewrite",         # keep-first exact-substring
+                                        # corpus rewrite (oracle-backed)
     # --- changed in round 6 (code touched; rows must refresh) ---
     "b93_semantic_dedup",          # oversized-bucket star guard in the
                                    # candidate stage (VERDICT r5 #1)

@@ -83,6 +83,9 @@ QUERIES = (
     # the 100x Zipf corpus b76's first-token blocks cannot)
     "b96_lsh_embedding_neardup_scaled",
     "b95_fuzzy_match_minhash_blocked",
+    # b97: b87's posting plan as a corpus rewrite — the one extra cost
+    # is the doc_id join that carries token arrays to the rewrite
+    "b97_span_removal_rewrite",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))

@@ -99,6 +99,7 @@ _QUERIES = [
     b41_pivot_event_counts,
     b51_sliding_window_agg,
     dedup.b87_duplicated_spans,
+    dedup.b97_span_removal_rewrite,  # r6: empty corpus -> no rewrites
     b88_shard_shuffle,
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union

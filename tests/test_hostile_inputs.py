@@ -138,3 +138,33 @@ def test_duplicated_spans_on_hostile_docs(spark, hostile_dir):
         assert out[d]["dup_token_ratio"] == 1.0
         assert out[d]["covered_tokens"] == out[d]["n_tokens"]
     assert out[10]["dup_spans"] == 0  # intra-doc repeats don't count
+
+
+def test_span_removal_rewrite_on_hostile_docs(spark, hostile_dir):
+    """b97: every doc yields a row; NULL/empty/short docs come back
+    untouched with clean_text '' or their original text; the planted
+    exact-dup pair keeps doc 8 (min doc_id) verbatim and strips doc 9
+    to nothing; the 100 kB intra-doc repeater is untouched (within-doc
+    repetition is b63's signal, not cross-doc duplication)."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b97_span_removal_rewrite,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in b97_span_removal_rewrite(spark, hostile_dir).collect()
+    }
+    assert set(out) == {d[0] for d in _DOCS}
+    for d in (0, 1, 2, 3, 4, 12, 13):  # null/empty/whitespace/short
+        r = out[d]
+        assert r["removed_tokens"] == 0, d
+        assert r["kept_tokens"] == r["n_tokens"], d
+        if r["n_tokens"] == 0:
+            assert r["clean_text"] == "", d
+    # exact-dup pair: keeper survives verbatim, the copy is emptied
+    assert out[8]["removed_tokens"] == 0
+    assert out[8]["kept_tokens"] == out[8]["n_tokens"] > 0
+    assert out[8]["clean_text"] != ""
+    assert out[9]["kept_tokens"] == 0 and out[9]["clean_text"] == ""
+    # intra-doc repeats never mark anything
+    assert out[10]["removed_tokens"] == 0

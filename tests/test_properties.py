@@ -381,3 +381,42 @@ def test_shard_layout_matches_python(spark, ids):
         assert r["global_pos"] == pos
         assert r["shard_id"] == pos % B88_SHARDS
         assert r["pos_in_shard"] == pos // B88_SHARDS
+
+
+@given(texts=st.lists(DOC_TEXT, min_size=0, max_size=8))
+@SETTINGS
+def test_span_removal_rewrite_matches_python(spark, texts):
+    """b97 core == brute-force Python: keeper doc = min(doc_id) per
+    duplicated 8-gram; non-keeper occurrences remove their interval
+    union; clean_text is the kept tokens on single spaces."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        B87_SPAN,
+        span_removal_rewrite,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in span_removal_rewrite(df).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    span_docs: dict[tuple, set] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - B87_SPAN + 1):
+            span_docs.setdefault(tuple(tk[p : p + B87_SPAN]), set()).add(i)
+    assert set(got) == set(toks)
+    for i, tk in toks.items():
+        rm: set = set()
+        for p in range(len(tk) - B87_SPAN + 1):
+            d = span_docs[tuple(tk[p : p + B87_SPAN])]
+            if len(d) >= 2 and i != min(d):
+                rm.update(range(p, p + B87_SPAN))
+        r = got[i]
+        assert r["n_tokens"] == len(tk)
+        assert r["removed_tokens"] == len(rm)
+        assert r["kept_tokens"] == len(tk) - len(rm)
+        assert r["clean_text"] == " ".join(
+            t for j, t in enumerate(tk) if j not in rm
+        )

@@ -207,3 +207,77 @@ def test_b90_forward_fill_semantics(spark):
     assert out[2]["filled_value"] == 3.0 and out[2]["filled_from_id"] == 3
     # newest row has NULL value: the whole struct carries (NULL, ts, 4)
     assert out[3]["filled_value"] is None and out[3]["filled_from_id"] == 4
+
+
+# ---------------------------------------------------------------------------
+# b97: span-removal rewrite (keep-first exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+# b97's planted corpus = b87's four docs plus a within-doc-repeat doc
+# (separate fixture: b87's planted test pins its doc-id set exactly).
+#   doc 4 repeats the same 8 tokens twice — its 8-grams recur only
+#   WITHIN the doc, so nd < 2 and nothing is removed (within-doc
+#   repetition is b63's signal, pinned here as out of scope).
+_B97_DOCS = _DOCS + [
+    (4, " ".join(f"r{i}" for i in range(1, 9)) + " "
+        + " ".join(f"r{i}" for i in range(1, 9))),
+]
+
+
+@pytest.fixture(scope="module")
+def b97_dir(tmp_path_factory) -> str:
+    tmp = tmp_path_factory.mktemp("b97_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in _B97_DOCS], pa.int64()),
+                "text": pa.array([d[1] for d in _B97_DOCS], pa.string()),
+                "lang": pa.array(["en"] * len(_B97_DOCS), pa.string()),
+                "source": pa.array(["s"] * len(_B97_DOCS), pa.string()),
+                "n_chars": pa.array(
+                    [len(d[1]) for d in _B97_DOCS], pa.int64()
+                ),
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    return str(tmp)
+
+
+def test_b97_planted_keep_first_rewrite(spark, b97_dir):
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b97_span_removal_rewrite,
+    )
+
+    assert B87_SPAN == 8  # the planted arithmetic below assumes it
+    out = {
+        r["doc_id"]: r
+        for r in b97_span_removal_rewrite(spark, b97_dir).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    # doc 0 is the keeper (min doc_id) of every shared span: untouched
+    r0 = out[0]
+    assert r0["removed_tokens"] == 0 and r0["kept_tokens"] == 18
+    assert r0["clean_text"] == _B97_DOCS[0][1]
+    # doc 1 loses exactly the 10 shared tokens (interval UNION of the
+    # 3 overlapping duplicated 8-grams — 10, never 24), keeps its tail
+    r1 = out[1]
+    assert r1["n_tokens"] == 18 and r1["removed_tokens"] == 10
+    assert r1["kept_tokens"] == 8
+    assert r1["clean_text"] == " ".join(f"b{i}" for i in range(8))
+    # clean doc / below-span doc / within-doc-repeat doc: untouched
+    for d in (2, 3, 4):
+        r = out[d]
+        assert r["removed_tokens"] == 0, d
+        assert r["clean_text"] == _B97_DOCS[d][1], d
+
+
+def test_b97_plan_never_pairwise(spark, sf_dir):
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b97_span_removal_rewrite,
+    )
+
+    df = b97_span_removal_rewrite(spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not uses_row_python_udf(df), plan
