@@ -397,12 +397,19 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
     layouts cell ids may differ in last-ulp boundary cases — hence
     rows-only at the driver.
 
-    Per-task memory is bounded BY CONSTRUCTION at any corpus size
-    (r6): past n ~ k x _CELL_POP_CAP expected rows per cell, each
-    cell is subdivided by a hash sub-bucket key (sub_plane_count —
-    b91's lever, one extra cogroup key), so the Arrow group a rerank
-    task materializes never grows linearly with n even though k caps
-    at 4096.
+    Per-task memory (r6, two independent bounds): (1) past
+    n ~ k x _CELL_POP_CAP expected rows per cell, each cell is
+    subdivided by a sign-projection sub-bucket key (sub_plane_count —
+    b91's lever, one extra cogroup key), so the RANDOM bulk's Arrow
+    group never grows linearly with n even though k caps at 4096;
+    (2) the rerank kernel streams probes in _RERANK_CHUNK blocks, so
+    even a group that legitimately stays large — an identical-
+    embedding mass shares cell AND sub signature at any plane
+    count — costs chunk x members transient, not queries x members
+    (the b28-class OOM shape). The residual term is the members
+    matrix (~0.5 KB/vector); a multi-million identical mass is the
+    upstream exact/semantic dedup stage's job (b21/b93), not the
+    ANN index's.
     """
     return _kmeans_ivf(spark, sf_dir)
 
@@ -538,6 +545,20 @@ def _kmeans_ivf(
     # id-stable ordering (sort members by id, stable argsort on -sims)
     # makes tie-handling identical to the global window's
     # (cos DESC, neighbor_id ASC) — the b44 lesson.
+    # Chunked over probe rows (r6): sign-LSH sub keys split only the
+    # RANDOM bulk — an identical-embedding mass shares cell AND sub at
+    # any plane count, so one cogroup group can legitimately hold the
+    # whole mass. The kernel therefore never materializes a full
+    # (queries x members) sims matrix: probes stream through in
+    # _RERANK_CHUNK-row blocks, bounding the transient at
+    # chunk x members doubles (512 x 20k = ~80 MB for the planted-mass
+    # probe) while per-query results are block-independent and
+    # bit-identical to the unchunked form. Residual per-task term:
+    # the members matrix itself (~0.5 KB/vector) — the production
+    # remedy for a multi-million identical mass is the upstream
+    # exact/semantic dedup stage (b21/b93), not the ANN index.
+    _RERANK_CHUNK = 512
+
     def rerank_cell(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
         if not len(corpus_pdf) or not len(probe_pdf):
             return pd.DataFrame(
@@ -550,27 +571,36 @@ def _kmeans_ivf(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         mat = np.array(list(corpus_pdf["ue"]), dtype=np.float64)[order]
-        qids = probe_pdf["query_id"].to_numpy(dtype=np.int64)
-        qmat = np.array(list(probe_pdf["qe"]), dtype=np.float64)
-        sims = qmat @ mat.T  # (queries, members)
-        # self-match mask: a query's own row never ranks as neighbor
-        pos = np.searchsorted(ids, qids)
-        in_range = pos < len(ids)
-        hit = np.flatnonzero(in_range & (ids[np.minimum(pos, len(ids) - 1)] == qids))
-        sims[hit, pos[hit]] = -np.inf
-        kk = min(3, sims.shape[1])
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        rows = top.ravel()
-        qcol = np.repeat(qids, kk)
-        scol = sims[np.repeat(np.arange(len(qids)), kk), rows]
-        keep = np.isfinite(scol)  # drop -inf self rows in tiny cells
+        qids_all = probe_pdf["query_id"].to_numpy(dtype=np.int64)
+        qmat_all = np.array(list(probe_pdf["qe"]), dtype=np.float64)
         cell_id = np.int32(corpus_pdf["cell"].iloc[0])
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, len(qids_all), _RERANK_CHUNK):
+            qids = qids_all[lo : lo + _RERANK_CHUNK]
+            sims = qmat_all[lo : lo + _RERANK_CHUNK] @ mat.T
+            # self-match mask: a query's own row never ranks as neighbor
+            pos = np.searchsorted(ids, qids)
+            in_range = pos < len(ids)
+            hit = np.flatnonzero(
+                in_range & (ids[np.minimum(pos, len(ids) - 1)] == qids)
+            )
+            sims[hit, pos[hit]] = -np.inf
+            kk = min(3, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = top.ravel()
+            qcol = np.repeat(qids, kk)
+            scol = sims[np.repeat(np.arange(len(qids)), kk), rows]
+            keep = np.isfinite(scol)  # drop -inf self rows in tiny cells
+            out_q.append(qcol[keep])
+            out_n.append(ids[rows][keep])
+            out_s.append(scol[keep])
+        q = np.concatenate(out_q)
         return pd.DataFrame(
             {
-                "query_id": qcol[keep],
-                "neighbor_id": ids[rows][keep],
-                "cell": np.full(int(keep.sum()), cell_id, dtype=np.int32),
-                "cos_sim": scol[keep],
+                "query_id": q,
+                "neighbor_id": np.concatenate(out_n),
+                "cell": np.full(len(q), cell_id, dtype=np.int32),
+                "cos_sim": np.concatenate(out_s),
             }
         )
 

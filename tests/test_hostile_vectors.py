@@ -218,3 +218,47 @@ def test_semantic_dedup_survives_hostile_vectors(spark, hostile_vec_dir):
             by_cluster.setdefault(r["cluster_id"], []).append(r)
         for members in by_cluster.values():
             assert sum(1 for m in members if m["is_kept"]) == 1
+
+
+def test_kmeans_ivf_survives_identical_embedding_mass(spark, tmp_path):
+    """r6: an identical-embedding mass shares its k-means cell AND its
+    sign-projection sub key at any plane count, so one cogroup group
+    legitimately holds the whole mass — the rerank kernel must stream
+    probes in chunks instead of materializing a (queries x members)
+    sims matrix (the b28-class OOM shape). 700 planted copies force
+    >= 2 _RERANK_CHUNK blocks, so this also pins block-boundary
+    correctness: every mass member still gets cos ~ 1.0 mass
+    neighbors and <= 3 rows, exactly as the unchunked form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = np.random.default_rng(4321)
+    mass_n = 700
+    mass_vec = g.normal(size=_DIM).astype(np.float32)
+    base = g.normal(size=(40, _DIM)).astype(np.float32)
+    ids = list(range(1000, 1000 + mass_n)) + list(range(40))
+    vecs = [mass_vec.tolist()] * mass_n + [v.tolist() for v in base]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = b92_ann_ivf_kmeans(spark, str(tmp_path)).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    mass_ids = set(range(1000, 1000 + mass_n))
+    # every mass member gets results, capped at top-3, and its #1
+    # neighbor is another mass member at cosine exactly ~1.0
+    assert mass_ids <= set(by_q)
+    for q in mass_ids:
+        rs = sorted(by_q[q], key=lambda r: r["rnk"])
+        assert len(rs) <= 3
+        assert rs[0]["neighbor_id"] in mass_ids and rs[0]["neighbor_id"] != q
+        assert rs[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+        # rank-1 tie-break inside an all-identical mass: lowest id wins
+        expect = min(i for i in mass_ids if i != q)
+        assert rs[0]["neighbor_id"] == expect
