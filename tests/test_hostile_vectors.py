@@ -144,10 +144,15 @@ def test_embedding_neardup_survives_hostile_vectors(spark, hostile_vec_dir):
     from kafka_streams_sandbox_spark.operators.dedup import (
         b39_embedding_neardup,
         b39_lsh_embedding_neardup,
+        b96_lsh_embedding_neardup_scaled,
     )
 
     hostile_ids = {100, 101, 102, 103, 104}
-    for fn in (b39_embedding_neardup, b39_lsh_embedding_neardup):
+    for fn in (
+        b39_embedding_neardup,
+        b39_lsh_embedding_neardup,
+        b96_lsh_embedding_neardup_scaled,  # r6 scaled twin, same guards
+    ):
         for r in fn(spark, hostile_vec_dir).collect():
             assert r["vec_a"] not in hostile_ids, (fn.__name__, r)
             assert r["vec_b"] not in hostile_ids, (fn.__name__, r)
