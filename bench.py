@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     # joins the shared-ratio membership; its DuckDB twin is a
     # cheap posting-list CTE, nothing like b94's recursive CTE)
     "b97_span_removal_rewrite",
+    # round-6: ingest-time near-dup vs the standing band index
+    # (rows-only -- Spark-timed row, shared membership untouched)
+    "b98_incremental_neardup",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -1526,3 +1526,130 @@ def b97_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-level shuffles.
     """
     return span_removal_rewrite(documents_wide(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# b98: incremental NEAR-dup at ingest — new batch vs the standing corpus
+# index (b68's incremental shape x b27's band geometry)
+# ---------------------------------------------------------------------------
+
+
+@query("b98_incremental_neardup")  # rows-only: band bucketing is
+def b98_incremental_neardup(  # engine-specific (no DuckDB twin)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time near-dup check of a new batch against the standing
+    corpus (r6): b68 answers "have we seen EXACTLY this doc" at ingest;
+    b98 answers "have we seen roughly this doc" — each new doc gets a
+    verdict (neardup_corpus | unique) plus its best corpus match and
+    the exact jaccard. Batch split mirrors b68 (doc_id % 10 >= 8 is
+    the arriving batch; the rest is the standing corpus).
+
+    Scale shape — the whole point vs re-running b27 over
+    corpus + batch: the corpus side is only ever touched as (a) its
+    BAND-KEY INDEX — in production a standing materialized table
+    maintained at ingest (the bucketed-store discipline of A8), here
+    derived in-query from the same `_minhash_band_keys` geometry — and
+    (b) a candidate-bounded semi-join fetch of shingle arrays for the
+    few docs that collide with the batch. The corpus is never
+    self-joined, never re-banded per ingest, and never carries arrays
+    through a shuffle wider than the candidate set. Cost per ingest is
+    O(batch bands + index join + candidates), independent of
+    corpus-wide pair structure.
+
+    Guards: oversized CORPUS buckets (a boilerplate band key shared by
+    g >> _BUCKET_CAP standing docs) collapse to their min-id
+    representative before the join — each batch doc then verifies
+    against ONE representative of the boilerplate mass instead of
+    fanning out g ways (the incremental analog of the b27/b28 star
+    guard; a near-dup of the mass still scores >= 0.8 against the
+    representative). The batch x index join is a plain shuffled
+    equi-join on (band, key) — no mandatory broadcast (a batch is
+    unbounded in general; AQE broadcasts when genuinely small), and
+    the verify joins fetch shingle arrays as JOIN-OUTPUT ATTRIBUTES
+    through merge-pinned equi-joins (b27's CollapseProject and
+    static-BHJ lessons).
+
+    Rows-only at the driver (banding has no SQL twin — b27/b95's
+    label); the planted contract pins recall (a mutated copy of a
+    standing doc is flagged with its source) and the test re-derives
+    every emitted jaccard exactly in Python (precision). Reference
+    parity: the closest reference shape is the KTable lookup at
+    ingest (KStreamsToKTable.java:78-81); the corpus layer itself is
+    driver-mandated.
+    """
+    docs = documents_wide(spark, sf_dir)
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    is_new = (F.col("doc_id") % 10) >= 8
+    batch = tokened.filter(is_new)
+    corpus = tokened.filter(~is_new)
+
+    index = _minhash_band_keys(corpus)  # standing index in production
+    probe = _minhash_band_keys(batch)
+    # oversized-bucket guard on the INDEX side: keep whole buckets up
+    # to _BUCKET_CAP, only the min-id representative past it (window
+    # sizing spills at any bucket size — never a collect_list)
+    wbk = Window.partitionBy("band", "key")
+    sized = index.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
+        "bsz", F.count(F.lit(1)).over(wbk)
+    )
+    index_guarded = sized.filter(
+        (F.col("bsz") <= _BUCKET_CAP) | (F.col("doc_id") == F.col("mn"))
+    ).select(F.col("doc_id").alias("doc_ref"), "band", "key")
+
+    # candidates is referenced by THREE consumers (both id-set semi
+    # filters and the verify join); without lineage truncation each
+    # one re-runs BOTH banding passes (9 corpus scans / 29 exchanges
+    # measured at sf0.1 — the b27 four-consumer lesson). One lazy
+    # DISK_ONLY checkpoint of this NARROW table (two int64s) computes
+    # the banding once; checkpoint() on a real cluster.
+    from pyspark import StorageLevel
+
+    candidates = (
+        probe.select(F.col("doc_id").alias("doc_new"), "band", "key")
+        .join(index_guarded, ["band", "key"])
+        .select("doc_new", "doc_ref")
+        .distinct()  # a pair can collide in several bands
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # verify: shingle only candidate-participating docs, arrays as
+    # join-output attributes through merge-pinned joins (b27's stage)
+    new_ids = candidates.select(F.col("doc_new").alias("doc_id")).distinct()
+    ref_ids = candidates.select(F.col("doc_ref").alias("doc_id")).distinct()
+    sh_new = batch.join(new_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_new"),
+        F.expr(char_ngrams_hashed_expr(5)).alias("sh_n"),
+    )
+    sh_ref = corpus.join(ref_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_ref"),
+        F.expr(char_ngrams_hashed_expr(5)).alias("sh_r"),
+    )
+    half = sh_new.join(candidates.hint("merge"), "doc_new")
+    verified = sh_ref.join(half.hint("merge"), "doc_ref").select(
+        "doc_new", "doc_ref", _jaccard("sh_n", "sh_r").alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.8)
+    # best standing match per new doc: highest jaccard, min-id tiebreak
+    wbest = Window.partitionBy("doc_new").orderBy(
+        F.col("jaccard").desc(), F.col("doc_ref")
+    )
+    best = (
+        verified.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("doc_new", "doc_ref", "jaccard")
+    )
+    # verdicts for the WHOLE batch, token-less docs included (they
+    # can't near-dup anything -> unique with a NULL match, b68's
+    # every-doc-gets-a-row shape)
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(best.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("doc_ref").alias("match_id"),
+            "jaccard",
+            F.when(F.col("doc_ref").isNotNull(), "neardup_corpus")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )

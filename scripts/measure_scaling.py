@@ -86,6 +86,9 @@ QUERIES = (
     # b97: b87's posting plan as a corpus rewrite — the one extra cost
     # is the doc_id join that carries token arrays to the rewrite
     "b97_span_removal_rewrite",
+    # b98: per-ingest cost must stay O(batch + index join) as the
+    # standing corpus grows 100x
+    "b98_incremental_neardup",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))

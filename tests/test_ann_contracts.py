@@ -652,3 +652,60 @@ def test_minhash_blocked_fuzzy_match_contracts(spark, tmp_path):
         assert dist == truth <= 20, (a, b)
     assert set(got) == set(planted)
     assert all(d == 0 for d in got.values())  # heads unchanged by design
+
+
+def test_incremental_neardup_contracts(spark, tmp_path):
+    """b98 (r6): ingest-time near-dup vs the standing corpus.
+    Planted verdicts — a one-token mutation of a standing doc is
+    flagged with its source, an EXACT copy scores jaccard 1.0, the
+    best-match tiebreak picks the min-id of two identical standing
+    twins, an unrelated-vocabulary doc and an empty doc both come
+    back unique (the empty one with a NULL match, still present:
+    every batch doc gets a verdict row). Precision — every emitted
+    jaccard is re-derived in pure Python. Split rule: doc_id % 10
+    >= 8 is the arriving batch (b68's convention)."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+    )
+
+    rng = random.Random(777)
+    base = " ".join(rng.choice(_VOCAB) for _ in range(80))
+    others = {
+        i: " ".join(rng.choice(_VOCAB) for _ in range(80))
+        for i in (1, 2, 3, 4, 5, 6)
+    }
+    mut = base.split()
+    mut[37] = "zzzzz"
+    rows = (
+        [(i, t) for i, t in others.items()]
+        + [(7, base), (17, base)]            # identical standing twins
+        + [(18, " ".join(mut))]              # batch: near-copy of 7/17
+        + [(28, " ".join("q%d" % k for k in range(80)))]  # batch: unrelated
+        + [(38, base)]                       # batch: exact copy
+        + [(48, "")]                         # batch: empty text
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["srcT"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in b98_incremental_neardup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {18, 28, 38, 48}  # exactly the batch, each once
+    texts = dict(rows)
+    for d, r in out.items():
+        if r["match_id"] is not None:
+            truth = _jaccard(_char5(texts[d]), _char5(texts[r["match_id"]]))
+            assert abs(r["jaccard"] - truth) < 1e-12, (d, r)
+            assert r["jaccard"] >= 0.8 and r["status"] == "neardup_corpus"
+    assert out[18]["match_id"] == 7  # equal jaccard vs 7/17 -> min id
+    assert out[38]["match_id"] == 7 and out[38]["jaccard"] == 1.0
+    assert out[28]["status"] == "unique" and out[28]["match_id"] is None
+    assert out[48]["status"] == "unique" and out[48]["match_id"] is None

@@ -168,3 +168,22 @@ def test_span_removal_rewrite_on_hostile_docs(spark, hostile_dir):
     assert out[9]["kept_tokens"] == 0 and out[9]["clean_text"] == ""
     # intra-doc repeats never mark anything
     assert out[10]["removed_tokens"] == 0
+
+
+def test_incremental_neardup_on_hostile_docs(spark, hostile_dir):
+    """b98: the hostile corpus's exact-dup pair (8, 9) falls entirely
+    in the BATCH (both %10 >= 8), so the standing corpus holds no
+    near-dup of anything — every batch doc must come back unique, and
+    the NULL/empty/short standing docs must not crash banding or
+    surface as phantom matches."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in b98_incremental_neardup(spark, hostile_dir).collect()
+    }
+    assert set(out) == {d[0] for d in _DOCS if d[0] % 10 >= 8}
+    for d, r in out.items():
+        assert r["status"] == "unique" and r["match_id"] is None, (d, r)

@@ -253,6 +253,9 @@ def test_no_mandatory_broadcast_of_unbounded_sides(queries, spark, sf_dir):
         "b27_minhash_lsh_dedup",
         "b39_lsh_embedding_neardup",
         "b54_merge_upsert",
+        # r6: b98's batch x index join and candidate set are both
+        # unbounded (a batch is corpus-sized in general) — AQE only
+        "b98_incremental_neardup",
     ):
         df = queries[name](spark, sf_dir)
         assert broadcast_hint_count(df) == 0, (name, plan_string(df))
