@@ -1581,22 +1581,46 @@ def b98_incremental_neardup(  # engine-specific (no DuckDB twin)
     docs = documents_wide(spark, sf_dir)
     tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
     is_new = (F.col("doc_id") % 10) >= 8
-    batch = tokened.filter(is_new)
-    corpus = tokened.filter(~is_new)
+    return incremental_neardup_verdicts(
+        batch=tokened.filter(is_new),
+        batch_all_ids=docs.filter(is_new).select("doc_id"),
+        corpus=tokened.filter(~is_new),
+        index_guarded=guarded_band_index(tokened.filter(~is_new)),
+    )
 
-    index = _minhash_band_keys(corpus)  # standing index in production
-    probe = _minhash_band_keys(batch)
-    # oversized-bucket guard on the INDEX side: keep whole buckets up
-    # to _BUCKET_CAP, only the min-id representative past it (window
-    # sizing spills at any bucket size — never a collect_list)
+
+def guarded_band_index(corpus: DataFrame) -> DataFrame:
+    """(doc_ref, band, key) standing band index over token-bearing
+    corpus docs, with the oversized-bucket guard applied on the INDEX
+    side: whole buckets up to _BUCKET_CAP, only the min-id
+    representative past it (window sizing spills at any bucket size —
+    never a collect_list). In production this is a materialized table
+    maintained at ingest; a28 precomputes it ONCE outside the stream."""
+    index = _minhash_band_keys(corpus)
     wbk = Window.partitionBy("band", "key")
     sized = index.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
         "bsz", F.count(F.lit(1)).over(wbk)
     )
-    index_guarded = sized.filter(
+    return sized.filter(
         (F.col("bsz") <= _BUCKET_CAP) | (F.col("doc_id") == F.col("mn"))
     ).select(F.col("doc_id").alias("doc_ref"), "band", "key")
 
+
+def incremental_neardup_verdicts(
+    batch: DataFrame,
+    batch_all_ids: DataFrame,
+    corpus: DataFrame,
+    index_guarded: DataFrame,
+) -> DataFrame:
+    """b98's verdict core over explicit inputs, shared with the a28
+    streaming twin (which calls it per micro-batch inside foreachBatch
+    against a precomputed static index): token-bearing ``batch`` docs
+    band and verify against ``index_guarded`` / ``corpus``; every id
+    in ``batch_all_ids`` gets a verdict row. A doc's verdict depends
+    only on (its own text, the standing corpus) — never on other batch
+    members — which is exactly what makes stream == batch regardless
+    of micro-batch boundaries."""
+    probe = _minhash_band_keys(batch)
     # candidates is referenced by THREE consumers (both id-set semi
     # filters and the verify join); without lineage truncation each
     # one re-runs BOTH banding passes (9 corpus scans / 29 exchanges
@@ -1641,8 +1665,7 @@ def b98_incremental_neardup(  # engine-specific (no DuckDB twin)
     # can't near-dup anything -> unique with a NULL match, b68's
     # every-doc-gets-a-row shape)
     return (
-        docs.filter(is_new)
-        .select("doc_id")
+        batch_all_ids
         .join(best.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",

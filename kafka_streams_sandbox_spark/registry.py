@@ -63,8 +63,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # All 16 pass the full local contract at two scale factors
     # (VERIFY_LOCAL_r05{,_sf0001}.txt); none was touched in r6, so
     # ordering them ahead of round-6 work is safe: the new/changed
-    # block follows immediately and the combined set (16 + 4 new + 4
-    # changed = 24) fits the ~50-query window with room for rotation.
+    # block follows immediately and the combined set (16 + 5 new + 4
+    # changed = 25) fits the ~50-query window with room for rotation.
     # --- r3 rows: streaming a-layer ---
     "a01_stream_passthrough",
     "a02_stream_table_latest",
@@ -92,6 +92,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                         # corpus rewrite (oracle-backed)
     "b98_incremental_neardup",          # ingest-time near-dup vs the
                                         # standing corpus band index
+    "a28_stream_incremental_neardup",   # b98's streaming twin
+                                        # (foreachBatch + static index)
     # --- changed in round 6 (code touched; rows must refresh) ---
     "b93_semantic_dedup",          # oversized-bucket star guard in the
                                    # candidate stage (VERDICT r5 #1)

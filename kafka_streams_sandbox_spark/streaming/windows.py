@@ -518,6 +518,84 @@ def a26_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_to_memory(stream, "append"))
 
 
+@query("a28_stream_incremental_neardup")  # rows-only: streaming sink
+def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b98's incremental NEAR-dup at INGEST TIME (r6): the arriving
+    document stream is checked against the standing corpus per
+    micro-batch and every new doc gets its verdict (neardup_corpus +
+    best match + exact jaccard | unique) as it arrives — a26 is the
+    exact-fingerprint form of this, a28 the band-geometry form.
+
+    Shape: foreachBatch runs the IDENTICAL batch verdict core
+    (``incremental_neardup_verdicts`` — shared code, not a rewrite)
+    per micro-batch against a static band index precomputed ONCE
+    before the stream starts (persisted DISK_ONLY; in production the
+    A8-style materialized index table), appending verdicts to a
+    parquet sink — never a driver-local collect. Each micro-batch
+    costs O(batch bands + index join + candidates); the corpus is
+    never re-banded per batch.
+
+    In-query duality assert: a doc's verdict depends only on (its own
+    text, the standing corpus) — never on other stream members — so
+    micro-batch boundaries cannot change the result, and a non-error
+    rows-only run certifies stream == batch b98 on the replayed data
+    (bit-identical rows incl. the float jaccard: same expression
+    lineage, no aggregation reordering).
+    """
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+        guarded_band_index,
+        incremental_neardup_verdicts,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    docs = documents_wide(spark, sf_dir)
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    is_new = (F.col("doc_id") % 10) >= 8
+    corpus = tokened.filter(~is_new)
+    index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
+    index.count()  # materialize once, before the stream starts
+    out_dir = tempfile.mkdtemp(prefix="kss-a28-")
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        b = bdf.filter(is_new)
+        verdicts = incremental_neardup_verdicts(
+            batch=b.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),
+            batch_all_ids=b.select("doc_id"),
+            corpus=corpus,
+            index_guarded=index,
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+
+    try:
+        q = (
+            documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(ingest_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        index.unpersist()
+    out = spark.read.parquet(out_dir)
+    assert_stream_batch_duality(
+        out,
+        b98_incremental_neardup(spark, sf_dir),
+        ["doc_id", "match_id", "jaccard", "status"],
+        "a28_stream_incremental_neardup",
+    )
+    return out
+
+
 def sliding_window_stream(
     events: DataFrame,
     size: str = "10 minutes",

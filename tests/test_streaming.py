@@ -533,6 +533,28 @@ def test_stream_incremental_dedup_duality(spark):
     assert accepted == unique_fps and accepted
 
 
+def test_stream_incremental_neardup_duality(spark):
+    """a28's per-micro-batch verdicts must equal b98's batch verdicts
+    exactly (incl. float jaccard — same expression lineage, no
+    aggregation reordering); the in-query assert enforces this on
+    every run, the named test documents it and pins the planted
+    near-dup count is non-trivial."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+    )
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a28_stream_incremental_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        tuple(r) for r in a28_stream_incremental_neardup(spark, sf).collect()
+    }
+    batch = {tuple(r) for r in b98_incremental_neardup(spark, sf).collect()}
+    assert stream == batch and stream
+    assert any(r[3] == "neardup_corpus" for r in stream)
+
+
 def test_sliding_window_duality(spark, sf_dir):
     """A27 streaming hopping windows == B51 batch hopping windows."""
     qs = all_queries()
