@@ -267,3 +267,43 @@ def test_kmeans_ivf_survives_identical_embedding_mass(spark, tmp_path):
         # rank-1 tie-break inside an all-identical mass: lowest id wins
         expect = min(i for i in mass_ids if i != q)
         assert rs[0]["neighbor_id"] == expect
+
+
+def test_banded_ann_paths_survive_identical_embedding_mass(spark, tmp_path):
+    """r6 completeness: the SMJ-pair-join ANN paths (b35 sign-LSH,
+    b91 scaled-cells IVF) face the same identical-embedding mass as
+    b92 — the mass shares its bucket at any plane count, so the
+    in-bucket rerank legitimately goes quadratic in the mass. Unlike
+    the cogrouped kernel these paths stream mass x mass PAIRS through
+    a spilling SortMergeJoin (slow, never a single-task memory spike),
+    so the pin here is functional: both complete and every mass member
+    ranks a mass sibling (cos ~ 1.0, min-id tiebreak) at #1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = np.random.default_rng(2468)
+    mass_n = 300  # 300^2 = 90k in-bucket pairs at test scale
+    mass_vec = g.normal(size=_DIM).astype(np.float32)
+    base = g.normal(size=(40, _DIM)).astype(np.float32)
+    ids = list(range(1000, 1000 + mass_n)) + list(range(40))
+    vecs = [mass_vec.tolist()] * mass_n + [v.tolist() for v in base]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    mass_ids = set(range(1000, 1000 + mass_n))
+    for fn in (b35_ann_random_projection, b91_ann_ivf_scaled_cells):
+        by_q: dict = {}
+        for r in fn(spark, str(tmp_path)).collect():
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert mass_ids <= set(by_q), fn.__name__
+        for q in mass_ids:
+            rs = sorted(by_q[q], key=lambda r: r["rnk"])
+            assert rs[0]["neighbor_id"] == min(
+                i for i in mass_ids if i != q
+            ), (fn.__name__, q)
+            assert rs[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
