@@ -301,9 +301,30 @@ def test_banded_ann_paths_survive_identical_embedding_mass(spark, tmp_path):
         for r in fn(spark, str(tmp_path)).collect():
             by_q.setdefault(r["query_id"], []).append(r)
         assert mass_ids <= set(by_q), fn.__name__
+        label_cells = fn is b91_ann_ivf_scaled_cells
         for q in mass_ids:
             rs = sorted(by_q[q], key=lambda r: r["rnk"])
-            assert rs[0]["neighbor_id"] == min(
-                i for i in mass_ids if i != q
-            ), (fn.__name__, q)
+            if label_cells:
+                # b91 probes ONLY the query's label cell (the join is
+                # on label AND sub — similarity.py b91 docstring): the
+                # candidate set for a mass query is the same-label
+                # slice of the mass, so rank-1 at the min-id tiebreak
+                # is the min-id SAME-LABEL sibling, and every returned
+                # neighbor must share the query's label (labels here
+                # are (id - 1000) % 5 by construction).
+                expect = min(
+                    i
+                    for i in mass_ids
+                    if i != q and (i - 1000) % 5 == (q - 1000) % 5
+                )
+                assert all(
+                    (r["neighbor_id"] - 1000) % 5 == (q - 1000) % 5
+                    for r in rs
+                    if r["neighbor_id"] in mass_ids
+                ), (fn.__name__, q)
+            else:
+                # b35's signature has no label component: the whole
+                # mass shares one bucket, global min-id wins.
+                expect = min(i for i in mass_ids if i != q)
+            assert rs[0]["neighbor_id"] == expect, (fn.__name__, q)
             assert rs[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
