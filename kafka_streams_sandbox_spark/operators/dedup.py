@@ -749,6 +749,21 @@ def b96_lsh_embedding_neardup_scaled(  # probabilistic, geometry n-scaled
     (pinned by tests); they diverge only where the fixed config
     stops scaling. Verify joins are merge-pinned for the same
     array-over-static-BHJ reason as b39_lsh.
+
+    Output contract past _BUCKET_CAP (r7, ADVICE r6): a bucket larger
+    than the cap emits STAR pairs only (bucket-min -> member) — the
+    member<->member edges of the clique are deterministically absent,
+    exactly like b93's candidate stage. Pairs here are duplication
+    EVIDENCE, not the full similarity graph: a consumer that needs
+    whole-group membership must run connected components over the
+    emitted edges (b55's stage). For the homogeneous masses the guard
+    targets, every member stays reachable from the representative
+    (all star edges clear the cosine verify), so components are
+    unchanged and only redundant intra-clique edges are dropped; a
+    HETEROGENEOUS oversized bucket can lose member<->member edges
+    whose star legs fail the verify — the same bounded-recall
+    tradeoff guarded_band_index documents. Below the cap the clique
+    is complete and the b39_lsh fixture equality holds.
     """
     from kafka_streams_sandbox_spark.functions.vectors import dot
     from kafka_streams_sandbox_spark.operators.similarity import (
@@ -1558,12 +1573,14 @@ def b98_incremental_neardup(  # engine-specific (no DuckDB twin)
     corpus-wide pair structure.
 
     Guards: oversized CORPUS buckets (a boilerplate band key shared by
-    g >> _BUCKET_CAP standing docs) collapse to their min-id
-    representative before the join — each batch doc then verifies
-    against ONE representative of the boilerplate mass instead of
-    fanning out g ways (the incremental analog of the b27/b28 star
-    guard; a near-dup of the mass still scores >= 0.8 against the
-    representative). The batch x index join is a plain shuffled
+    g >> _BUCKET_CAP standing docs) collapse to their _REP_N min-id
+    representatives before the join — each batch doc then verifies
+    against a CONSTANT number of representatives of the boilerplate
+    mass instead of fanning out g ways (the incremental analog of the
+    b27/b28 star guard; a near-dup of a homogeneous mass scores
+    >= 0.8 against any rep, and heterogeneous buckets get N chances
+    instead of one — see guarded_band_index for the residual recall
+    caveat). The batch x index join is a plain shuffled
     equi-join on (band, key) — no mandatory broadcast (a batch is
     unbounded in general; AQE broadcasts when genuinely small), and
     the verify joins fetch shingle arrays as JOIN-OUTPUT ATTRIBUTES
@@ -1589,20 +1606,45 @@ def b98_incremental_neardup(  # engine-specific (no DuckDB twin)
     )
 
 
+_REP_N = 16  # representatives kept per oversized index bucket (r7)
+
+
 def guarded_band_index(corpus: DataFrame) -> DataFrame:
     """(doc_ref, band, key) standing band index over token-bearing
     corpus docs, with the oversized-bucket guard applied on the INDEX
-    side: whole buckets up to _BUCKET_CAP, only the min-id
-    representative past it (window sizing spills at any bucket size —
-    never a collect_list). In production this is a materialized table
-    maintained at ingest; a28 precomputes it ONCE outside the stream."""
+    side: whole buckets up to _BUCKET_CAP, the _REP_N min-id
+    representatives past it (window sizing/ranking spills at any
+    bucket size — never a collect_list). In production this is a
+    materialized table maintained at ingest; a28 precomputes it ONCE
+    outside the stream.
+
+    Why _REP_N representatives and not one (r7, VERDICT r6 Next #2):
+    a band collision needs only one matching 8-row minhash slice, so
+    an oversized bucket is not necessarily a homogeneous mass — a
+    shared-boilerplate band key over otherwise-different docs is the
+    same non-discriminative-key shape b76's block purge handles. With
+    a single min-id rep, a batch doc whose only true neighbor was a
+    dropped member scored < 0.8 against the rep and read "unique"
+    (the r6 recall edge — planted in
+    test_incremental_neardup_heterogeneous_oversized_bucket). _REP_N
+    min-id reps bound the per-bucket probe fan-out at a constant
+    while giving heterogeneous buckets N chances instead of one.
+
+    Residual recall caveat (documented contract, not silent): a true
+    neighbor that sits past the _REP_N smallest doc_ids of EVERY
+    bucket it shares with the batch doc is still invisible to the
+    verify; recall for such docs rests on b27's full-corpus pass (the
+    offline sweep), not the ingest check. Homogeneous masses are
+    unaffected — any rep of a near-identical mass still scores >= 0.8.
+    """
     index = _minhash_band_keys(corpus)
     wbk = Window.partitionBy("band", "key")
-    sized = index.withColumn("mn", F.min("doc_id").over(wbk)).withColumn(
-        "bsz", F.count(F.lit(1)).over(wbk)
-    )
+    word = Window.partitionBy("band", "key").orderBy("doc_id")
+    sized = index.withColumn(
+        "rep_rk", F.row_number().over(word)
+    ).withColumn("bsz", F.count(F.lit(1)).over(wbk))
     return sized.filter(
-        (F.col("bsz") <= _BUCKET_CAP) | (F.col("doc_id") == F.col("mn"))
+        (F.col("bsz") <= _BUCKET_CAP) | (F.col("rep_rk") <= _REP_N)
     ).select(F.col("doc_id").alias("doc_ref"), "band", "key")
 
 
@@ -1611,6 +1653,7 @@ def incremental_neardup_verdicts(
     batch_all_ids: DataFrame,
     corpus: DataFrame,
     index_guarded: DataFrame,
+    release_into: list | None = None,
 ) -> DataFrame:
     """b98's verdict core over explicit inputs, shared with the a28
     streaming twin (which calls it per micro-batch inside foreachBatch
@@ -1619,7 +1662,16 @@ def incremental_neardup_verdicts(
     in ``batch_all_ids`` gets a verdict row. A doc's verdict depends
     only on (its own text, the standing corpus) — never on other batch
     members — which is exactly what makes stream == batch regardless
-    of micro-batch boundaries."""
+    of micro-batch boundaries.
+
+    ``release_into`` (r7, ADVICE r6): the candidate table is lazily
+    DISK_ONLY-checkpointed below; a one-shot batch caller can leave
+    the blocks to session teardown, but a long-lived streaming caller
+    invoking this per micro-batch must release them or checkpoint
+    blocks accumulate for the stream's lifetime. Pass a list and the
+    checkpointed handle is appended for the caller to ``.unpersist()``
+    AFTER materializing the verdicts (unpersisting earlier would
+    recompute the banding the checkpoint exists to avoid)."""
     probe = _minhash_band_keys(batch)
     # candidates is referenced by THREE consumers (both id-set semi
     # filters and the verify join); without lineage truncation each
@@ -1636,6 +1688,8 @@ def incremental_neardup_verdicts(
         .distinct()  # a pair can collide in several bands
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    if release_into is not None:
+        release_into.append(candidates)
     # verify: shingle only candidate-participating docs, arrays as
     # join-output attributes through merge-pinned joins (b27's stage)
     new_ids = candidates.select(F.col("doc_new").alias("doc_id")).distinct()

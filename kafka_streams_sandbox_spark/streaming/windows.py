@@ -565,13 +565,27 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         b = bdf.filter(is_new)
+        # r7 (ADVICE r6): collect the per-batch checkpointed candidate
+        # handle and release it once the verdicts are written — a
+        # stream invokes this core per micro-batch for its lifetime,
+        # so leaked DISK_ONLY blocks would otherwise accumulate.
+        handles: list = []
         verdicts = incremental_neardup_verdicts(
             batch=b.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),
             batch_all_ids=b.select("doc_id"),
             corpus=corpus,
             index_guarded=index,
+            release_into=handles,
         )
-        verdicts.write.mode("append").parquet(out_dir)
+        # r7 (ADVICE r6): overwrite a batch_id-derived subpath instead
+        # of appending to the root — a RETRIED micro-batch replaces
+        # its own output rather than double-appending verdicts (the
+        # standard foreachBatch idempotency discipline).
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        for h in handles:
+            h.unpersist()
 
     try:
         q = (
@@ -586,7 +600,19 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         q.awaitTermination()
     finally:
         index.unpersist()
-    out = spark.read.parquet(out_dir)
+    # r7 (ADVICE r6): an all-filtered stream appends no part files and
+    # a bare read would throw schema inference errors — fall back to
+    # an empty verdict frame (the b68 every-doc-gets-a-row shape still
+    # holds per batch; zero batches => zero rows).
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select("doc_id", "match_id", "jaccard", "status")
+    except Exception:
+        out = spark.createDataFrame(
+            [],
+            "doc_id bigint, match_id bigint, jaccard double, status string",
+        )
     assert_stream_batch_duality(
         out,
         b98_incremental_neardup(spark, sf_dir),

@@ -709,3 +709,83 @@ def test_incremental_neardup_contracts(spark, tmp_path):
     assert out[38]["match_id"] == 7 and out[38]["jaccard"] == 1.0
     assert out[28]["status"] == "unique" and out[28]["match_id"] is None
     assert out[48]["status"] == "unique" and out[48]["match_id"] is None
+
+
+def test_incremental_neardup_heterogeneous_oversized_bucket(
+    spark, tmp_path, monkeypatch
+):
+    """b98's r6 recall edge, planted (VERDICT r6 Next #2): an
+    OVERSIZED index bucket need not be a homogeneous mass — a band
+    collision needs only one matching 8-row minhash slice, so a
+    non-discriminative key can co-bucket otherwise-unrelated docs.
+    White-box: the banding is monkeypatched to put every doc in ONE
+    bucket (the adversarial premise, planted directly rather than
+    reverse-engineering xxhash preimages) and _BUCKET_CAP shrunk so
+    the 7-doc corpus bucket is oversized.
+
+    Corpus docs 1..7 are mutually unrelated (disjoint vocab,
+    asserted j < 0.3); batch doc 98 is an EXACT copy of corpus doc 3,
+    batch doc 88 an exact copy of corpus doc 7.
+
+    * r6 semantics (_REP_N=1, min-id rep only): doc 98's only true
+      neighbor (3) is dropped from the index; it verifies against
+      rep 1 at j < 0.3 and WRONGLY reads "unique".
+    * r7 semantics (_REP_N=4 here): reps are the 4 min-id members
+      {1,2,3,4}; doc 98 finds 3 at jaccard 1.0. Doc 88's neighbor
+      (7) sits PAST the rep bound — still "unique": the documented
+      residual caveat (guarded_band_index docstring), pinned here so
+      the contract is explicit, not silent."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_sandbox_spark.operators import dedup
+
+    texts = {
+        i: " ".join(f"v{i}t{k:02d}" for k in range(40)) for i in range(1, 8)
+    }
+    rows = [(i, t) for i, t in texts.items()] + [
+        (98, texts[3]),
+        (88, texts[7]),
+    ]
+    for a in range(1, 8):
+        for b in range(a + 1, 8):
+            assert _jaccard(_char5(texts[a]), _char5(texts[b])) < 0.3
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["srcH"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    def flat_banding(docs):
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("int").alias("band"),
+            F.lit(0).cast("long").alias("key"),
+        )
+
+    monkeypatch.setattr(dedup, "_minhash_band_keys", flat_banding)
+    monkeypatch.setattr(dedup, "_BUCKET_CAP", 4)
+
+    def run():
+        return {
+            r["doc_id"]: r
+            for r in dedup.b98_incremental_neardup(
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    monkeypatch.setattr(dedup, "_REP_N", 1)  # r6: min-id rep only
+    r6 = run()
+    assert r6[98]["status"] == "unique"  # the edge: true match dropped
+    assert r6[88]["status"] == "unique"
+
+    monkeypatch.setattr(dedup, "_REP_N", 4)  # r7: bounded rep set
+    r7 = run()
+    assert r7[98]["status"] == "neardup_corpus"
+    assert r7[98]["match_id"] == 3 and r7[98]["jaccard"] == 1.0
+    # residual caveat: neighbor past the rep bound stays invisible
+    assert r7[88]["status"] == "unique" and r7[88]["match_id"] is None
