@@ -1489,9 +1489,24 @@ def span_removal_rewrite(docs: DataFrame) -> DataFrame:
             (
                 F.col("n_tokens") - F.coalesce(F.size("rm"), F.lit(0))
             ).cast("long").alias("kept_tokens"),
+            # r7 (VERDICT r6 Next #5): the rewrite is LINEAR per doc.
+            # The r6 form filtered tokens with array_contains(rm, i) —
+            # O(n_tokens x |rm|) inside one row, quadratic for a
+            # pathological fully-duplicated mega-doc (the planted
+            # hostile case: 2 x 200k tokens => 4e10 compares). Kept
+            # positions via array_except(sequence, rm) instead: Spark
+            # evaluates ArrayExcept over a hash set for primitive
+            # types and preserves first-array order, so this is
+            # O(n_tokens + |rm|) with identical output — no threshold
+            # branch, no second corpus scan, no extra shuffle (the
+            # posexplode + anti-join alternative named in r6 would
+            # have cost both).
             F.expr(
-                "concat_ws(' ', filter(coalesce(toks, array()), "
-                "(t, i) -> NOT array_contains(coalesce(rm, array()), i + 1)))"
+                "CASE WHEN size(coalesce(toks, array())) > 0 THEN "
+                "concat_ws(' ', transform("
+                "  array_except(sequence(1, size(toks)),"
+                "               coalesce(rm, array())),"
+                "  p -> element_at(toks, p))) ELSE '' END"
             ).alias("clean_text"),
         )
     )
@@ -1654,6 +1669,7 @@ def incremental_neardup_verdicts(
     corpus: DataFrame,
     index_guarded: DataFrame,
     release_into: list | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """b98's verdict core over explicit inputs, shared with the a28
     streaming twin (which calls it per micro-batch inside foreachBatch
@@ -1671,8 +1687,14 @@ def incremental_neardup_verdicts(
     blocks accumulate for the stream's lifetime. Pass a list and the
     checkpointed handle is appended for the caller to ``.unpersist()``
     AFTER materializing the verdicts (unpersisting earlier would
-    recompute the banding the checkpoint exists to avoid)."""
-    probe = _minhash_band_keys(batch)
+    recompute the banding the checkpoint exists to avoid).
+
+    ``probe`` (r7): optionally pass the batch's precomputed
+    ``_minhash_band_keys`` output — the self-seeding caller (b99/a29)
+    needs the same band keys again to build its index delta, and
+    banding the batch once is the point of passing it."""
+    if probe is None:
+        probe = _minhash_band_keys(batch)
     # candidates is referenced by THREE consumers (both id-set semi
     # filters and the verify join); without lineage truncation each
     # one re-runs BOTH banding passes (9 corpus scans / 29 exchanges
@@ -1730,3 +1752,151 @@ def incremental_neardup_verdicts(
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b99: SELF-SEEDING ingest near-dup — accepted docs join the standing
+# index, so batch N+1 near-dups against batch N (a26's first-wins
+# discipline applied to b98's band geometry)
+# ---------------------------------------------------------------------------
+
+
+def admit_index_delta(index: DataFrame, delta_bands: DataFrame) -> DataFrame:
+    """First-wins cap admission of newly-accepted docs' band keys into
+    the standing index: a (band, key) bucket admits members until it
+    holds _BUCKET_CAP entries; later arrivals are left unindexed for
+    that band (their OTHER bands still index them, and the bucket's
+    standing members already witness the boilerplate mass).
+
+    This is the INCREMENTAL form of guarded_band_index's bound and
+    deliberately not identical to it: the static guard re-elects
+    _REP_N min-id reps over a complete oversized bucket, while an
+    ingest index must never rewrite standing entries — first-arrived
+    membership is the only rule that needs no retroactive edits (the
+    same reason a26's exact dedup is first-wins). Both keep every
+    bucket <= _BUCKET_CAP, so probe fan-out stays constant either
+    way. Within one delta, arrival order ties break by doc_id
+    (row_number over the bucket — spills, never a collect)."""
+    counts = index.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    wd = Window.partitionBy("band", "key").orderBy("doc_id")
+    return (
+        delta_bands.withColumn("rk", F.row_number().over(wd))
+        .join(counts, ["band", "key"], "left")
+        .filter(F.col("rk") + F.coalesce(F.col("bsz"), F.lit(0)) <= _BUCKET_CAP)
+        .select(F.col("doc_id").alias("doc_ref"), "band", "key")
+    )
+
+
+def selfseed_ingest_round(
+    batch: DataFrame,
+    batch_all_ids: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    release_into: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest round of the self-seeding pipeline, shared verbatim
+    by b99 (batch iteration) and a29 (foreachBatch): verdict the batch
+    against the standing (corpus, index) with b98's core, then derive
+    the index delta — the band keys of ACCEPTED (unique) docs, cap-
+    admitted by admit_index_delta. Rejected near-dups never seed (the
+    keeper already stands — first-wins). Returns (verdicts, delta);
+    the caller materializes verdicts BEFORE the delta (the delta's
+    accepted-id set re-reads them, and both twins checkpoint/write
+    verdicts first so the verdict plan runs once)."""
+    probe = _minhash_band_keys(batch)
+    verdicts = incremental_neardup_verdicts(
+        batch=batch,
+        batch_all_ids=batch_all_ids,
+        corpus=corpus,
+        index_guarded=index,
+        release_into=release_into,
+        probe=probe,
+    )
+    return verdicts, probe
+
+
+def selfseed_delta_from_verdicts(
+    probe_bands: DataFrame, verdicts: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Index delta for one ingest round: accepted ids' band keys,
+    cap-admitted. Split from selfseed_ingest_round so callers derive
+    it from the MATERIALIZED verdicts (checkpointed frame or the
+    written parquet), not a second run of the verdict plan."""
+    accepted = verdicts.filter(F.col("status") == "unique").select("doc_id")
+    return admit_index_delta(
+        index, probe_bands.join(accepted, "doc_id", "left_semi")
+    )
+
+
+@query("b99_selfseed_neardup")  # rows-only: band geometry + order-
+def b99_selfseed_neardup(  # dependent ingest (no DuckDB twin)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-seeding ingest near-dup (r7, VERDICT r6 Next #3): b98
+    verdicts each batch against a FROZEN corpus, so two near-identical
+    docs arriving in different batches both read "unique". b99 closes
+    that production gap — accepted (unique) docs join the standing
+    band index and shingle corpus, so batch N+1 near-dups against
+    batch N. Deliberately ORDER-DEPENDENT (first-wins: the earlier
+    arrival is the keeper), registered alongside b98's static
+    contract, not instead of it.
+
+    Ingest decomposition is data-defined so batch and stream agree:
+    seq = doc_id % 10, the standing corpus is seq < 8, and seqs 8, 9
+    ingest in order — within a seq, verdicts see only strictly-earlier
+    seqs (b98's within-batch independence), which makes the result a
+    pure function of (corpus, seq assignment), not of engine batching.
+
+    Scale shape: per round the corpus side is touched exactly as in
+    b98 (index join + candidate-bounded shingle fetch); the index
+    grows by the ACCEPTED docs' bands only, cap-admitted first-wins
+    (admit_index_delta), and is never re-banded or re-elected. Per-
+    round verdicts are eagerly DISK_ONLY-checkpointed — narrow
+    batch-sized rows — so round N+1's lineage starts from materialized
+    state instead of re-running round N (and the accepted-id derivation
+    reads the checkpoint, not a second verdict run).
+
+    Reference parity: the stateful first-wins discipline is the
+    KTable upsert's (KStreamsToKTable.java:78-81) applied at ingest;
+    a26 is its exact-fingerprint form, b99 the band-geometry form.
+    Planted contract: a seq-9 near-copy of an ACCEPTED seq-8 doc is
+    flagged with that doc as its match (the cross-batch case b98
+    cannot see); a seq-9 copy of a REJECTED seq-8 doc matches the
+    doc's own standing keeper, proving rejected docs never seed.
+    """
+    from pyspark import StorageLevel
+
+    docs = documents_wide(spark, sf_dir)
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    corpus = tokened.filter((F.col("doc_id") % 10) < 8)
+    index = guarded_band_index(corpus)
+    rounds = []
+    for seq in (8, 9):
+        sel = (F.col("doc_id") % 10) == seq
+        batch = tokened.filter(sel)
+        verdicts, probe = selfseed_ingest_round(
+            batch=batch,
+            batch_all_ids=docs.filter(sel).select("doc_id"),
+            corpus=corpus,
+            index=index,
+        )
+        verdicts = verdicts.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        rounds.append(verdicts.withColumn("seq", (F.col("doc_id") % 10)))
+        accepted = verdicts.filter(F.col("status") == "unique").select(
+            "doc_id"
+        )
+        corpus = corpus.unionByName(batch.join(accepted, "doc_id", "left_semi"))
+        # delta checkpointed too: the grown index has multiple round-
+        # N+1 consumers (candidate join + admission counts), each of
+        # which would otherwise re-run this round's banding lineage
+        index = index.unionByName(
+            selfseed_delta_from_verdicts(probe, verdicts, index).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select("doc_id", "seq", "match_id", "jaccard", "status")

@@ -56,79 +56,72 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-6 ordering (VERDICT r5 Next #2): the 16 queries whose
-    # latest driver row is r3 lead — CORRECTNESS_r05 landed fresh rows
-    # on positions 1-50 exactly, so this round the r3 backlog goes
-    # first and the round closes with no registry row older than r4.
-    # All 16 pass the full local contract at two scale factors
-    # (VERIFY_LOCAL_r05{,_sf0001}.txt); none was touched in r6, so
-    # ordering them ahead of round-6 work is safe: the new/changed
-    # block follows immediately and the combined set (16 + 5 new + 4
-    # changed = 25) fits the ~50-query window with room for rotation.
-    # --- r3 rows: streaming a-layer ---
-    "a01_stream_passthrough",
-    "a02_stream_table_latest",
-    "a03_stream_peek",
-    "a04_stream_filtered_table",
-    "a11_avro_value_serde",
-    "a19_stream_tumbling_window",
-    "a20_stream_session_window",
-    "a26_stream_incremental_dedup",
-    "a27_stream_sliding_window",
-    # --- r3 rows: batch ---
-    "b36_multimodal_metadata",
-    "b50_salted_agg",
-    "b73_retention_cohorts",
-    "b79_stopword_prune",
-    "b80_context_length_cdf",
-    "b84_salted_join",
-    "b85_novel_bigram_ratio",
-    # --- NEW in round 6 (no driver row exists yet) ---
-    "b95_fuzzy_match_minhash_blocked",  # minhash-band blocked fuzzy ER
-                                        # (b76's corpus-appropriate key)
-    "b96_lsh_embedding_neardup_scaled", # n-scaled + star-guarded twin
-                                        # of b39_lsh
-    "b97_span_removal_rewrite",         # keep-first exact-substring
-                                        # corpus rewrite (oracle-backed)
-    "b98_incremental_neardup",          # ingest-time near-dup vs the
-                                        # standing corpus band index
-    "a28_stream_incremental_neardup",   # b98's streaming twin
-                                        # (foreachBatch + static index)
-    # --- changed in round 6 (code touched; rows must refresh) ---
-    "b93_semantic_dedup",          # oversized-bucket star guard in the
-                                   # candidate stage (VERDICT r5 #1)
-    "b92_ann_ivf_kmeans",          # sub-bucketed oversized cells +
-                                   # broadcast destroy (VERDICT r5 #3)
-    "b27_minhash_lsh_dedup",       # collapse now gated on corpus row
-                                   # count; direct path at fixture SFs
-    "b28_simhash_dedup",           # shares _minhash_band_keys refactor
-                                   # context (no semantic change)
-    # --- rotation filler: oldest remaining rows (r4) so the window,
-    # if it reaches here, refreshes them in age order ---
-    "b17_latest_per_user",
-    "b18_table_filter_key_eq_value",
-    "b19_tumbling_window_agg",
-    "b20_sessionization",
-    "b21_exact_dedup",
-    "b23_text_stats",
-    "b24_dedup_across_sources",
-    "b15_scalar_functions",
-    "b26_ngram_jaccard_pairs",
-    "b29_language_id",
-    "b30_quality_score",
-    "b31_token_count",
-    "b32_fingerprint",
-    "b33_cosine_topk",
-    "b34_ann_ivf_label",
-    "b39_embedding_neardup",
-    "b39_lsh_embedding_neardup",
-    "b44_cosine_topk_arrow",
-    "b48_hybrid_search",
-    "b51_sliding_window_agg",
-    "b53_rolling_hash",
-    "b54_merge_upsert",
-    "b55_dedup_clusters",
-    "b60_canonical_assignment",
+    # --- round-7 ordering (VERDICT r6 Next #4): NEW queries first,
+    # then queries whose code changed this round, then the 18 queries
+    # whose latest driver row is r4 — round 7's new work is small, so
+    # the combined head (2 new + 3 changed + 18 r4 rows = 23) fits the
+    # ~50-query window with room for r5-row rotation, and the round
+    # closes with no registry row older than r5.
+    # --- NEW in round 7 (no driver row exists yet) ---
+    "b99_selfseed_neardup",            # self-seeding ingest near-dup:
+                                       # accepted docs join the index
+    "a29_stream_selfseed_neardup",     # b99's streaming twin (parquet-
+                                       # backed growing state)
+    # --- changed in round 7 (code touched; rows must refresh) ---
+    "b98_incremental_neardup",         # guarded_band_index now keeps
+                                       # _REP_N reps per oversized bucket
+    "a28_stream_incremental_neardup",  # idempotent per-batch subpaths +
+                                       # checkpoint release + read guard
+    "b96_lsh_embedding_neardup_scaled",  # docstring-only (star-pair
+                                         # contract); cheap to refresh
+    # --- r4 rows: the 18 oldest (VERDICT r6 Next #4 list) ---
+    "a08_stream_tombstone_store",
+    "a09_app_interactive_query",
+    "a10_topic_ddl",
+    "a21_stream_running_stats",
+    "a22_stream_static_join",
+    "a23_stream_stream_join",
+    "a24_stream_dedup_watermark",
+    "a25_stream_quality_gate",
+    "b40_asof_join",
+    "b41_pivot_event_counts",
+    "b71_corpus_curation",
+    "b75_table_profile",
+    "b78_keep_best_in_cluster",
+    "b81_lang_centroid_outliers",
+    "b82_context_packing",
+    "b83_pii_mask",
+    "b86_phash_neardup",
+    "b87_duplicated_spans",
+    # --- rotation filler: oldest remaining rows (r5) in age order, so
+    # the window's tail refreshes them ---
+    "b01_scan_filter_project",
+    "b02_tpch_q1_agg",
+    "b03_join_orders_customer",
+    "b04_multiway_join_agg",
+    "b05_broadcast_join_agg",
+    "b06_left_outer_join",
+    "b07_left_semi_join",
+    "b08_left_anti_join",
+    "b09_window_functions",
+    "b10_topk_per_group",
+    "b11_global_sort_limit",
+    "b12_distinct_count",
+    "b13_set_operations",
+    "b14_rollup_agg",
+    "b16_json_extract",
+    "b35_ann_random_projection",
+    "b38_frame_sample",
+    "b42_above_avg_customers",
+    "b43_grouping_sets",
+    "b45_sketch_aggregates",
+    "b46_range_join_bands",
+    "b49_audio_features",
+    "b52_unpivot_measures",
+    "b56_exact_percentiles",
+    "b57_train_holdout_split",
+    "b58_tfidf_top_terms",
+    "b59_funnel_conversion",
 )
 
 

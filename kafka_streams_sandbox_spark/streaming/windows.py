@@ -622,6 +622,129 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+@query("a29_stream_selfseed_neardup")  # rows-only: streaming sink
+def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b99's SELF-SEEDING ingest near-dup as a live stream (r7): each
+    micro-batch verdicts against the standing (corpus, index) state,
+    then its ACCEPTED docs' band keys and texts are appended to that
+    state — so a later micro-batch near-dups against an earlier one,
+    the production story a28's frozen-index form cannot tell. a26 is
+    the exact-fingerprint twin of this discipline; a29 the
+    band-geometry form.
+
+    State is parquet-backed the A8 way (the materialized standing
+    index b98's docstring promises): the corpus index is seeded ONCE
+    before the stream, and each micro-batch OVERWRITES batch_id-
+    derived subpaths for its verdicts, index delta, and accepted
+    texts — retries replace their own output instead of double-
+    appending (a28's idempotency discipline), and the per-batch index
+    delta is incremental (admit_index_delta over the accepted docs'
+    bands only — the corpus is never re-banded).
+
+    Ingest decomposition: the arriving docs are staged as one file
+    per seq (seq = doc_id % 10 in {8, 9}, mtime-ordered) and read
+    with maxFilesPerTrigger=1, so micro-batch N IS seq N — the same
+    data-defined decomposition b99 iterates. The in-query duality
+    assert then certifies stream == batch b99 bit-identically
+    (shared round core, same expression lineage)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b99_selfseed_neardup,
+        guarded_band_index,
+        selfseed_delta_from_verdicts,
+        selfseed_ingest_round,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    docs = documents_wide(spark, sf_dir)
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    corpus = tokened.filter((F.col("doc_id") % 10) < 8)
+    corpus_text = corpus.select("doc_id", "text")
+
+    # stage one file per seq, mtime-ordered so the file source
+    # replays seq 8 then seq 9 (maxFilesPerTrigger=1 => one seq per
+    # micro-batch — the decomposition the verdicts are defined over)
+    src_dir = tempfile.mkdtemp(prefix="kss-a29-src-")
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    for seq in (8, 9):
+        stage = tempfile.mkdtemp(prefix=f"kss-a29-w{seq}-")
+        docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        dst = f"{src_dir}/seq-{seq:02d}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
+
+    index_dir = tempfile.mkdtemp(prefix="kss-a29-index-")
+    accepted_dir = tempfile.mkdtemp(prefix="kss-a29-acc-")
+    out_dir = tempfile.mkdtemp(prefix="kss-a29-out-")
+    guarded_band_index(corpus).write.parquet(f"{index_dir}/seed")
+
+    def _read_state(path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.option("recursiveFileLookup", "true").parquet(
+                path
+            )
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        index = _read_state(index_dir, "doc_ref bigint, band int, key bigint")
+        standing = corpus_text.unionByName(
+            _read_state(accepted_dir, "doc_id bigint, text string")
+        )
+        handles: list = []
+        verdicts, probe = selfseed_ingest_round(
+            batch=bdf.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),
+            batch_all_ids=bdf.select("doc_id"),
+            corpus=standing,
+            index=index,
+            release_into=handles,
+        )
+        vpath = f"{out_dir}/batch_id={batch_id}"
+        verdicts.write.mode("overwrite").parquet(vpath)
+        # state deltas derive from the WRITTEN verdicts — one verdict
+        # run per batch, and a retry regenerates identical subpaths
+        written = spark.read.parquet(vpath)
+        selfseed_delta_from_verdicts(probe, written, index).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+        accepted = written.filter(F.col("status") == "unique").select("doc_id")
+        bdf.join(accepted, "doc_id", "left_semi").select(
+            "doc_id", "text"
+        ).write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={batch_id}")
+        for h in handles:
+            h.unpersist()
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _read_state(
+        out_dir, "doc_id bigint, match_id bigint, jaccard double, status string"
+    ).withColumn("seq", (F.col("doc_id") % 10))
+    assert_stream_batch_duality(
+        out,
+        b99_selfseed_neardup(spark, sf_dir),
+        ["doc_id", "seq", "match_id", "jaccard", "status"],
+        "a29_stream_selfseed_neardup",
+    )
+    return out.select("doc_id", "seq", "match_id", "jaccard", "status")
+
+
 def sliding_window_stream(
     events: DataFrame,
     size: str = "10 minutes",

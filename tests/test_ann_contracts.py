@@ -789,3 +789,79 @@ def test_incremental_neardup_heterogeneous_oversized_bucket(
     assert r7[98]["match_id"] == 3 and r7[98]["jaccard"] == 1.0
     # residual caveat: neighbor past the rep bound stays invisible
     assert r7[88]["status"] == "unique" and r7[88]["match_id"] is None
+
+
+def test_selfseed_neardup_cross_batch_contract(spark, tmp_path):
+    """b99 (r7): accepted docs must seed the index for later batches;
+    rejected ones must not.
+
+    * corpus doc 7 holds base text B; seq-8 doc 18 is a one-token
+      mutation of B -> REJECTED (match 7); seq-8 doc 28 is fresh text
+      Y -> ACCEPTED.
+    * seq-9 doc 19 mutates Y: b99 must flag it with match 28 — the
+      CROSS-BATCH case (b98, run on the same dir, reads it "unique":
+      its frozen corpus cannot see doc 28 — asserted here as the gap
+      b99 exists to close).
+    * seq-9 doc 29 mutates B: its match must be the STANDING keeper 7,
+      not the rejected 18 — rejected docs never seed.
+    * seq-9 doc 49 is empty -> unique with NULL match (every ingested
+      doc gets a verdict row).
+    Precision: every emitted jaccard re-derived in pure Python."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+        b99_selfseed_neardup,
+    )
+
+    rng = random.Random(9199)
+    base = " ".join(rng.choice(_VOCAB) for _ in range(80))
+    fresh = " ".join(rng.choice(_VOCAB) for _ in range(80))
+    others = {
+        i: " ".join(rng.choice(_VOCAB) for _ in range(80)) for i in (1, 2, 3)
+    }
+
+    def mutate(text: str, pos: int) -> str:
+        toks = text.split()
+        toks[pos] = "zzzzz"
+        return " ".join(toks)
+
+    rows = (
+        [(i, t) for i, t in others.items()]
+        + [(7, base)]
+        + [(18, mutate(base, 37)), (28, fresh), (8, others[1] + " tail8x")]
+        + [(19, mutate(fresh, 23)), (29, mutate(base, 51)), (49, "")]
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["srcS"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    texts = dict(rows)
+
+    out = {
+        r["doc_id"]: r
+        for r in b99_selfseed_neardup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {18, 28, 8, 19, 29, 49}
+    for d, r in out.items():
+        assert r["seq"] == d % 10
+        if r["match_id"] is not None:
+            truth = _jaccard(_char5(texts[d]), _char5(texts[r["match_id"]]))
+            assert abs(r["jaccard"] - truth) < 1e-12, (d, r)
+            assert r["jaccard"] >= 0.8 and r["status"] == "neardup_corpus"
+    assert out[18]["match_id"] == 7  # in-corpus match, rejected
+    assert out[28]["status"] == "unique"  # accepted -> seeds the index
+    assert out[19]["match_id"] == 28  # CROSS-BATCH: seq 9 sees seq 8
+    assert out[29]["match_id"] == 7  # rejected 18 never seeded
+    assert out[49]["status"] == "unique" and out[49]["match_id"] is None
+
+    # the contrast b99 exists for: b98's frozen corpus cannot see 28
+    b98 = {
+        r["doc_id"]: r
+        for r in b98_incremental_neardup(spark, str(tmp_path)).collect()
+    }
+    assert b98[19]["status"] == "unique"
