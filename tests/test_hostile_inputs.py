@@ -187,3 +187,44 @@ def test_incremental_neardup_on_hostile_docs(spark, hostile_dir):
     assert set(out) == {d[0] for d in _DOCS if d[0] % 10 >= 8}
     for d, r in out.items():
         assert r["status"] == "unique" and r["match_id"] is None, (d, r)
+
+
+def test_span_removal_rewrite_mega_doc_linear(spark, tmp_path):
+    """b97 (r7, VERDICT r6 Next #5): the rewrite must be LINEAR per
+    doc. Planted hostile case: two identical 200k-token docs — every
+    span is duplicated, so the non-keeper's removal set is its ENTIRE
+    position range. The r6 in-row array_contains filter was
+    O(n_tokens x |rm|) = 4e10 compares here (minutes+); the
+    array_except form is O(n_tokens + |rm|) and must finish promptly
+    with the exact keep-first semantics: keeper text intact,
+    non-keeper fully stripped."""
+    import time
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b97_span_removal_rewrite,
+    )
+
+    n = 200_000
+    mega = " ".join(f"t{i % 997}x" for i in range(n))
+    rows = [(1, mega), (2, mega)]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["srcM"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    t0 = time.time()
+    out = {
+        r["doc_id"]: r
+        for r in b97_span_removal_rewrite(spark, str(tmp_path)).collect()
+    }
+    elapsed = time.time() - t0
+    assert out[1]["removed_tokens"] == 0 and out[1]["clean_text"] == mega
+    assert out[2]["removed_tokens"] == n and out[2]["clean_text"] == ""
+    assert out[1]["n_tokens"] == out[2]["n_tokens"] == n
+    # linearity pin: the quadratic form needs minutes-to-hours here
+    assert elapsed < 120, f"rewrite took {elapsed:.0f}s — not linear"
