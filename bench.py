@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     # round-6: ingest-time near-dup vs the standing band index
     # (rows-only -- Spark-timed row, shared membership untouched)
     "b98_incremental_neardup",
+    # round-7: self-seeding ingest near-dup and the full curation
+    # capstone (both rows-only -- Spark-timed rows, shared membership
+    # untouched)
+    "b99_selfseed_neardup",
+    "b100_curation_capstone",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -487,6 +487,46 @@ def _minhash_lsh(
         )
     else:
         docs = all_docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    near = minhash_verified_pairs(docs)
+    if not collapse:
+        # direct path: every doc banded itself, so each emitted pair
+        # stands for exactly one underlying doc pair
+        return near.withColumn("pair_weight", F.lit(1).cast("long"))
+    # pair_weight = |group_a| x |group_b| underlying doc pairs. Only
+    # groups with gsz > 1 need a join (a tiny, AQE-broadcastable
+    # slice); singleton reps coalesce to 1.
+    multi = groups.filter(F.col("gsz") > 1).select("rep", "gsz")
+    weighted = (
+        near.join(
+            multi.select(F.col("rep").alias("doc_a"), F.col("gsz").alias("_ga")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            multi.select(F.col("rep").alias("doc_b"), F.col("gsz").alias("_gb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.coalesce(F.col("_ga"), F.lit(1)) * F.coalesce(F.col("_gb"), F.lit(1)))
+            .cast("long")
+            .alias("pair_weight"),
+        )
+    )
+    return weighted.unionByName(stars)
+
+
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """b27's banding + verify core over an arbitrary token-bearing
+    (doc_id, text, ...) relation: (doc_a < doc_b, jaccard >= 0.8)
+    exact-verified near-dup pairs. Extracted in r7 so the curation
+    capstone (b100) can run the near-dup stage over its mid-funnel
+    survivor set; ``_minhash_lsh`` consumes it unchanged, so b27's
+    hash-stable results are untouched (pure refactor — every
+    expression below is byte-identical to the r6 body)."""
     bands = _minhash_band_keys(docs)
     # bucket sizing via a WINDOW (spills at any bucket size — the b55
     # lesson: a collect_list agg-buffer row holding a 10M-member
@@ -549,38 +589,9 @@ def _minhash_lsh(
     verified = sh_cand.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     ).join(half.hint("merge"), "doc_b")
-    near = verified.select(
+    return verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
-    if not collapse:
-        # direct path: every doc banded itself, so each emitted pair
-        # stands for exactly one underlying doc pair
-        return near.withColumn("pair_weight", F.lit(1).cast("long"))
-    # pair_weight = |group_a| x |group_b| underlying doc pairs. Only
-    # groups with gsz > 1 need a join (a tiny, AQE-broadcastable
-    # slice); singleton reps coalesce to 1.
-    multi = groups.filter(F.col("gsz") > 1).select("rep", "gsz")
-    weighted = (
-        near.join(
-            multi.select(F.col("rep").alias("doc_a"), F.col("gsz").alias("_ga")),
-            "doc_a",
-            "left",
-        )
-        .join(
-            multi.select(F.col("rep").alias("doc_b"), F.col("gsz").alias("_gb")),
-            "doc_b",
-            "left",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "jaccard",
-            (F.coalesce(F.col("_ga"), F.lit(1)) * F.coalesce(F.col("_gb"), F.lit(1)))
-            .cast("long")
-            .alias("pair_weight"),
-        )
-    )
-    return weighted.unionByName(stars)
 
 
 # ---------------------------------------------------------------------------

@@ -1597,3 +1597,175 @@ def b77_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B100: curation capstone v2 — the funnel with the two hardest-won
+# stages composed in (near-dup canonicalization + span rewrite)
+# ---------------------------------------------------------------------------
+
+
+@query("b100_curation_capstone")  # rows-only: the near-dup stage is
+def b100_curation_capstone(  # banding-based (b27's engine-specific label)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full LLM-curation funnel (r7, VERDICT r6 Next #6): b71
+    chains quality -> exact dedup -> mixture -> split but never
+    exercises the near-dup family or the span rewrite — the two
+    capabilities a real pretraining pipeline runs between gate and
+    mixture. b100 composes them, each stage applying the SAME rule its
+    standalone operator certifies:
+
+      raw -> quality (b69 gates) -> dedup_exact (b24 fingerprint,
+      min-id keeper) -> dedup_near (b27 banded+verified pairs over the
+      survivors -> b55 min-label components -> b60 canonical min-id
+      keeper) -> rewrite (b97 span removal over the deduped corpus,
+      then RE-GATE kept_tokens >= the b69 floor — the Lee et al. 2022
+      order: dedup, rewrite, re-filter) -> mixture (b67 tiers) ->
+      train/holdout (b57 buckets).
+
+    Output is the attrition report with BOTH currencies: n_docs and
+    n_tokens per stage (token counts switch to post-rewrite
+    kept_tokens from the rewrite stage on — the rewrite drops ~no docs
+    but real token mass, and a doc-count-only funnel hides it).
+
+    Scale shape: every stage is the standalone operator's plan —
+    banding (never all-pairs), star-guarded buckets, spilling
+    window-min keepers, posting-list rewrite — composed through
+    NARROW id/decision tables. The per-doc decision frame and the two
+    id sets that gate later stages are lazily DISK_ONLY-checkpointed:
+    each is referenced by 2-3 downstream consumers, and without
+    truncation every consumer re-runs the corpus-wide tokenize+score
+    lineage (the b27-four-consumer lesson). Wide columns (token
+    arrays) never cross these joins — the rewrite re-derives them
+    scan-side exactly as b97 does.
+
+    Correctness: rows-only at the driver (banding has no SQL twin);
+    the planted contract test re-derives the full funnel in pure
+    Python (every stage rule, including the rewrite's keep-first
+    interval union) on a corpus that exercises each drop reason.
+    """
+    from pyspark import StorageLevel
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        minhash_verified_pairs,
+        span_removal_rewrite,
+    )
+    from kafka_streams_sandbox_spark.operators.extended import (
+        min_label_components,
+    )
+
+    docs = documents_wide(spark, sf_dir)
+    trig = docs.select(
+        "doc_id", "source", F.expr(TOKENS_EXPR).alias("toks")
+    ).withColumn("tg", F.expr(TRIGRAMS_EXPR))
+    q_pass = (F.col("n_tokens") >= _B69_MIN_TOKENS) & (
+        F.col("repetition_ratio") <= _B69_MAX_REPETITION
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    # narrow per-doc decision frame: ~70 bytes/row, three consumers
+    base = (
+        trig.select(
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+            ).alias("fingerprint"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("tg")).cast("double")
+                / F.size("tg")
+            ).alias("repetition_ratio"),
+        )
+        .withColumn("q_pass", q_pass)
+        .withColumn(
+            "keep_id",
+            F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w_fp),
+        )
+        .withColumn(
+            "ex_keep", F.col("q_pass") & (F.col("doc_id") == F.col("keep_id"))
+        )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    ex_ids = base.filter(F.col("ex_keep")).select("doc_id")
+    # near-dup canonicalization over the exact-dedup survivors only
+    pairs = minhash_verified_pairs(
+        docs.join(ex_ids, "doc_id", "left_semi").filter(
+            F.expr(f"size({TOKENS_EXPR}) > 0")
+        )
+    ).select("doc_a", "doc_b")
+    labels, _rounds = min_label_components(pairs)
+    near_drop = (
+        labels.filter(F.col("label") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("near_dropped", F.lit(True))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    rw_ids = ex_ids.join(near_drop.select("doc_id"), "doc_id", "left_anti")
+    # b97's rewrite over the DEDUPED corpus: duplicated spans are
+    # re-elected among survivors (a span whose only other occurrence
+    # was in a dropped duplicate is no longer "duplicated" — the
+    # pipeline-order semantics Lee et al. prescribe)
+    rewritten = span_removal_rewrite(
+        docs.join(rw_ids, "doc_id", "left_semi").select("doc_id", "text")
+    ).select("doc_id", "kept_tokens")
+    tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    final = (
+        base.join(near_drop, "doc_id", "left")
+        .join(rewritten, "doc_id", "left")
+        .withColumn(
+            "near_keep",
+            F.col("ex_keep") & ~F.coalesce("near_dropped", F.lit(False)),
+        )
+        .withColumn(
+            "rw_pass",
+            F.col("near_keep")
+            & (F.coalesce("kept_tokens", F.lit(0)) >= _B69_MIN_TOKENS),
+        )
+        .withColumn(
+            "tier", F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4
+        )
+        .join(F.broadcast(tiers), "tier", "left")
+        .withColumn(
+            "mix_keep",
+            F.col("rw_pass")
+            & F.coalesce(
+                ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000),
+                F.lit(False),
+            ),
+        )
+        .withColumn("is_train", F.col("mix_keep") & (bucket < _SPLIT_BUCKETS_TRAIN))
+    )
+    kept = F.coalesce("kept_tokens", F.lit(0)).cast("long")
+    pre = F.col("n_tokens").cast("long")
+    stages = (
+        ("raw", F.lit(True), pre),
+        ("quality", F.col("q_pass"), pre),
+        ("dedup_exact", F.col("ex_keep"), pre),
+        ("dedup_near", F.col("near_keep"), pre),
+        ("rewrite", F.col("rw_pass"), kept),
+        ("mixture", F.col("mix_keep"), kept),
+        ("train", F.col("is_train"), kept),
+        ("holdout", F.col("mix_keep") & ~F.col("is_train"), kept),
+    )
+    one = final.agg(
+        *[
+            a
+            for stage, cond, tok in stages
+            for a in (
+                F.sum(cond.cast("int")).cast("bigint").alias(f"{stage}_d"),
+                F.sum(F.when(cond, tok)).cast("bigint").alias(f"{stage}_t"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{stage}', {stage}_d, coalesce({stage}_t, 0)"
+        for stage, _, _ in stages
+    )
+    return one.select(
+        F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
+    )

@@ -67,11 +67,19 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # accepted docs join the index
     "a29_stream_selfseed_neardup",     # b99's streaming twin (parquet-
                                        # backed growing state)
+    "b100_curation_capstone",          # composed funnel: quality ->
+                                       # exact -> near-dup -> rewrite ->
+                                       # mixture -> split
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket
     "a28_stream_incremental_neardup",  # idempotent per-batch subpaths +
                                        # checkpoint release + read guard
+    "b97_span_removal_rewrite",        # linear array_except rewrite
+                                       # (was per-token array_contains)
+    "b27_minhash_lsh_dedup",           # banding+verify core extracted to
+                                       # minhash_verified_pairs (pure
+                                       # refactor; results hash-stable)
     "b96_lsh_embedding_neardup_scaled",  # docstring-only (star-pair
                                          # contract); cheap to refresh
     # --- r4 rows: the 18 oldest (VERDICT r6 Next #4 list) ---

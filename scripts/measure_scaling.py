@@ -89,6 +89,10 @@ QUERIES = (
     # b98: per-ingest cost must stay O(batch + index join) as the
     # standing corpus grows 100x
     "b98_incremental_neardup",
+    # round-7: the self-seeding ingest form (two cap-admitted rounds)
+    # and the composed curation capstone funnel
+    "b99_selfseed_neardup",
+    "b100_curation_capstone",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))

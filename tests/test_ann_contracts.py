@@ -865,3 +865,111 @@ def test_selfseed_neardup_cross_batch_contract(spark, tmp_path):
         for r in b98_incremental_neardup(spark, str(tmp_path)).collect()
     }
     assert b98[19]["status"] == "unique"
+
+
+def test_curation_capstone_funnel_contract(spark, tmp_path):
+    """b100 (r7): the composed funnel must equal a pure-Python
+    re-derivation of every stage rule on a corpus that exercises each
+    drop reason — quality (doc 1, 8 tokens), exact dup (doc 3 = copy
+    of 2), near dup (doc 5 = one-token mutation of 4, j ~ 0.95),
+    rewrite re-gate (doc 9 shares a 20-token passage with the larger
+    keeper 8 and keeps only 5 tokens), span attrition without a doc
+    drop (doc 7 shares a 12-token passage with keeper 6, keeps 30).
+    All sources are tier 0 (mixture keeps every survivor), so the
+    mixture stage isolates nothing here — its rule is b67/b71's,
+    already oracle-certified — while train/holdout re-derive the md5
+    bucket split."""
+    import hashlib
+
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B69_MIN_TOKENS,
+        _SPLIT_BUCKETS_TRAIN,
+        b100_curation_capstone,
+    )
+
+    rng = random.Random(100100)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**6):06d}" for _ in range(n)]
+
+    P = words(12, "p")  # shared passage docs 6/7
+    R = words(20, "r")  # shared passage docs 8/9
+    t2 = words(40, "a")
+    t4 = words(40, "b")
+    t5 = list(t4)
+    t5[20] = "zzzzz"  # near-dup mutation
+    texts = {
+        1: " ".join(words(8, "s")),          # quality fail
+        2: " ".join(t2),
+        3: " ".join(t2),                      # exact dup of 2
+        4: " ".join(t4),
+        5: " ".join(t5),                      # near dup of 4
+        6: " ".join(P + words(30, "u")),      # span keeper
+        7: " ".join(P + words(30, "v")),      # loses P, survives
+        8: " ".join(R + words(30, "w")),      # span keeper
+        9: " ".join(R + words(5, "x")),       # loses R, re-gate drop
+        10: " ".join(words(40, "y")),         # clean survivor
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array(
+                [len(texts[i]) for i in sorted(texts)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    # ---- pure-Python twin of every stage rule ----
+    ntok = {i: len(t.split()) for i, t in texts.items()}
+    quality = {i for i in texts if ntok[i] >= _B69_MIN_TOKENS}  # all
+    assert quality == set(texts) - {1}  # trigram repetition is 0 here
+    ex = quality - {3}  # 3's sorted-distinct-token fingerprint == 2's
+    near = ex - {5}  # the only verified pair among ex survivors
+    # b97 rule over the near-SURVIVOR corpus: an 8-token window seen in
+    # >= 2 docs elects keeper min(doc_id); other docs remove the
+    # window's positions (interval union)
+    toks = {i: texts[i].split() for i in near}
+    span_at = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - 7):
+            span_at.setdefault(tuple(ts[p : p + 8]), []).append((i, p))
+    removed = {i: set() for i in near}
+    for occ in span_at.values():
+        docs_in = {i for i, _ in occ}
+        if len(docs_in) >= 2:
+            keeper = min(docs_in)
+            for i, p in occ:
+                if i != keeper:
+                    removed[i].update(range(p, p + 8))
+    kept = {i: ntok[i] - len(removed[i]) for i in near}
+    assert kept[7] == 30 and kept[9] == 5  # planted span attrition
+    rw = {i for i in near if kept[i] >= _B69_MIN_TOKENS}
+    assert rw == near - {9}
+    mix = rw  # tier 0, w = 1.0: (id * 16807) % 1000 < 1000 always
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+
+    train = {i for i in mix if bucket(i) < _SPLIT_BUCKETS_TRAIN}
+    expect = {
+        "raw": (len(texts), sum(ntok.values())),
+        "quality": (len(quality), sum(ntok[i] for i in quality)),
+        "dedup_exact": (len(ex), sum(ntok[i] for i in ex)),
+        "dedup_near": (len(near), sum(ntok[i] for i in near)),
+        "rewrite": (len(rw), sum(kept[i] for i in rw)),
+        "mixture": (len(mix), sum(kept[i] for i in mix)),
+        "train": (len(train), sum(kept[i] for i in train)),
+        "holdout": (
+            len(mix - train),
+            sum(kept[i] for i in mix - train),
+        ),
+    }
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in b100_curation_capstone(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
