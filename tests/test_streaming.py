@@ -1016,3 +1016,89 @@ def test_concurrent_reader_at_cadence_sees_only_consistent_snapshots(
     assert len(snapshots) >= 3
     for snap in snapshots:  # no torn/partial state ever surfaced
         assert snap in valid_states, snap
+
+
+def test_stream_incremental_neardup_multi_batch_cadence(spark, tmp_path):
+    """r7 (VERDICT r6 Next #7): a28's duality claim is that micro-batch
+    boundaries CANNOT change verdicts — so exercise real boundaries.
+    The arriving docs are staged as 3 mtime-ordered files read with
+    maxFilesPerTrigger=1 (>= 3 live micro-batches, the r5 cadence
+    discipline), each batch runs the shared verdict core against the
+    same frozen index with the a28 production details (per-batch
+    subpath overwrite, checkpoint release), and the unioned verdicts
+    must equal b98's single-batch run bit-for-bit."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b98_incremental_neardup,
+        guarded_band_index,
+        incremental_neardup_verdicts,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    sf = "/root/testdata/sf0.001"
+    docs = documents_wide(spark, sf)
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    is_new = (F.col("doc_id") % 10) >= 8
+    corpus = tokened.filter(~is_new)
+    index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
+    index.count()
+    src_dir = tempfile.mkdtemp(prefix="kss-a28cad-src-")
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    for part in range(3):
+        stage = tempfile.mkdtemp(prefix=f"kss-a28cad-w{part}-")
+        docs.filter(is_new & ((F.col("doc_id") % 3) == part)).select(
+            *cols
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src_dir}/part-{part:02d}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        import os
+
+        os.utime(dst, (1_000_000_000 + part, 1_000_000_000 + part))
+    out_dir = tempfile.mkdtemp(prefix="kss-a28cad-out-")
+    batch_ids: list[int] = []
+
+    def ingest(bdf, batch_id):
+        batch_ids.append(batch_id)
+        handles: list = []
+        verdicts = incremental_neardup_verdicts(
+            batch=bdf.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),
+            batch_all_ids=bdf.select("doc_id"),
+            corpus=corpus,
+            index_guarded=index,
+            release_into=handles,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        for h in handles:
+            h.unpersist()
+
+    try:
+        q = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        index.unpersist()
+    assert len(batch_ids) >= 3, batch_ids
+    out = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    stream = {tuple(r) for r in out.collect()}
+    batch = {tuple(r) for r in b98_incremental_neardup(spark, sf).collect()}
+    assert stream == batch and stream
