@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     # untouched)
     "b99_selfseed_neardup",
     "b100_curation_capstone",
+    # round-7: maximal-run exact-substring rewrite (oracle-backed --
+    # joins the shared-ratio membership like b97)
+    "b101_exact_substring_runs",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -70,6 +70,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b100_curation_capstone",          # composed funnel: quality ->
                                        # exact -> near-dup -> rewrite ->
                                        # mixture -> split
+    "b101_exact_substring_runs",       # maximal-run exact-substring
+                                       # rewrite (oracle-backed)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

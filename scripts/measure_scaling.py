@@ -93,6 +93,7 @@ QUERIES = (
     # and the composed curation capstone funnel
     "b99_selfseed_neardup",
     "b100_curation_capstone",
+    "b101_exact_substring_runs",
 )
 if os.environ.get("KSS_SCALE_QUERIES"):
     QUERIES = tuple(os.environ["KSS_SCALE_QUERIES"].split(","))

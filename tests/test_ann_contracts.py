@@ -973,3 +973,67 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
         for r in b100_curation_capstone(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_exact_substring_run_vs_window_semantics(spark, tmp_path):
+    """b101 vs b97 (r7): the planted case where maximal-run keeper
+    election and per-window keeper election DIVERGE. Docs 2 and 3
+    share a full 16-token run R (plus unique tails); doc 4 contains
+    only R's first 8 tokens inside its own context.
+
+    * b97 (window-granular): every duplicated window elects keeper
+      min(doc) = 2, so doc 3 loses R AND doc 4 loses its embedded
+      8-token slice — the doc-4 removal is the chimera: doc 4 never
+      duplicated anything at run granularity.
+    * b101 (run-granular): doc 3's maximal run is byte-identical to
+      keeper 2's -> removed; doc 4's maximal run (just the 8-token
+      slice) has unique content among maximal runs -> KEPT.
+    Both engines' totals re-derived from the planted geometry."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b97_span_removal_rewrite,
+        b101_exact_substring_runs,
+    )
+
+    rng = random.Random(101101)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**6):06d}" for _ in range(n)]
+
+    R = words(16, "r")
+    texts = {
+        2: " ".join(R + words(20, "a")),
+        3: " ".join(R + words(20, "b")),
+        4: " ".join(R[:8] + words(20, "c")),
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["srcR"] * 3, pa.string()),
+            "n_chars": pa.array(
+                [len(texts[i]) for i in sorted(texts)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    runs = {
+        r["doc_id"]: r
+        for r in b101_exact_substring_runs(spark, str(tmp_path)).collect()
+    }
+    wins = {
+        r["doc_id"]: r
+        for r in b97_span_removal_rewrite(spark, str(tmp_path)).collect()
+    }
+    # shared behavior: keeper doc 2 intact, doc 3 loses the whole run
+    for out in (runs, wins):
+        assert out[2]["removed_tokens"] == 0
+        assert out[2]["clean_text"] == texts[2]
+        assert out[3]["removed_tokens"] == 16
+        assert out[3]["clean_text"] == " ".join(texts[3].split()[16:])
+    # THE divergence: doc 4's embedded slice
+    assert wins[4]["removed_tokens"] == 8  # window-granular chimera
+    assert wins[4]["clean_text"] == " ".join(texts[4].split()[8:])
+    assert runs[4]["removed_tokens"] == 0  # run content is unique
+    assert runs[4]["clean_text"] == texts[4]

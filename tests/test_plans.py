@@ -427,3 +427,18 @@ def test_minhash_blocked_fuzzy_match_no_forced_broadcast(
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
     assert not has_operator(df, "CartesianProduct"), plan_string(df)
     assert not uses_row_python_udf(df), plan_string(df)
+
+
+def test_exact_substring_runs_plan_shape(queries, spark, sf_dir):
+    """b101 (r7): same posting-list discipline as b87/b97 — no
+    mandatory broadcast anywhere (the dup set, run set, and removal
+    set are all unbounded), no row-Python, no nested-loop/cartesian
+    fallback, and exactly one spilling per-doc Window (the
+    gaps-and-islands run chaining)."""
+    df = queries["b101_exact_substring_runs"](spark, sf_dir)
+    plan = plan_string(df)
+    assert broadcast_hint_count(df) == 0, plan
+    assert not uses_row_python_udf(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count(") Window") == 2, plan  # run chaining + keeper election
