@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     # round-7: maximal-run exact-substring rewrite (oracle-backed --
     # joins the shared-ratio membership like b97)
     "b101_exact_substring_runs",
+    # round-7: Gopher repetition-rule suite (oracle-backed, joins the
+    # shared-ratio membership; the DuckDB twin is per-row list math
+    # over ~60-token docs -- well inside budget)
+    "b102_gopher_repetition",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -336,3 +336,206 @@ def b53_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(fold).alias("rolling_hash"),
         F.length("text").cast("bigint").alias("n_chars_m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B102: Gopher-style repetition rules (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+# The two repetition families the Gopher/MassiveText pipeline filters
+# on, restated over word n-grams (this corpus has no line structure,
+# so the line-level rules are vacuous here):
+#   top-n-gram fraction  (n=2,3): tokens covered by the single most
+#       frequent n-gram as a fraction of all tokens — catches
+#       "buy now buy now buy now" spam;
+#   dup-n-gram coverage  (n=5,10): fraction of token POSITIONS covered
+#       by any n-gram occurring >= 2x within the doc — catches long
+#       boilerplate blocks repeated inside one page. Positions are
+#       counted once however many duplicated grams cover them
+#       (interval-union semantics, the same discipline as b87/b97).
+# Gopher measures characters; token positions are the same signal with
+# an engine-exact oracle (single integer division per metric). The
+# thresholds are Gopher's published ones.
+#
+# Scale shape: b63's per-row HOF form would be QUADRATIC per row for a
+# degenerate doc (count-of-each-distinct-gram is a nested loop — the
+# exact trap b97's r7 rewrite removed), so this is a posting-list
+# plan instead: explode (doc, n, gram, pos), one uniform-hash count
+# per (doc, n, gram), coverage via the duplicated grams' position
+# union. Every shuffle key is (doc_id, n[, gram|pos]) — uniform by
+# construction; the collect_list of positions is bounded by a single
+# document's own token count (the row is smaller than the doc text).
+_B102_TOP = ((2, 0.20), (3, 0.18))  # (n, max top-n-gram fraction)
+_B102_DUP = ((5, 0.15), (10, 0.10))  # (n, max dup-n-gram coverage)
+
+
+def _duck_grams(n: int) -> str:
+    if n == 2:
+        body = "toks[i] || ' ' || toks[i+1]"
+    else:
+        body = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> {body}) "
+        "ELSE [] END"
+    )
+
+
+def _duck_top_frac(n: int) -> str:
+    return f"""CASE WHEN len(g{n}) > 0 THEN
+        CAST(list_max(list_transform(list_distinct(g{n}),
+                 x -> len(list_filter(g{n}, y -> y = x)))) * {n} AS DOUBLE)
+            / n_tokens
+        ELSE 0.0 END"""
+
+
+def _duck_dup_cov(n: int) -> str:
+    return f"""CASE WHEN len(g{n}) > 0 THEN
+        CAST(len(list_distinct(flatten(list_transform(
+                 range(1, len(g{n}) + 1),
+                 i -> CASE WHEN len(list_filter(g{n}, y -> y = g{n}[i])) >= 2
+                      THEN range(i, i + {n}) ELSE [] END)))) AS DOUBLE)
+            / n_tokens
+        ELSE 0.0 END"""
+
+
+B102_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               COALESCE(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x != ''), []) AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               {_duck_grams(2)} AS g2, {_duck_grams(3)} AS g3,
+               {_duck_grams(5)} AS g5, {_duck_grams(10)} AS g10
+        FROM t
+    ), m AS (
+        SELECT doc_id, n_tokens,
+               {_duck_top_frac(2)} AS top2_frac,
+               {_duck_top_frac(3)} AS top3_frac,
+               {_duck_dup_cov(5)} AS dup5_cov,
+               {_duck_dup_cov(10)} AS dup10_cov
+        FROM g
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           top2_frac, top3_frac, dup5_cov, dup10_cov,
+           (top2_frac <= {_B102_TOP[0][1]} AND top3_frac <= {_B102_TOP[1][1]}
+            AND dup5_cov <= {_B102_DUP[0][1]}
+            AND dup10_cov <= {_B102_DUP[1][1]}) AS passes_repetition
+    FROM m
+"""
+
+
+@query("b102_gopher_repetition", oracle=B102_ORACLE)
+def b102_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule suite: per-doc top-{2,3}-gram token
+    fraction and duplicated-{5,10}-gram position coverage, plus the
+    combined pass/fail verdict at Gopher's published thresholds.
+
+    Posting-list plan (see module comment): per-row nested-loop gram
+    counting is quadratic for a degenerate mega-doc, so grams explode
+    to (doc_id, n, gram, pos) rows and everything downstream is
+    uniform-hash aggregation — the same 100 TB discipline as
+    b87/b97. Empty/NULL/whitespace docs produce all-zero metrics and
+    pass (nothing to repeat); they re-enter via the left join from the
+    per-doc base, so the output is exactly one row per input doc.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"coalesce({TOKENS_EXPR}, array())").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+
+    posting = None
+    for n, _ in (*_B102_TOP, *_B102_DUP):
+        pg = f"""CASE WHEN size(toks) >= {n}
+            THEN transform(sequence(1, size(toks) - {n - 1}),
+                 i -> named_struct('pos', i,
+                                   'gram', concat_ws(' ', slice(toks, i, {n}))))
+            ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END"""
+        part = toks.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(n).alias("n"),
+            F.explode(F.expr(pg)).alias("pg"),
+        )
+        posting = part if posting is None else posting.unionByName(part)
+    posting = posting.select(
+        "doc_id",
+        "n_tokens",
+        "n",
+        F.col("pg.pos").alias("pos"),
+        F.col("pg.gram").alias("gram"),
+    )
+
+    counts = posting.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("n_tokens").alias("n_tokens"),
+        # bounded: positions of ONE gram inside ONE doc — never larger
+        # than the doc itself (contrast the unbounded cross-corpus
+        # collect_list b28 OOMed on)
+        F.collect_list("pos").alias("positions"),
+    )
+
+    top = counts.groupBy("doc_id", "n").agg(
+        F.max("cnt").alias("max_cnt"), F.first("n_tokens").alias("n_tokens")
+    )
+    n_cov = (
+        counts.filter(F.col("cnt") >= 2)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr("flatten(transform(positions, p -> sequence(p, p + n - 1)))")
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    metrics = top.join(n_cov, ["doc_id", "n"], "left").select(
+        "doc_id",
+        "n",
+        (
+            (F.col("max_cnt") * F.col("n")).cast("double") / F.col("n_tokens")
+        ).alias("top_frac"),
+        (
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_cov"),
+    )
+    wide = metrics.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(
+                f"top{n}_frac"
+            )
+            for n, _ in _B102_TOP
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_cov"))).alias(
+                f"dup{n}_cov"
+            )
+            for n, _ in _B102_DUP
+        ],
+    )
+    base = toks.select("doc_id", "n_tokens")
+    out = base.join(wide, "doc_id", "left")
+    m = {
+        c: F.coalesce(F.col(c), F.lit(0.0))
+        for c in ("top2_frac", "top3_frac", "dup5_cov", "dup10_cov")
+    }
+    passes = (
+        (m["top2_frac"] <= _B102_TOP[0][1])
+        & (m["top3_frac"] <= _B102_TOP[1][1])
+        & (m["dup5_cov"] <= _B102_DUP[0][1])
+        & (m["dup10_cov"] <= _B102_DUP[1][1])
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        m["top2_frac"].alias("top2_frac"),
+        m["top3_frac"].alias("top3_frac"),
+        m["dup5_cov"].alias("dup5_cov"),
+        m["dup10_cov"].alias("dup10_cov"),
+        passes.alias("passes_repetition"),
+    )

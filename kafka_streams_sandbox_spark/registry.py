@@ -72,6 +72,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # mixture -> split
     "b101_exact_substring_runs",       # maximal-run exact-substring
                                        # rewrite (oracle-backed)
+    "b102_gopher_repetition",          # Gopher repetition-rule suite
+                                       # (oracle-backed)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

@@ -74,6 +74,7 @@ _QUERIES = [
     text.b31_token_count,
     text.b32_fingerprint,
     text.b53_rolling_hash,
+    text.b102_gopher_repetition,  # r7: empty posting -> left-join zeros
     dedup.b21_exact_dedup,
     dedup.b24_dedup_across_sources,
     dedup.b26_ngram_jaccard_pairs,

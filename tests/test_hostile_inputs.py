@@ -64,6 +64,7 @@ def hostile_dir(tmp_path_factory) -> str:
         text.b31_token_count,
         text.b32_fingerprint,
         text.b53_rolling_hash,
+        text.b102_gopher_repetition,
     ],
     ids=lambda f: f.__name__,
 )

@@ -91,3 +91,86 @@ def test_fingerprint_is_token_order_insensitive(spark, tmp_path):
         assert rows[i] == (expected, 3), i
     assert rows[4][0] != expected
     assert rows[4][1] == 4
+
+
+def _py_gopher_metrics(text):
+    """Pure-Python third implementation of b102's metric definitions."""
+    from collections import Counter
+
+    toks = text.split() if text else []
+    n_tokens = len(toks)
+
+    def grams(n):
+        if n_tokens < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(n_tokens - n + 1)]
+
+    def top_frac(n):
+        g = grams(n)
+        return max(Counter(g).values()) * n / n_tokens if g else 0.0
+
+    def dup_cov(n):
+        g = grams(n)
+        if not g:
+            return 0.0
+        c = Counter(g)
+        covered = set()
+        for i, gr in enumerate(g):
+            if c[gr] >= 2:
+                covered.update(range(i, i + n))
+        return len(covered) / n_tokens
+
+    m = {
+        "n_tokens": n_tokens,
+        "top2_frac": top_frac(2),
+        "top3_frac": top_frac(3),
+        "dup5_cov": dup_cov(5),
+        "dup10_cov": dup_cov(10),
+    }
+    m["passes_repetition"] = (
+        m["top2_frac"] <= 0.20
+        and m["top3_frac"] <= 0.18
+        and m["dup5_cov"] <= 0.15
+        and m["dup10_cov"] <= 0.10
+    )
+    return m
+
+
+def test_gopher_repetition_matches_python_twin(spark, tmp_path):
+    """b102's posting-list plan must agree metric-for-metric (exact
+    float equality — every metric is one integer division in both
+    implementations) with the obvious pure-Python Counter form, on
+    docs spanning every rule: a top-2-gram spam loop, a long repeated
+    block inside otherwise-unique filler (dup10 fires, top2 doesn't),
+    a clean passing doc, and the degenerate short/empty docs."""
+    from kafka_streams_sandbox_spark.operators.text import b102_gopher_repetition
+
+    filler = " ".join(f"tok{i}" for i in range(40))
+    block = " ".join(f"rep{i}" for i in range(12))
+    texts = [
+        "buy now " * 30,  # top2 ~1.0: fails the 0.20 rule
+        f"{filler} {block} middle {block} tail",  # dup10 fires only
+        # clean doc needs realistic length: with T all-unique tokens
+        # top3_frac = 3/T, so anything under 17 tokens fails the 0.18
+        # rule by construction (the rules target page-length docs)
+        " ".join(f"clean{i}" for i in range(40)),
+        "word",
+        "",
+        "a b a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    sf_dir = _docs_dir(tmp_path, texts)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in b102_gopher_repetition(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        want = _py_gopher_metrics(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    assert not got[0]["passes_repetition"]  # spam loop rejected
+    assert not got[1]["passes_repetition"]  # repeated block rejected
+    assert got[1]["top2_frac"] <= 0.20  # ...but only via the dup rule
+    assert got[1]["dup10_cov"] > 0.10
+    assert got[2]["passes_repetition"]  # clean doc passes
+    assert got[3]["passes_repetition"] and got[4]["passes_repetition"]
