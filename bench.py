@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     # shared-ratio membership; the DuckDB twin is per-row list math
     # over ~60-token docs -- well inside budget)
     "b102_gopher_repetition",
+    # round-7: temperature-scaled source mixture (oracle-backed)
+    "b103_temperature_mixture",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -1769,3 +1769,98 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     return one.select(
         F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
     )
+
+
+# ---------------------------------------------------------------------------
+# B103: temperature-scaled source mixture (alpha = 0.5 rebalancing)
+# ---------------------------------------------------------------------------
+# The multilingual/domain rebalancing op (exponent-smoothed sampling,
+# XLM-R style): per-source quota proportional to n_source^alpha with
+# alpha = 0.5, so head sources are downsampled hard and tail sources
+# barely at all — b67 reweights by a CONFIGURED per-tier rate; this
+# derives the rate from the DATA. quota = min(n, ceil(sqrt(n) * C)):
+# no cross-source normalization sum, so every float step (sqrt is
+# correctly-rounded IEEE, *3 is exact, ceil is exact) is engine-
+# deterministic and the oracle hash holds — a sum-normalized weight
+# would differ in the last ulp between engines' summation orders.
+# quota = ceil(sqrt(n_source) * 3): binds on the driver fixtures
+# (25-doc sources keep 15) and still flattens hard at scale
+_B103_SCALE = 3
+
+B103_ORACLE = f"""
+    WITH q AS (
+        SELECT source, COUNT(*) AS n_source,
+               LEAST(COUNT(*), CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))
+                                         * {_B103_SCALE}) AS BIGINT)) AS quota
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 48271) % 2147483647, doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id,
+           CAST(q.n_source AS BIGINT) AS n_source, q.quota,
+           CAST(r.rnk AS BIGINT) AS sample_rank
+    FROM r JOIN q USING (source)
+    WHERE r.rnk <= q.quota
+"""
+
+
+@query("b103_temperature_mixture", oracle=B103_ORACLE)
+def b103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture: keep the ceil(sqrt(n_source) * 3)
+    lowest-Lehmer-hashed docs per source (b64's pure-function-of-id
+    pick, so the subsample is reproducible and append-stable).
+
+    Scale shape: the quota is data-dependent, and a naive
+    rank <= quota_column filter cannot fuse into WindowGroupLimit —
+    the window would buffer and sort EVERY row of the largest source
+    in one task. So the plan is staged: (1) the per-source quota table
+    (one row per source — a bounded driver collect, the k-row idiom
+    b92's seeds use) yields the LITERAL max quota; (2) the rank filter
+    against that literal fuses into WindowGroupLimit, bounding every
+    task's window state to max_quota rows per source (~8*sqrt(n), not
+    n); (3) the exact per-source quota then applies via a broadcast
+    join. At 100 TB the head source never materializes as one sorted
+    partition — the heap cap is the whole point.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+    quotas = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    ).select(
+        "source",
+        "n_source",
+        F.least(
+            F.col("n_source"),
+            F.ceil(F.sqrt(F.col("n_source").cast("double")) * _B103_SCALE).cast(
+                "bigint"
+            ),
+        ).alias("quota"),
+    )
+    # bounded collect: one row per source (the corpus has a handful;
+    # even a real crawl has ~1e5 domains — driver-safe either way)
+    max_quota = max(
+        (r["quota"] for r in quotas.collect()), default=1
+    )
+    h = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        # literal cap -> WindowGroupLimit (plan-pinned); the exact
+        # data-dependent quota applies right after via broadcast
+        .filter(F.col("sample_rank") <= F.lit(int(max_quota)))
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(
+            "source",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_source").cast("bigint").alias("n_source"),
+            "quota",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )

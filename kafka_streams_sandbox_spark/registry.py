@@ -74,6 +74,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # rewrite (oracle-backed)
     "b102_gopher_repetition",          # Gopher repetition-rule suite
                                        # (oracle-backed)
+    "b103_temperature_mixture",        # alpha=0.5 source rebalancing
+                                       # (oracle-backed)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

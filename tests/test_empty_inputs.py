@@ -22,6 +22,7 @@ from kafka_streams_sandbox_spark.operators.extended import (
     b51_sliding_window_agg,
     b90_time_grid_fill,
 )
+from kafka_streams_sandbox_spark.operators.pipeline import b103_temperature_mixture
 from kafka_streams_sandbox_spark.operators.packing import (
     b88_shard_shuffle,
     b89_shard_write_manifest,
@@ -107,6 +108,7 @@ _QUERIES = [
     b88_shard_shuffle,
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union
+    b103_temperature_mixture,  # r7: zero sources -> default cap, empty out
 ]
 
 

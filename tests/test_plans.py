@@ -175,6 +175,17 @@ def test_stratified_sample_uses_window_group_limit(queries, spark, sf_dir):
     assert count_shuffles(df) == 1, plan_string(df)
 
 
+def test_temperature_mixture_uses_window_group_limit(queries, spark, sf_dir):
+    """b103's data-dependent quota must still fuse its rank filter
+    into WindowGroupLimit via the literal max-quota cap — without it
+    the head source's whole partition buffers and sorts in one task —
+    and the quota table must join as a broadcast."""
+    df = queries["b103_temperature_mixture"](spark, sf_dir)
+    plan = plan_string(df)
+    assert has_operator(df, "WindowGroupLimit"), plan
+    assert has_operator(df, "BroadcastHashJoin"), plan
+
+
 def test_embedding_quantize_is_map_only(queries, spark, sf_dir):
     """b65 int8 quantization is a pure columnar rewrite — zero
     Exchanges, zero Python; the scale/codes projections must survive

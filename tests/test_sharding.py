@@ -281,3 +281,57 @@ def test_b97_plan_never_pairwise(spark, sf_dir):
     plan = plan_string(df)
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert not uses_row_python_udf(df), plan
+
+
+def test_temperature_mixture_flattens_skew(spark, tmp_path):
+    """b103 on a skewed corpus: the head source's keep-rate must drop
+    far below the tail's (that IS temperature flattening), quotas must
+    equal the pure-Python ceil(sqrt(n)*3) form, and the kept docs must
+    be exactly the quota lowest-Lehmer-hashed ids per source."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b103_temperature_mixture,
+    )
+
+    sizes = {"head": 400, "mid": 16, "tail": 4}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i} text", "en", src, 10))
+            i += 1
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    out = b103_temperature_mixture(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    ids_by_src = {}
+    start = 0
+    for src, n in sizes.items():
+        ids_by_src[src] = list(range(start, start + n))
+        start += n
+    for src, n in sizes.items():
+        want_quota = min(n, math.ceil(math.sqrt(n) * 3))
+        got = by_src[src]
+        assert all(r["quota"] == want_quota for r in got), (src, got[0])
+        assert len(got) == want_quota, (src, len(got), want_quota)
+        want_ids = sorted(
+            ids_by_src[src], key=lambda d: ((d * 48271) % 2147483647, d)
+        )[:want_quota]
+        assert sorted(r["doc_id"] for r in got) == sorted(want_ids), src
+    keep_rate = {s: len(by_src[s]) / n for s, n in sizes.items()}
+    assert keep_rate["head"] < 0.2 < keep_rate["mid"] < keep_rate["tail"] == 1.0
