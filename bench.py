@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "b102_gopher_repetition",
     # round-7: temperature-scaled source mixture (oracle-backed)
     "b103_temperature_mixture",
+    # round-7: PQ ANN (rows-only -- learned codebooks; Spark-timed row,
+    # shared membership untouched)
+    "b104_pq_ann",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

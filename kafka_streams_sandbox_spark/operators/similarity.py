@@ -703,3 +703,173 @@ def b91_ann_ivf_scaled_cells(  # probabilistic (xxhash planes, no DuckDB twin)
             F.col("rnk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B104: product-quantization ANN (PQ codes + asymmetric-distance search)
+# ---------------------------------------------------------------------------
+# Jegou et al. 2011 ("Product quantization for nearest neighbor
+# search"), the FAISS storage/deployment discipline: the IVF family
+# above PRUNES candidates; PQ COMPRESSES them. The 64-double vector
+# (512 B) becomes _PQ_M 8-bit codes (8 B, 64x), and search never touches raw
+# vectors — each query's inner product against every corpus vector is
+# approximated by M table lookups into its precomputed per-subspace
+# distance table (ADC). At 100 TB that is the difference between
+# scanning the embedding column and scanning a 64x-smaller code
+# column; production systems compose IVF (b92) x PQ — this operator
+# keeps the flat-scan form so the compression lever is measured in
+# isolation.
+_PQ_M = 8  # subspaces (64 dims -> 8 dims each)
+_PQ_K = 256  # codewords per subspace (8-bit codes, the FAISS default)
+_PQ_TRAIN = 2048  # bounded codebook training sample (FAISS practice)
+_PQ_ITERS = 5
+_PQ_TOPK = 10
+_PQ_QCHUNK = 512  # query rows per in-kernel block (b92's chunk lever)
+
+
+@query("b104_pq_ann")  # rows-only: learned codebooks + float sums
+def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: 8-bit product-quantize the unit-normalized corpus, then
+    answer every 10th vector's top-10 by asymmetric distance (exact
+    query subvectors x quantized corpus), never reading raw vectors in
+    the scan phase.
+
+    Build: codebooks train on a BOUNDED hash-chosen sample (<=2048
+    rows collected — the k-row driver idiom b92's seeds use; FAISS
+    trains exactly this way) with a deterministic driver Lloyd per
+    subspace (seeds = first k_eff sample rows, argmin ties to the
+    lowest codeword, empty cells keep their seed). The codebook
+    broadcast is M x K x 8 doubles (128 KB at K=256). 4-bit codes
+    (K=16) were measured first: recall@10-of-true-top-1 0.44 on this
+    near-random corpus vs 0.96 at 8 bits — the standard PQ
+    resolution/recall tradeoff, resolved the FAISS-default way.
+
+    Encode: one Arrow mapInPandas pass; each batch is an (n x K)
+    distance matrix per subspace — vectorized, no per-row Python. The
+    code column is array<int> here (driver-comparable plumbing); a
+    production sink would pack it to 8 bytes/vector binary.
+
+    Search (ADC): the query matrix (every 10th vector) broadcasts once
+    as per-query IP tables (nq x M x K doubles — b44's
+    broadcast-variable discipline); the kernel streams queries in
+    _PQ_QCHUNK blocks so the per-task transient is chunk x batch
+    doubles (~40 MB at the 100x corpus), emitting each block's
+    per-partition top-(k+1). The only shuffle is that bounded
+    candidate set (partitions x nq x (k+1) rows) into the global
+    rank<=k WindowGroupLimit — the same merge shape as b33, with the
+    n x nq sim matrix never materialized and the corpus pass reading
+    ONLY codes.
+
+    Rows-only at the driver: codebooks are learned and sims are float
+    sums — but tests pin a planted exact-duplicate contract (identical
+    vectors get identical codes, so the copy is rank 1 by the id
+    tiebreak) and a measured recall floor vs the exact b33 ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, neighbor_id long, approx_cos double, rnk bigint"
+    sub = DIM // _PQ_M
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
+    )
+    sample = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_PQ_TRAIN)
+        .select("ue")
+        .collect()
+    )  # bounded: <= _PQ_TRAIN rows
+    if not sample:
+        return spark.createDataFrame([], out_schema)
+    train = np.array([r["ue"] for r in sample], dtype=np.float64)
+    k_eff = min(_PQ_K, len(train))
+    books = np.zeros((_PQ_M, k_eff, sub), dtype=np.float64)
+    for m in range(_PQ_M):
+        pts = train[:, m * sub : (m + 1) * sub]
+        cb = pts[:k_eff].copy()
+        for _ in range(_PQ_ITERS):
+            d = ((pts[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)  # ties -> lowest codeword: deterministic
+            sums = np.zeros_like(cb)
+            np.add.at(sums, a, pts)
+            cnt = np.bincount(a, minlength=k_eff).astype(np.float64)
+            nz = cnt > 0  # empty cells keep their seed
+            cb[nz] = sums[nz] / cnt[nz, None]
+        books[m] = cb
+
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        bk = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["ue"]), dtype=np.float64)
+            codes = np.empty((len(mat), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                s = mat[:, m * sub : (m + 1) * sub]
+                d = (
+                    (s * s).sum(1)[:, None]
+                    - 2.0 * (s @ bk[m].T)
+                    + (bk[m] * bk[m]).sum(1)[None, :]
+                )
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = v.mapInPandas(encode, "vec_id long, codes array<int>")
+
+    qrows = (
+        v.filter(F.col("vec_id") % 10 == 0).select("vec_id", "ue").collect()
+    )  # the b33/b44 query-batch discipline: the query side is the
+    # broadcast-bounded side by construction
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
+    # per-query IP tables: tab[q, m, j] = <q_m, codeword_j^m>
+    tabs = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), _PQ_M, sub), books)
+    bc_q = spark.sparkContext.broadcast((qids, tabs))
+
+    def adc_search(batches):
+        ids_all, tab_all = bc_q.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, M)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            keep = min(_PQ_TOPK + 1, n)  # +1 absorbs the self-match
+            for lo in range(0, len(ids_all), _PQ_QCHUNK):
+                qid = ids_all[lo : lo + _PQ_QCHUNK]
+                tab = tab_all[lo : lo + _PQ_QCHUNK]
+                sims = np.zeros((len(qid), n), dtype=np.float64)
+                for m in range(_PQ_M):
+                    sims += tab[:, m, :][:, codes[:, m]]
+                part = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+                rows = len(qid) * keep
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid, keep),
+                        "neighbor_id": vids[part].reshape(rows),
+                        "approx_cos": np.take_along_axis(
+                            sims, part, axis=1
+                        ).reshape(rows),
+                    }
+                )
+
+    cand = codes_df.mapInPandas(
+        adc_search, "query_id long, neighbor_id long, approx_cos double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "approx_cos", F.col("rnk").cast("bigint"))
+    )

@@ -76,6 +76,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (oracle-backed)
     "b103_temperature_mixture",        # alpha=0.5 source rebalancing
                                        # (oracle-backed)
+    "b104_pq_ann",                     # 8-bit product-quantization ANN
+                                       # (rows-only + planted contracts)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

@@ -1037,3 +1037,98 @@ def test_exact_substring_run_vs_window_semantics(spark, tmp_path):
     assert wins[4]["clean_text"] == " ".join(texts[4].split()[8:])
     assert runs[4]["removed_tokens"] == 0  # run content is unique
     assert runs[4]["clean_text"] == texts[4]
+
+
+# ---------------------------------------------------------------------------
+# b104 PQ ANN (product quantization + ADC)
+# ---------------------------------------------------------------------------
+def test_pq_ann_exact_copy_is_rank_one(spark, tmp_path):
+    """An exact duplicate gets identical PQ codes, so ADC gives it the
+    query's own reconstruction score — rank 1 in both directions (the
+    copy id 120 is itself a query via the %10 rule). This is the
+    deterministic contract that stands in for the float-sum oracle a
+    learned quantizer can't have."""
+    from kafka_streams_sandbox_spark.operators.similarity import b104_pq_ann
+
+    g = np.random.default_rng(11)
+    base = g.normal(size=(50, 64)).astype(np.float32)
+    ids = list(range(50)) + [120]
+    vecs = [v.tolist() for v in base] + [base[0].tolist()]  # 120 == 0
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    out = b104_pq_ann(spark, str(tmp_path)).collect()
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rnk"] == 1}
+    assert rank1[0] == 120
+    assert rank1[120] == 0
+
+
+def test_pq_ann_recall_floor_on_driver_corpus(spark):
+    """Measured recall floor at sf0.01 (deterministic: hash-chosen
+    training sample, fixed Lloyd, argmin tiebreaks): 8-bit PQ top-10
+    must keep >= 0.85 of exact top-1 and >= 0.70 of exact top-3
+    (measured 0.96 / 0.86; slack for BLAS build differences)."""
+    from kafka_streams_sandbox_spark.operators.similarity import b104_pq_ann
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    emb = np.array(list(t["embedding"]), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    ue = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qmask = ids % 10 == 0
+    sims = ue[qmask] @ ue.T
+
+    got: dict[int, set[int]] = {}
+    for r in b104_pq_ann(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rec1 = rec3 = n = 0.0
+    for qi, qid in enumerate(ids[qmask]):
+        s = sims[qi].copy()
+        s[ids == qid] = -9.0
+        order = ids[np.argsort(-s)]
+        pq10 = got.get(qid, set())
+        rec1 += order[0] in pq10
+        rec3 += len(set(order[:3]) & pq10) / 3
+        n += 1
+    assert rec1 / n >= 0.85, rec1 / n
+    assert rec3 / n >= 0.70, rec3 / n
+
+
+def test_pq_ann_survives_hostile_vectors(spark, tmp_path):
+    """Degenerate rows (zero/NULL/short/NaN/Inf vectors) must be
+    excluded from codebook training, encoding, and the query batch —
+    no phantom neighbors, no NaN scores (b104's own column names keep
+    it out of the shared hostile sweep)."""
+    from kafka_streams_sandbox_spark.operators.similarity import b104_pq_ann
+
+    g = np.random.default_rng(99)
+    clean = g.normal(size=(30, 64)).astype(np.float32)
+    ids = list(range(30)) + [100, 101, 102, 103, 104]
+    vecs = [v.tolist() for v in clean] + [
+        [0.0] * 64,
+        None,
+        [1.0] * 8,
+        [float("nan")] + [1.0] * 63,
+        [float("inf")] + [1.0] * 63,
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = b104_pq_ann(spark, str(tmp_path)).collect()
+    assert rows
+    hostile = {100, 101, 102, 103, 104}
+    for r in rows:
+        assert r["query_id"] not in hostile, r
+        assert r["neighbor_id"] not in hostile, r
+        assert r["approx_cos"] is not None and np.isfinite(r["approx_cos"]), r

@@ -92,6 +92,7 @@ _QUERIES = [
     similarity.b35_ann_random_projection,
     similarity.b91_ann_ivf_scaled_cells,
     similarity.b92_ann_ivf_kmeans,  # zero seeds -> empty result, no Lloyd
+    similarity.b104_pq_ann,  # r7: zero training sample -> empty result
     b44_cosine_topk_arrow,
     b48_hybrid_search,
     semantic.b17_latest_per_user,
