@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     # round-7: PQ ANN (rows-only -- learned codebooks; Spark-timed row,
     # shared membership untouched)
     "b104_pq_ann",
+    # round-7: winnowing fingerprints (oracle-backed -- integer-exact
+    # posting join, joins the shared-ratio membership)
+    "b105_winnowing_fingerprints",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -2111,3 +2111,156 @@ def b101_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (b97's negligible-collision argument).
     """
     return exact_substring_run_rewrite(documents_wide(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# B105: winnowing fingerprints (Schleimer et al. 2003) — cross-doc
+# candidate pairs from the COMPRESSED posting set, fully oracle-backed
+# ---------------------------------------------------------------------------
+# The MOSS/plagiarism-detection primitive the exact-substring family
+# approximates from the other direction: hash every word 4-gram, then
+# keep only each 4-window's MINIMUM hash. The winnowing guarantee:
+# any shared token run of length >= w + n - 1 (= 7 here) contributes
+# at least one IDENTICAL selected print to both docs, while the
+# posting volume drops to ~2/(w+1) of the full shingle index — the
+# reason a 100 TB corpus winnows before it inverts (b26 explodes
+# EVERY shingle; this explodes the selected ~third).
+#
+# Everything is integer arithmetic mod the b53 prime, computed by the
+# SAME fold in Spark and DuckDB, so unlike the MinHash/LSH family the
+# candidate set itself is engine-exact and the driver hash-verifies
+# it: token hash = b53's per-char poly fold; gram hash = explicit
+# 4-term poly fold over token hashes (every step < 1e9 * 1e6 << 2^63
+# under ANSI); winnow min = plain numeric array_min.
+_WIN_N = 4  # tokens per gram
+_WIN_W = 4  # grams per winnow window
+_WIN_B2 = 1_000_003  # token-hash combining base (coprime to _RH items)
+_WIN_DF_CAP = 50  # prints in more docs are boilerplate: not evidence
+_WIN_MIN_SHARED = 2  # >= 2 shared prints to call a candidate pair
+
+_TOKHASH_SPARK = (
+    "transform(toks, tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+    "(h, c) -> pmod(h * 31 + ascii(c), 1000000007)))"
+)
+_TOKHASH_DUCK = (
+    "list_transform(toks, tok -> list_reduce("
+    "[CAST(0 AS BIGINT)] || list_transform(regexp_split_to_array(tok, ''), "
+    "c -> CAST(ord(c) AS BIGINT)), (h, c) -> (h * 31 + c) % 1000000007))"
+)
+
+
+def _gram4_spark() -> str:
+    g = "element_at(th, i)"
+    for j in (1, 2, 3):
+        g = f"pmod({g} * {_WIN_B2} + element_at(th, i + {j}), 1000000007)"
+    return f"""CASE WHEN size(th) < {_WIN_N}
+        THEN array(aggregate(th, CAST(0 AS BIGINT),
+                   (a, b) -> pmod(a * {_WIN_B2} + b, 1000000007)))
+        ELSE transform(sequence(1, size(th) - {_WIN_N - 1}), i -> {g}) END"""
+
+
+def _gram4_duck() -> str:
+    g = "th[i]"
+    for j in (1, 2, 3):
+        g = f"(({g} * {_WIN_B2} + th[i + {j}]) % 1000000007)"
+    return f"""CASE WHEN len(th) < {_WIN_N}
+        THEN [list_reduce(th, (a, b) -> (a * {_WIN_B2} + b) % 1000000007)]
+        ELSE list_transform(range(1, len(th) - {_WIN_N - 2}), i -> {g}) END"""
+
+
+B105_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), th AS (
+        SELECT doc_id, {_TOKHASH_DUCK} AS th
+        FROM t WHERE len(toks) > 0
+    ), g AS (
+        SELECT doc_id, {_gram4_duck()} AS gh FROM th
+    ), w AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(gh) < {_WIN_W} THEN [list_min(gh)]
+                    ELSE list_transform(range(1, len(gh) - {_WIN_W - 2}),
+                         i -> list_min(gh[i:i+{_WIN_W - 1}])) END) AS prints
+        FROM g
+    ), p AS (
+        SELECT doc_id, unnest(prints) AS pr FROM w
+    ), live AS (
+        SELECT pr FROM p GROUP BY pr
+        HAVING COUNT(*) BETWEEN 2 AND {_WIN_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_prints
+    FROM p a JOIN live USING (pr) JOIN p b USING (pr)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+@query("b105_winnowing_fingerprints", oracle=B105_ORACLE)
+def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint candidate pairs: docs sharing >= 2 selected
+    prints, where prints are the per-4-window minima over word-4-gram
+    poly hashes (see module comment for the guarantee and why the
+    arithmetic is engine-exact — this is the one near-dup candidate
+    generator in the family whose output the driver HASH-verifies).
+
+    Plan = b26's inverted index over the winnowed (compressed) posting
+    set: map-only print selection, explode, one uniform-hash groupBy
+    per print with the df guard (prints in > {_WIN_DF_CAP} docs are
+    boilerplate, not duplication evidence — identical cap in the
+    oracle, the b76 block-purge discipline), ordered pair emission
+    inside the <= cap-sized bucket, then the pair-count aggregate.
+    Scale: posting volume is ~2/(w+1) of b26's full shingle index and
+    Σ df² is capped by construction — the winnow-then-invert shape is
+    exactly how corpus-scale plagiarism/contamination checks run.
+    """
+    docs = documents_wide(spark, sf_dir)
+    th = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.expr(_TOKHASH_SPARK).alias("th"))
+    )
+    g = th.select("doc_id", F.expr(_gram4_spark()).alias("gh"))
+    prints = g.select(
+        "doc_id",
+        F.expr(
+            f"""array_distinct(CASE WHEN size(gh) < {_WIN_W}
+                THEN array(array_min(gh))
+                ELSE transform(sequence(1, size(gh) - {_WIN_W - 1}),
+                     i -> array_min(slice(gh, i, {_WIN_W}))) END)"""
+        ).alias("prints"),
+    )
+    # explode_OUTER, not explode: plain explode lets constraint
+    # inference push `size(prints) > 0 AND isnotnull(prints)` to the
+    # scan with the whole token-hash -> gram-hash -> winnow chain
+    # INLINED into an interpreted per-row Filter (the b62 recompute
+    # trap — measured as a >10-min hang at sf0.001 vs ~2 s). Prints
+    # are never empty anyway (>= 1 token -> >= 1 gram -> >= 1 print).
+    posting = prints.select("doc_id", F.explode_outer("prints").alias("pr"))
+    bucket = (
+        posting.groupBy("pr")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= _WIN_DF_CAP)
+        )
+    )
+    pairs = bucket.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ds, x ->
+                       filter(transform(ds, y ->
+                                  struct(x AS doc_a, y AS doc_b)),
+                              p -> p.doc_a < p.doc_b)))"""
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_prints"))
+        .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
+    )

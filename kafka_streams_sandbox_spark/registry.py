@@ -78,6 +78,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (oracle-backed)
     "b104_pq_ann",                     # 8-bit product-quantization ANN
                                        # (rows-only + planted contracts)
+    "b105_winnowing_fingerprints",     # winnowed candidate pairs
+                                       # (oracle-backed, engine-exact)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

@@ -1132,3 +1132,108 @@ def test_pq_ann_survives_hostile_vectors(spark, tmp_path):
         assert r["query_id"] not in hostile, r
         assert r["neighbor_id"] not in hostile, r
         assert r["approx_cos"] is not None and np.isfinite(r["approx_cos"]), r
+
+
+# ---------------------------------------------------------------------------
+# b105 winnowing fingerprints
+# ---------------------------------------------------------------------------
+_WP = 1_000_000_007
+_WB2 = 1_000_003
+
+
+def _py_winnow_prints(text: str) -> set[int]:
+    """Pure-Python twin of b105's print selection (token poly hash ->
+    4-gram poly fold -> 4-window minima)."""
+    toks = text.split() if text else []
+    if not toks:
+        return set()
+    th = []
+    for tok in toks:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % _WP
+        th.append(h)
+    if len(th) < 4:
+        g = 0
+        for t in th:
+            g = (g * _WB2 + t) % _WP
+        gh = [g]
+    else:
+        gh = []
+        for i in range(len(th) - 3):
+            g = th[i]
+            for j in (1, 2, 3):
+                g = (g * _WB2 + th[i + j]) % _WP
+            gh.append(g)
+    if len(gh) < 4:
+        return {min(gh)}
+    return {min(gh[i : i + 4]) for i in range(len(gh) - 3)}
+
+
+def test_winnowing_matches_python_twin_and_guarantee(spark, tmp_path):
+    """b105's pair set must equal the pure-Python re-derivation
+    (prints -> df-capped live set -> >=2 shared) exactly, and the
+    winnowing GUARANTEE must hold on a planted 30-token run copied
+    between two otherwise-disjoint docs: any shared run of
+    >= w + n - 1 tokens yields shared selected prints."""
+    from collections import Counter
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b105_winnowing_fingerprints,
+    )
+
+    run = " ".join(f"run{i}" for i in range(30))
+    texts = [
+        " ".join(f"aa{i}" for i in range(30)),  # disjoint filler A
+        " ".join(f"bb{i}" for i in range(30)),  # disjoint filler B
+        " ".join(f"aa{i}" for i in range(30)) + " " + run,  # A + run
+        run + " " + " ".join(f"cc{i}" for i in range(30)),  # run + C
+        "solo",  # single token -> one print, pairs with nothing
+        " ".join(f"aa{i}" for i in range(30)),  # exact dup of doc 0
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["srcW"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    prints = {i: _py_winnow_prints(t) for i, t in enumerate(texts)}
+    df = Counter(pr for s in prints.values() for pr in s)
+    live = {pr for pr, c in df.items() if 2 <= c <= 50}
+    expected = {}
+    for a in prints:
+        for b in prints:
+            if a < b:
+                shared = len(prints[a] & prints[b] & live)
+                if shared >= 2:
+                    expected[(a, b)] = shared
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_prints"]
+        for r in b105_winnowing_fingerprints(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # the guarantee, concretely: the planted run links 2-3, and the
+    # exact dup links 0-5, both through >= 2 shared prints
+    assert (2, 3) in got
+    assert (0, 5) in got and (0, 2) in got
+    assert all(k[0] != 4 and k[1] != 4 for k in got)
+
+
+def test_winnowing_compresses_the_posting_set():
+    """The point of winnowing at 100 TB: selected prints per doc sit
+    well under the full gram count (expected density ~2/(w+1) = 0.4
+    for random hashes) — pin < 60% on a 200-unique-token doc via the
+    twin (the operator explodes exactly these prints)."""
+    import random
+
+    rng = random.Random(5)
+    toks = [f"w{rng.randrange(10**9)}" for _ in range(200)]
+    prints = _py_winnow_prints(" ".join(toks))
+    n_grams = 200 - 3
+    assert len(prints) < 0.6 * n_grams, (len(prints), n_grams)

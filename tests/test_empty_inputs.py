@@ -106,6 +106,7 @@ _QUERIES = [
     dedup.b98_incremental_neardup,  # r6: empty batch AND empty index
     dedup.b99_selfseed_neardup,  # r7: two empty rounds, empty deltas
     dedup.b101_exact_substring_runs,  # r7: empty posting/run chain
+    dedup.b105_winnowing_fingerprints,  # r7: no tokens -> no prints -> no pairs
     b88_shard_shuffle,
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union

@@ -107,6 +107,7 @@ def test_neardup_family_survives_hostile_docs(spark, hostile_dir):
         dedup.b27_minhash_lsh_dedup,
         dedup.b28_simhash_dedup,
         dedup.b95_fuzzy_match_minhash_blocked,  # r6: same band discipline
+        dedup.b105_winnowing_fingerprints,  # r7: token-less docs have no prints
     ):
         pairs = {
             (r["doc_a"], r["doc_b"]) for r in fn(spark, hostile_dir).collect()
