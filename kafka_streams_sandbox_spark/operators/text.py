@@ -426,21 +426,11 @@ B102_ORACLE = f"""
 """
 
 
-@query("b102_gopher_repetition", oracle=B102_ORACLE)
-def b102_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition-rule suite: per-doc top-{2,3}-gram token
-    fraction and duplicated-{5,10}-gram position coverage, plus the
-    combined pass/fail verdict at Gopher's published thresholds.
-
-    Posting-list plan (see module comment): per-row nested-loop gram
-    counting is quadratic for a degenerate mega-doc, so grams explode
-    to (doc_id, n, gram, pos) rows and everything downstream is
-    uniform-hash aggregation — the same 100 TB discipline as
-    b87/b97. Empty/NULL/whitespace docs produce all-zero metrics and
-    pass (nothing to repeat); they re-enter via the left join from the
-    per-doc base, so the output is exactly one row per input doc.
-    """
-    docs = table(spark, sf_dir, "documents")
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """b102's body over an arbitrary documents frame — shared by the
+    batch query and a30's ingest-stream twin (per-doc metrics depend
+    only on the doc itself, so the stream core is the SAME code, not
+    a rewrite — the a25/a28 discipline)."""
     toks = docs.select(
         "doc_id",
         F.expr(f"coalesce({TOKENS_EXPR}, array())").alias("toks"),
@@ -539,3 +529,20 @@ def b102_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["dup10_cov"].alias("dup10_cov"),
         passes.alias("passes_repetition"),
     )
+
+
+@query("b102_gopher_repetition", oracle=B102_ORACLE)
+def b102_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule suite: per-doc top-{2,3}-gram token
+    fraction and duplicated-{5,10}-gram position coverage, plus the
+    combined pass/fail verdict at Gopher's published thresholds.
+
+    Posting-list plan (see module comment): per-row nested-loop gram
+    counting is quadratic for a degenerate mega-doc, so grams explode
+    to (doc_id, n, gram, pos) rows and everything downstream is
+    uniform-hash aggregation — the same 100 TB discipline as
+    b87/b97. Empty/NULL/whitespace docs produce all-zero metrics and
+    pass (nothing to repeat); they re-enter via the left join from the
+    per-doc base, so the output is exactly one row per input doc.
+    """
+    return repetition_metrics(table(spark, sf_dir, "documents"))

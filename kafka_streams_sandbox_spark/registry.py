@@ -80,6 +80,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (rows-only + planted contracts)
     "b105_winnowing_fingerprints",     # winnowed candidate pairs
                                        # (oracle-backed, engine-exact)
+    "a30_stream_repetition_gate",      # b102 at ingest (foreachBatch
+                                       # shared core, duality assert)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

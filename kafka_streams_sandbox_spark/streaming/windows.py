@@ -793,3 +793,78 @@ def a27_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a27",
     )
     return out
+
+
+@query("a30_stream_repetition_gate")  # rows-only: streaming sink
+def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b102's Gopher repetition rules at INGEST TIME: every arriving
+    document is scored and gated as it lands — a25 gates on the
+    length/ratio heuristics, a30 on the repetition family (the two
+    halves of the Gopher quality bar, both at the ingest boundary).
+
+    b102's posting-list plan aggregates, so unlike a25's map-only
+    expressions it runs per micro-batch through foreachBatch with the
+    SHARED batch core (``repetition_metrics`` — a28's discipline:
+    shared code, not a rewrite), writing batch_id-derived subpaths
+    (retries overwrite their own output). A doc's metrics depend only
+    on its own text, so micro-batch boundaries cannot change them —
+    the in-query duality assert certifies stream == batch b102
+    bit-identically (every metric is one integer division; no
+    aggregation-order float drift exists to leak).
+    """
+    import tempfile
+
+    from kafka_streams_sandbox_spark.operators.text import (
+        b102_gopher_repetition,
+        repetition_metrics,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_dir = tempfile.mkdtemp(prefix="kss-a30-")
+    out_schema = (
+        "doc_id bigint, n_tokens int, top2_frac double, top3_frac double, "
+        "dup5_cov double, dup10_cov double, passes_repetition boolean"
+    )
+
+    def score_batch(bdf: DataFrame, batch_id: int) -> None:
+        repetition_metrics(bdf).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "top2_frac",
+            "top3_frac",
+            "dup5_cov",
+            "dup10_cov",
+            "passes_repetition",
+        )
+    except Exception:
+        out = spark.createDataFrame([], out_schema)
+    assert_stream_batch_duality(
+        out,
+        b102_gopher_repetition(spark, sf_dir),
+        [
+            "doc_id",
+            "n_tokens",
+            "top2_frac",
+            "top3_frac",
+            "dup5_cov",
+            "dup10_cov",
+            "passes_repetition",
+        ],
+        "a30_stream_repetition_gate",
+    )
+    return out

@@ -1102,3 +1102,26 @@ def test_stream_incremental_neardup_multi_batch_cadence(spark, tmp_path):
     stream = {tuple(r) for r in out.collect()}
     batch = {tuple(r) for r in b98_incremental_neardup(spark, sf).collect()}
     assert stream == batch and stream
+
+
+def test_stream_repetition_gate_duality(spark):
+    """a30's per-micro-batch repetition metrics must equal b102's
+    batch metrics exactly (per-doc integer divisions — no float drift
+    path exists); the in-query assert enforces this every run, the
+    named test documents it and pins that verdicts are non-trivial
+    (both pass and fail appear on the driver corpus)."""
+    from kafka_streams_sandbox_spark.operators.text import (
+        b102_gopher_repetition,
+    )
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a30_stream_repetition_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        tuple(r) for r in a30_stream_repetition_gate(spark, sf).collect()
+    }
+    batch = {tuple(r) for r in b102_gopher_repetition(spark, sf).collect()}
+    assert stream == batch and stream
+    verdicts = {r[-1] for r in stream}
+    assert verdicts == {True, False}
