@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # round-7: winnowing fingerprints (oracle-backed -- integer-exact
     # posting join, joins the shared-ratio membership)
     "b105_winnowing_fingerprints",
+    # round-7: IVF x PQ composed index (rows-only)
+    "b106_ivfpq_ann",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -414,23 +414,25 @@ def b92_ann_ivf_kmeans(  # float summation order — no DuckDB twin
     return _kmeans_ivf(spark, sf_dir)
 
 
-def _kmeans_ivf(
+def _train_cell_assignments(
     spark: SparkSession,
     sf_dir: str,
     k: int | None = None,
     cell_pop_cap: int = _CELL_POP_CAP,
-) -> DataFrame:
-    """b92's body with the cell count and per-task population cap
-    exposed for probes/tests (a forced small k over a large corpus
-    must trip the sub-bucket guard, not a per-task memory spike)."""
+):
+    """b92's coarse-quantizer training, extracted so b106 (IVF x PQ)
+    composes the SAME trained cells: hash-chosen seeds, _KMEANS_ITERS
+    Lloyd rounds (Arrow assignment kernel + k-row avg aggregate),
+    final top-2 cell assignment, localCheckpoint-materialized.
+    Returns (assigned, cent, sub_planes) or None for an empty corpus;
+    `assigned` has (vec_id, cell, cell2, ue). Extraction is
+    operation-for-operation identical to the r5/r6 body, so b92's
+    driver rows are unchanged."""
     import numpy as np
     import pandas as pd
 
     from kafka_streams_sandbox_spark.catalog import table_rowcount
 
-    out_schema = (
-        "query_id long, neighbor_id long, cell int, cos_sim double, rnk bigint"
-    )
     v = _vectors(spark, sf_dir).select(
         "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
     )
@@ -445,7 +447,7 @@ def _kmeans_ivf(
         .collect()
     )  # bounded: k rows
     if not seeds:
-        return spark.createDataFrame([], out_schema)
+        return None
     cent = np.array([r["ue"] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -511,6 +513,28 @@ def _kmeans_ivf(
         bc_final.destroy()
     finally:
         v.unpersist()
+    return assigned, cent, sub_planes
+
+
+
+def _kmeans_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    cell_pop_cap: int = _CELL_POP_CAP,
+) -> DataFrame:
+    """b92's body with the cell count and per-task population cap
+    exposed for probes/tests (a forced small k over a large corpus
+    must trip the sub-bucket guard, not a per-task memory spike)."""
+    out_schema = (
+        "query_id long, neighbor_id long, cell int, cos_sim double, rnk bigint"
+    )
+    trained = _train_cell_assignments(spark, sf_dir, k, cell_pop_cap)
+    if trained is None:
+        return spark.createDataFrame([], out_schema)
+    assigned, cent, sub_planes = trained
+    import numpy as np
+    import pandas as pd
 
     # Oversized-cell guard (r6): when expected cell population exceeds
     # the per-task cap, add a hash sub-bucket cogroup key. The sign
@@ -727,6 +751,33 @@ _PQ_TOPK = 10
 _PQ_QCHUNK = 512  # query rows per in-kernel block (b92's chunk lever)
 
 
+def _train_pq_books(train: "np.ndarray") -> "np.ndarray":
+    """Deterministic per-subspace driver Lloyd over a bounded training
+    matrix (seeds = first k_eff rows, argmin ties to the lowest
+    codeword, empty cells keep their seed). Shared by b104 (raw unit
+    vectors) and b106 (cell residuals — classic IVFPQ trains the
+    codebooks on residuals, which carry far less variance). Returns
+    (M, k_eff, sub) codebooks."""
+    import numpy as np
+
+    sub = DIM // _PQ_M
+    k_eff = min(_PQ_K, len(train))
+    books = np.zeros((_PQ_M, k_eff, sub), dtype=np.float64)
+    for m in range(_PQ_M):
+        pts = train[:, m * sub : (m + 1) * sub]
+        cb = pts[:k_eff].copy()
+        for _ in range(_PQ_ITERS):
+            d = ((pts[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)  # ties -> lowest codeword: deterministic
+            sums = np.zeros_like(cb)
+            np.add.at(sums, a, pts)
+            cnt = np.bincount(a, minlength=k_eff).astype(np.float64)
+            nz = cnt > 0  # empty cells keep their seed
+            cb[nz] = sums[nz] / cnt[nz, None]
+        books[m] = cb
+    return books
+
+
 @query("b104_pq_ann")  # rows-only: learned codebooks + float sums
 def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: 8-bit product-quantize the unit-normalized corpus, then
@@ -782,20 +833,7 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not sample:
         return spark.createDataFrame([], out_schema)
     train = np.array([r["ue"] for r in sample], dtype=np.float64)
-    k_eff = min(_PQ_K, len(train))
-    books = np.zeros((_PQ_M, k_eff, sub), dtype=np.float64)
-    for m in range(_PQ_M):
-        pts = train[:, m * sub : (m + 1) * sub]
-        cb = pts[:k_eff].copy()
-        for _ in range(_PQ_ITERS):
-            d = ((pts[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            a = d.argmin(1)  # ties -> lowest codeword: deterministic
-            sums = np.zeros_like(cb)
-            np.add.at(sums, a, pts)
-            cnt = np.bincount(a, minlength=k_eff).astype(np.float64)
-            nz = cnt > 0  # empty cells keep their seed
-            cb[nz] = sums[nz] / cnt[nz, None]
-        books[m] = cb
+    books = _train_pq_books(train)
 
     bc_books = spark.sparkContext.broadcast(books)
 
@@ -872,4 +910,191 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "approx_cos", F.col("rnk").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B106: IVF x PQ — the composed production index (prune x compress)
+# ---------------------------------------------------------------------------
+@query("b106_ivfpq_ann")  # rows-only: learned quantizers + float sums
+def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: b92's learned coarse cells PRUNE the candidate set, PQ
+    codes over cell RESIDUALS compress what remains — the composition
+    both b92's and b104's docstrings point at, and the way a 100 TB
+    vector corpus is actually served (FAISS IVFxxx,PQyy).
+
+    Build: the coarse quantizer is the SAME `_train_cell_assignments`
+    b92 runs (shared code). Residual r = ue - centroid[cell] carries
+    far less variance than the raw vector, so the same 8x8-bit code
+    budget quantizes it much more accurately (classic IVFADC); the
+    residual codebooks train on the bounded hash-chosen sample's
+    residuals via the shared `_train_pq_books`, and one Arrow pass
+    encodes every vector to (cell, 8 codes).
+
+    Search (IP-ADC): <q, x> decomposes as <q, c_cell> + <q, r_x> —
+    the first term is a per-(query, probed-cell) scalar from the
+    broadcast centroid matrix, the second is the standard table-sum
+    over the query's residual IP tables, which depend only on q (NOT
+    on the cell — the IP form's advantage over L2 here). Each query
+    probes its top-2 cells (b92's nprobe lever); the cogroup on the
+    cell key runs one gather-sum kernel per cell over the CODES only,
+    emitting in-cell top-3; the global rank<=3 window merges. Per-task
+    transient: query-chunk x members doubles (the b92/b104 chunk
+    discipline); the members payload is 8 ints/vector — the whole
+    point — so a cell's Arrow group is ~64x smaller than b92's.
+
+    Rows-only at the driver; the planted exact-copy contract (same
+    cell, same residual, same codes -> rank 1 both directions) and a
+    measured recall floor vs exact pin correctness in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "query_id long, neighbor_id long, cell int, approx_cos double, "
+        "rnk bigint"
+    )
+    trained = _train_cell_assignments(spark, sf_dir)
+    if trained is None:
+        return spark.createDataFrame([], out_schema)
+    assigned, cent, _ = trained
+    sub = DIM // _PQ_M
+
+    sample = (
+        assigned.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_PQ_TRAIN)
+        .select("cell", "ue")
+        .collect()
+    )  # bounded: <= _PQ_TRAIN rows
+    smat = np.array([r["ue"] for r in sample], dtype=np.float64)
+    scell = np.array([r["cell"] for r in sample], dtype=np.int64)
+    books = _train_pq_books(smat - cent[scell])
+
+    bc = spark.sparkContext.broadcast((cent, books))
+
+    def encode(batches):
+        cmat, bk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["ue"]), dtype=np.float64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            res = mat - cmat[cells]
+            codes = np.empty((len(mat), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                r = res[:, m * sub : (m + 1) * sub]
+                d = (
+                    (r * r).sum(1)[:, None]
+                    - 2.0 * (r @ bk[m].T)
+                    + (bk[m] * bk[m]).sum(1)[None, :]
+                )
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    corpus = assigned.select("vec_id", "cell", "ue").mapInPandas(
+        encode, "vec_id long, cell int, codes array<int>"
+    )
+
+    qrows = (
+        assigned.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "cell", "cell2", "ue")
+        .collect()
+    )  # the b33/b44/b104 broadcast-bounded query-batch discipline
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
+    # residual IP tables depend only on the query (IP-ADC): tab[q,m,j]
+    tabs = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), _PQ_M, sub), books)
+    # <q, centroid> for every (query, cell): nq x k doubles, bounded
+    qcent = qmat @ cent.T
+    bc_q = spark.sparkContext.broadcast((qids, tabs, qcent))
+
+    probes = (
+        assigned.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array_distinct(F.array("cell", "cell2"))).alias(
+                "pcell"
+            ),
+        )
+    )
+
+    def adc_cell(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cell": [], "approx_cos": []}
+        ).astype(
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                "cell": "int32",
+                "approx_cos": "float64",
+            }
+        )
+        if not len(corpus_pdf) or not len(probe_pdf):
+            return empty
+        ids_all, tab_all, qc_all = bc_q.value
+        vids = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.array(list(corpus_pdf["codes"]), dtype=np.int64)
+        cell_id = np.int32(corpus_pdf["cell"].iloc[0])
+        pq_ids = probe_pdf["query_id"].to_numpy(dtype=np.int64)
+        # qids were collected in undefined order — index by lookup
+        lookup = {int(q): i for i, q in enumerate(ids_all)}
+        qidx_all = np.array([lookup[int(q)] for q in pq_ids], dtype=np.int64)
+        out = []
+        keep = min(3 + 1, len(vids))  # +1 absorbs the self-match
+        for lo in range(0, len(qidx_all), _PQ_QCHUNK):
+            qi = qidx_all[lo : lo + _PQ_QCHUNK]
+            qn = pq_ids[lo : lo + _PQ_QCHUNK]
+            sims = np.broadcast_to(
+                qc_all[qi, cell_id][:, None], (len(qi), len(vids))
+            ).copy()
+            tab = tab_all[qi]
+            for m in range(_PQ_M):
+                sims += tab[:, m, :][:, codes[:, m]]
+            # self-match mask
+            self_mask = vids[None, :] == qn[:, None]
+            sims[self_mask] = -np.inf
+            part = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+            scol = np.take_along_axis(sims, part, axis=1).ravel()
+            fin = np.isfinite(scol)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qn, keep)[fin],
+                        "neighbor_id": vids[part].ravel()[fin],
+                        "cell": np.full(fin.sum(), cell_id, dtype=np.int32),
+                        "approx_cos": scol[fin],
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    partial = (
+        corpus.groupBy("cell")
+        .cogroup(probes.groupBy("pcell"))
+        .applyInPandas(
+            adc_cell,
+            "query_id long, neighbor_id long, cell int, approx_cos double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            "approx_cos",
+            F.col("rnk").cast("bigint"),
+        )
     )

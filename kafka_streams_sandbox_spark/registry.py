@@ -82,6 +82,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (oracle-backed, engine-exact)
     "a30_stream_repetition_gate",      # b102 at ingest (foreachBatch
                                        # shared core, duality assert)
+    "b106_ivfpq_ann",                  # IVF x PQ composed index
+                                       # (rows-only + parity contract)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

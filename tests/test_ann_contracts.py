@@ -1237,3 +1237,103 @@ def test_winnowing_compresses_the_posting_set():
     prints = _py_winnow_prints(" ".join(toks))
     n_grams = 200 - 3
     assert len(prints) < 0.6 * n_grams, (len(prints), n_grams)
+
+
+# ---------------------------------------------------------------------------
+# b106 IVF x PQ
+# ---------------------------------------------------------------------------
+def test_ivfpq_exact_copy_is_rank_one(spark, tmp_path):
+    """An exact duplicate lands in the same coarse cell with the same
+    residual, hence identical codes — its ADC score equals the
+    query's own reconstruction score, so it ranks 1 in both
+    directions (id 120 is itself a query via %10)."""
+    from kafka_streams_sandbox_spark.operators.similarity import b106_ivfpq_ann
+
+    g = np.random.default_rng(13)
+    base = g.normal(size=(50, 64)).astype(np.float32)
+    ids = list(range(50)) + [120]
+    vecs = [v.tolist() for v in base] + [base[0].tolist()]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    out = b106_ivfpq_ann(spark, str(tmp_path)).collect()
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rnk"] == 1}
+    assert rank1[0] == 120
+    assert rank1[120] == 0
+
+
+def test_ivfpq_matches_exact_rerank_recall(spark):
+    """The IVFPQ claim: on the driver corpus the 8-bit residual ADC
+    loses (near) NOTHING vs b92's exact in-cell rerank — the coarse
+    pruning is the whole recall ceiling (measured: both 0.30 recall@3
+    of exact top-1 at sf0.01 under nprobe=2). Pin b106 within 0.05 of
+    b92 and above an absolute floor."""
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        b106_ivfpq_ann,
+        b92_ann_ivf_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    emb = np.array(list(t["embedding"]), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    ue = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qmask = ids % 10 == 0
+    qrows = np.flatnonzero(qmask)
+    sims = ue[qmask] @ ue.T
+
+    def recall_of(df, query_filter=True):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            if r["query_id"] % 10 == 0:
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rec = n = 0.0
+        for qi, qid in enumerate(ids[qmask]):
+            s = sims[qi].copy()
+            s[ids == qid] = -9.0
+            rec += ids[np.argsort(-s)][0] in got.get(qid, set())
+            n += 1
+        return rec / n
+
+    r_pq = recall_of(b106_ivfpq_ann(spark, sf))
+    r_exact = recall_of(b92_ann_ivf_kmeans(spark, sf))
+    assert r_pq >= r_exact - 0.05, (r_pq, r_exact)
+    assert r_pq >= 0.2, r_pq
+
+
+def test_ivfpq_survives_hostile_vectors(spark, tmp_path):
+    """Degenerate rows must be excluded from cell training, residual
+    codebooks, encoding, and the query batch (b106's approx_cos
+    column keeps it out of the shared hostile sweep)."""
+    from kafka_streams_sandbox_spark.operators.similarity import b106_ivfpq_ann
+
+    g = np.random.default_rng(99)
+    clean = g.normal(size=(30, 64)).astype(np.float32)
+    ids = list(range(30)) + [100, 101, 102, 103, 104]
+    vecs = [v.tolist() for v in clean] + [
+        [0.0] * 64,
+        None,
+        [1.0] * 8,
+        [float("nan")] + [1.0] * 63,
+        [float("inf")] + [1.0] * 63,
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(ids))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = b106_ivfpq_ann(spark, str(tmp_path)).collect()
+    assert rows
+    hostile = {100, 101, 102, 103, 104}
+    for r in rows:
+        assert r["query_id"] not in hostile, r
+        assert r["neighbor_id"] not in hostile, r
+        assert r["approx_cos"] is not None and np.isfinite(r["approx_cos"]), r

@@ -93,6 +93,7 @@ _QUERIES = [
     similarity.b91_ann_ivf_scaled_cells,
     similarity.b92_ann_ivf_kmeans,  # zero seeds -> empty result, no Lloyd
     similarity.b104_pq_ann,  # r7: zero training sample -> empty result
+    similarity.b106_ivfpq_ann,  # r7: no seeds -> empty result, no training
     b44_cosine_topk_arrow,
     b48_hybrid_search,
     semantic.b17_latest_per_user,
