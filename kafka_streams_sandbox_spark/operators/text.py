@@ -435,27 +435,61 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(f"coalesce({TOKENS_EXPR}, array())").alias("toks"),
     ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    # The explode below is the CPU stage; a small fixture arrives as
+    # ONE file split and would run it serially. When (and only when)
+    # input splits < cores, spread the narrow token projection — at
+    # corpus scale splits >> cores and this is a no-op, so no shuffle
+    # is added to the 100 TB plan. (Streaming micro-batch frames reach
+    # here through a30's foreachBatch as plain batch frames.)
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if not docs.isStreaming and toks.rdd.getNumPartitions() < para:
+        toks = toks.repartition(para)
 
-    posting = None
-    for n, _ in (*_B102_TOP, *_B102_DUP):
-        pg = f"""CASE WHEN size(toks) >= {n}
-            THEN transform(sequence(1, size(toks) - {n - 1}),
-                 i -> named_struct('pos', i,
-                                   'gram', concat_ws(' ', slice(toks, i, {n}))))
-            ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END"""
-        part = toks.select(
-            "doc_id",
-            "n_tokens",
-            F.lit(n).alias("n"),
-            F.explode(F.expr(pg)).alias("pg"),
-        )
-        posting = part if posting is None else posting.unionByName(part)
-    posting = posting.select(
+    # ONE scan, ONE explode, int64 gram keys (r7 bench findings): a
+    # per-n union re-reads and re-tokenizes the corpus 4x, grouping
+    # on raw 10-gram STRINGS shuffles ~60-char keys (the counts stage
+    # was 3.4 s of the 4 s sf0.1 wall), and building the gram STRING
+    # per posting (concat_ws over a slice) dominated the explode
+    # itself. Tokens are xxhash64-hashed ONCE each; a gram key is the
+    # multi-arg xxhash64 of its n token hashes — pure int64 ops, no
+    # per-gram string allocation. Counts over these keys equal counts
+    # over the gram strings (b26's argument — within-doc collisions
+    # negligible), so the string-keyed oracle still matches exactly.
+    th = toks.select(
         "doc_id",
         "n_tokens",
-        "n",
+        F.expr("transform(toks, t -> xxhash64(t))").alias("th"),
+    )
+
+    def _pg(n: int) -> str:
+        args = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+        return f"""CASE WHEN size(th) >= {n}
+            THEN transform(sequence(1, size(th) - {n - 1}),
+                 i -> named_struct('n', {n}, 'pos', i,
+                      'gram_h', xxhash64({args})))
+            ELSE CAST(array() AS
+                 ARRAY<STRUCT<n: INT, pos: INT, gram_h: BIGINT>>) END"""
+
+    all_pg = ", ".join(_pg(n) for n, _ in (*_B102_TOP, *_B102_DUP))
+    # explode_OUTER + an explicit post-generate NULL filter: plain
+    # explode lets constraint inference push `size(concat(...)) > 0`
+    # into the scan with the whole hash chain INLINED (measured 5-9 s
+    # vs 2.5 s at sf0.1 — the b62 recompute trap), while a bare outer
+    # explode emits a NULL posting row for zero-token docs whose
+    # n_tokens=0 would reach the metric divisions (ANSI
+    # DIVIDE_BY_ZERO). The filter is on the GENERATED column, so it
+    # cannot push below the Generate; empty docs re-enter via the
+    # base left join below.
+    posting = th.select(
+        "doc_id",
+        "n_tokens",
+        F.explode_outer(F.expr(f"concat({all_pg})")).alias("pg"),
+    ).filter(F.col("pg").isNotNull()).select(
+        "doc_id",
+        "n_tokens",
+        F.col("pg.n").alias("n"),
         F.col("pg.pos").alias("pos"),
-        F.col("pg.gram").alias("gram"),
+        F.col("pg.gram_h").alias("gram"),
     )
 
     counts = posting.groupBy("doc_id", "n", "gram").agg(
