@@ -1841,9 +1841,14 @@ def b103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quota"),
     )
     # bounded collect: one row per source (the corpus has a handful;
-    # even a real crawl has ~1e5 domains — driver-safe either way)
-    max_quota = max(
-        (r["quota"] for r in quotas.collect()), default=1
+    # even a real crawl has ~1e5 domains — driver-safe either way).
+    # The collected rows THEMSELVES become the broadcast side below
+    # (r7 review fix): broadcasting the `quotas` DataFrame would
+    # re-execute the full scan+groupBy a second time.
+    qrows = quotas.collect()
+    max_quota = max((r["quota"] for r in qrows), default=1)
+    quota_dim = spark.createDataFrame(
+        qrows, "source string, n_source bigint, quota bigint"
     )
     h = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
@@ -1854,7 +1859,7 @@ def b103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.lit(int(max_quota)))
     )
     return (
-        ranked.join(F.broadcast(quotas), "source")
+        ranked.join(F.broadcast(quota_dim), "source")
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select(
             "source",

@@ -778,6 +778,26 @@ def _train_pq_books(train: "np.ndarray") -> "np.ndarray":
     return books
 
 
+def _pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Vectorized per-subspace nearest-codeword encode (argmin of
+    ||x - c||^2 expanded; ties to the lowest codeword). Shared by b104
+    (raw unit vectors) and b106 (cell residuals) so the two encoders
+    cannot drift."""
+    import numpy as np
+
+    sub = DIM // _PQ_M
+    codes = np.empty((len(mat), _PQ_M), dtype=np.int32)
+    for m in range(_PQ_M):
+        x = mat[:, m * sub : (m + 1) * sub]
+        d = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ books[m].T)
+            + (books[m] * books[m]).sum(1)[None, :]
+        )
+        codes[:, m] = d.argmin(1)
+    return codes
+
+
 @query("b104_pq_ann")  # rows-only: learned codebooks + float sums
 def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: 8-bit product-quantize the unit-normalized corpus, then
@@ -843,15 +863,7 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             mat = np.array(list(pdf["ue"]), dtype=np.float64)
-            codes = np.empty((len(mat), _PQ_M), dtype=np.int32)
-            for m in range(_PQ_M):
-                s = mat[:, m * sub : (m + 1) * sub]
-                d = (
-                    (s * s).sum(1)[:, None]
-                    - 2.0 * (s @ bk[m].T)
-                    + (bk[m] * bk[m]).sum(1)[None, :]
-                )
-                codes[:, m] = d.argmin(1)
+            codes = _pq_encode(mat, bk)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -869,12 +881,16 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
-    # per-query IP tables: tab[q, m, j] = <q_m, codeword_j^m>
-    tabs = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), _PQ_M, sub), books)
-    bc_q = spark.sparkContext.broadcast((qids, tabs))
+    # Broadcast the RAW query matrix, not precomputed IP tables: the
+    # full tabs array is nq x M x K doubles — 32x the query matrix
+    # (16 KB vs 512 B per query; ~320 MB at the 100x probe's 20k
+    # queries). Each kernel derives a CHUNK's table on the fly (one
+    # 512 x M x K einsum, ~8M flops — noise next to the gather-sum).
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
 
     def adc_search(batches):
-        ids_all, tab_all = bc_q.value
+        ids_all, qmat_all = bc_q.value
+        bk = bc_books.value
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -884,7 +900,10 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = min(_PQ_TOPK + 1, n)  # +1 absorbs the self-match
             for lo in range(0, len(ids_all), _PQ_QCHUNK):
                 qid = ids_all[lo : lo + _PQ_QCHUNK]
-                tab = tab_all[lo : lo + _PQ_QCHUNK]
+                qm = qmat_all[lo : lo + _PQ_QCHUNK]
+                tab = np.einsum(
+                    "qms,mks->qmk", qm.reshape(len(qm), _PQ_M, sub), bk
+                )
                 sims = np.zeros((len(qid), n), dtype=np.float64)
                 for m in range(_PQ_M):
                     sims += tab[:, m, :][:, codes[:, m]]
@@ -957,8 +976,19 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = _train_cell_assignments(spark, sf_dir)
     if trained is None:
         return spark.createDataFrame([], out_schema)
-    assigned, cent, _ = trained
+    assigned, cent, sub_planes = trained
     sub = DIM // _PQ_M
+    # r7 review fix: carry b92's oversized-cell guard — without the
+    # sub-bucket cogroup key a skewed or forced-small-k corpus puts an
+    # entire cell's membership in ONE Arrow group. The members payload
+    # here is 8 ints/vector (~64x smaller than b92's), but the guard
+    # keeps the members axis bounded for the same reason b92's is.
+    if sub_planes:
+        assigned = assigned.withColumn(
+            "sub", F.expr(signature_expr(sub_planes, col="ue"))
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0))
 
     sample = (
         assigned.orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -979,26 +1009,18 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.array(list(pdf["ue"]), dtype=np.float64)
             cells = pdf["cell"].to_numpy(dtype=np.int64)
-            res = mat - cmat[cells]
-            codes = np.empty((len(mat), _PQ_M), dtype=np.int32)
-            for m in range(_PQ_M):
-                r = res[:, m * sub : (m + 1) * sub]
-                d = (
-                    (r * r).sum(1)[:, None]
-                    - 2.0 * (r @ bk[m].T)
-                    + (bk[m] * bk[m]).sum(1)[None, :]
-                )
-                codes[:, m] = d.argmin(1)
+            codes = _pq_encode(mat - cmat[cells], bk)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
                     "cell": cells.astype(np.int32),
+                    "sub": pdf["sub"].to_numpy(dtype=np.int64),
                     "codes": list(codes),
                 }
             )
 
-    corpus = assigned.select("vec_id", "cell", "ue").mapInPandas(
-        encode, "vec_id long, cell int, codes array<int>"
+    corpus = assigned.select("vec_id", "cell", "sub", "ue").mapInPandas(
+        encode, "vec_id long, cell int, sub long, codes array<int>"
     )
 
     qrows = (
@@ -1010,11 +1032,13 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
-    # residual IP tables depend only on the query (IP-ADC): tab[q,m,j]
-    tabs = np.einsum("qms,mks->qmk", qmat.reshape(len(qmat), _PQ_M, sub), books)
-    # <q, centroid> for every (query, cell): nq x k doubles, bounded
-    qcent = qmat @ cent.T
-    bc_q = spark.sparkContext.broadcast((qids, tabs, qcent))
+    # r7 review fix: broadcast the RAW query matrix, not precomputed
+    # tables — tabs would be nq x M x K doubles (32x the matrix) and
+    # qcent nq x k doubles (~230 MB at the 100x probe); the kernel
+    # derives each chunk's residual table and the group cell's
+    # <q, c_cell> column on the fly (one small einsum + one nq-dot
+    # column per group — noise next to the gather-sum).
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
 
     probes = (
         assigned.filter(F.col("vec_id") % 10 == 0)
@@ -1023,6 +1047,7 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.array("cell", "cell2"))).alias(
                 "pcell"
             ),
+            F.col("sub").alias("qsub"),
         )
     )
 
@@ -1039,7 +1064,8 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not len(corpus_pdf) or not len(probe_pdf):
             return empty
-        ids_all, tab_all, qc_all = bc_q.value
+        ids_all, qmat_all = bc_q.value
+        bk, cmat = bc.value[1], bc.value[0]
         vids = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
         codes = np.array(list(corpus_pdf["codes"]), dtype=np.int64)
         cell_id = np.int32(corpus_pdf["cell"].iloc[0])
@@ -1049,13 +1075,17 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         qidx_all = np.array([lookup[int(q)] for q in pq_ids], dtype=np.int64)
         out = []
         keep = min(3 + 1, len(vids))  # +1 absorbs the self-match
+        cvec = cmat[int(cell_id)]
         for lo in range(0, len(qidx_all), _PQ_QCHUNK):
             qi = qidx_all[lo : lo + _PQ_QCHUNK]
             qn = pq_ids[lo : lo + _PQ_QCHUNK]
+            qm = qmat_all[qi]
+            tab = np.einsum(
+                "qms,mks->qmk", qm.reshape(len(qm), _PQ_M, sub), bk
+            )
             sims = np.broadcast_to(
-                qc_all[qi, cell_id][:, None], (len(qi), len(vids))
+                (qm @ cvec)[:, None], (len(qi), len(vids))
             ).copy()
-            tab = tab_all[qi]
             for m in range(_PQ_M):
                 sims += tab[:, m, :][:, codes[:, m]]
             # self-match mask
@@ -1077,8 +1107,8 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.concat(out) if out else empty
 
     partial = (
-        corpus.groupBy("cell")
-        .cogroup(probes.groupBy("pcell"))
+        corpus.groupBy("cell", "sub")
+        .cogroup(probes.groupBy("pcell", "qsub"))
         .applyInPandas(
             adc_cell,
             "query_id long, neighbor_id long, cell int, approx_cos double",

@@ -492,13 +492,19 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         F.col("pg.gram_h").alias("gram"),
     )
 
+    dup_ns = [n for n, _ in _B102_DUP]
     counts = posting.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.first("n_tokens").alias("n_tokens"),
         # bounded: positions of ONE gram inside ONE doc — never larger
         # than the doc itself (contrast the unbounded cross-corpus
-        # collect_list b28 OOMed on)
-        F.collect_list("pos").alias("positions"),
+        # collect_list b28 OOMed on). Gathered only for the dup-rule
+        # n values (r7 review fix): the coverage branch never reads
+        # n=2/3 positions, and those are the most numerous gram
+        # families — a spam doc duplicates nearly ALL its 2-grams.
+        F.collect_list(
+            F.when(F.col("n").isin(dup_ns), F.col("pos"))
+        ).alias("positions"),
     )
 
     top = counts.groupBy("doc_id", "n").agg(
@@ -506,6 +512,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
     n_cov = (
         counts.filter(F.col("cnt") >= 2)
+        .filter(F.col("n").isin(dup_ns))
         .select(
             "doc_id",
             "n",

@@ -58,10 +58,10 @@ _OPERATOR_MODULES = (
 REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-7 ordering (VERDICT r6 Next #4): NEW queries first,
     # then queries whose code changed this round, then the 18 queries
-    # whose latest driver row is r4 — round 7's new work is small, so
-    # the combined head (2 new + 3 changed + 18 r4 rows = 23) fits the
-    # ~50-query window with room for r5-row rotation, and the round
-    # closes with no registry row older than r5.
+    # whose latest driver row is r4 — the combined head (10 new + 7
+    # changed + 18 r4 rows = 35) fits the ~50-query window with room
+    # for r5-row rotation, and the round closes with no registry row
+    # older than r5.
     # --- NEW in round 7 (no driver row exists yet) ---
     "b99_selfseed_neardup",            # self-seeding ingest near-dup:
                                        # accepted docs join the index
@@ -96,6 +96,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # refactor; results hash-stable)
     "b96_lsh_embedding_neardup_scaled",  # docstring-only (star-pair
                                          # contract); cheap to refresh
+    "b92_ann_ivf_kmeans",              # training block extracted to
+                                       # _train_cell_assignments (pure
+                                       # refactor; results unchanged)
+    "b91_ann_ivf_scaled_cells",        # same family; cheap to refresh
     # --- r4 rows: the 18 oldest (VERDICT r6 Next #4 list) ---
     "a08_stream_tombstone_store",
     "a09_app_interactive_query",
