@@ -1032,12 +1032,16 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
+    qorder = np.argsort(qids, kind="stable")
+    qids, qmat = qids[qorder], qmat[qorder]
     # r7 review fix: broadcast the RAW query matrix, not precomputed
     # tables — tabs would be nq x M x K doubles (32x the matrix) and
     # qcent nq x k doubles (~230 MB at the 100x probe); the kernel
     # derives each chunk's residual table and the group cell's
     # <q, c_cell> column on the fly (one small einsum + one nq-dot
-    # column per group — noise next to the gather-sum).
+    # column per group — noise next to the gather-sum). Sorted by id
+    # so the kernel resolves its group's queries with searchsorted
+    # instead of a per-group 20k-entry Python dict.
     bc_q = spark.sparkContext.broadcast((qids, qmat))
 
     probes = (
@@ -1070,9 +1074,7 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = np.array(list(corpus_pdf["codes"]), dtype=np.int64)
         cell_id = np.int32(corpus_pdf["cell"].iloc[0])
         pq_ids = probe_pdf["query_id"].to_numpy(dtype=np.int64)
-        # qids were collected in undefined order — index by lookup
-        lookup = {int(q): i for i, q in enumerate(ids_all)}
-        qidx_all = np.array([lookup[int(q)] for q in pq_ids], dtype=np.int64)
+        qidx_all = np.searchsorted(ids_all, pq_ids)  # ids_all sorted
         out = []
         keep = min(3 + 1, len(vids))  # +1 absorbs the self-match
         cvec = cmat[int(cell_id)]
