@@ -32,6 +32,22 @@ from kafka_streams_sandbox_spark.registry import query
 DIM = 64
 
 
+def guarded_unit_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, ue): the _vectors degenerate-row
+    guards + unit normalization over an ARBITRARY embeddings frame —
+    shared by the batch readers and a31's per-micro-batch encode so
+    ingest-time filtering is the same code, not a rewrite."""
+    return (
+        emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+        )
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .withColumn("nrm", norm2("e"))
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
+        .select("vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue"))
+    )
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with widened double array + precomputed norm
     (catalog.embeddings_wide handles the partition widening — see its
@@ -778,6 +794,31 @@ def _train_pq_books(train: "np.ndarray") -> "np.ndarray":
     return books
 
 
+def pq_encode_kernel(bc_books):
+    """mapInPandas kernel over a (vec_id, ue) frame -> (vec_id, codes),
+    closed over a broadcast codebook tensor. One definition shared by
+    b104's at-rest encode and a31's at-ingest encode."""
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        bk = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["ue"]), dtype=np.float64)
+            codes = _pq_encode(mat, bk)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
 def _pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
     """Vectorized per-subspace nearest-codeword encode (argmin of
     ||x - c||^2 expanded; ties to the lowest codeword). Shared by b104
@@ -796,6 +837,37 @@ def _pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
         )
         codes[:, m] = d.argmin(1)
     return codes
+
+
+def pq_corpus_codes(spark: SparkSession, sf_dir: str):
+    """b104's build phase, exposed for a31's ingest-stream twin:
+    train the codebooks on the bounded hash-chosen sample and return
+    (codes_df, books) — or None for an empty corpus. Deterministic
+    for a fixed corpus (hash-ordered sample, fixed Lloyd, argmin
+    tiebreaks), so encode-at-rest and encode-at-ingest produce
+    bit-identical codes from the same books."""
+    import numpy as np
+    import pandas as pd
+
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
+    )
+    sample = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_PQ_TRAIN)
+        .select("ue")
+        .collect()
+    )  # bounded: <= _PQ_TRAIN rows
+    if not sample:
+        return None
+    train = np.array([r["ue"] for r in sample], dtype=np.float64)
+    books = _train_pq_books(train)
+
+    bc_books = spark.sparkContext.broadcast(books)
+    codes_df = v.mapInPandas(
+        pq_encode_kernel(bc_books), "vec_id long, codes array<int>"
+    )
+    return codes_df, books, v
 
 
 @query("b104_pq_ann")  # rows-only: learned codebooks + float sums
@@ -841,37 +913,11 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "query_id long, neighbor_id long, approx_cos double, rnk bigint"
     sub = DIM // _PQ_M
-    v = _vectors(spark, sf_dir).select(
-        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
-    )
-    sample = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_PQ_TRAIN)
-        .select("ue")
-        .collect()
-    )  # bounded: <= _PQ_TRAIN rows
-    if not sample:
+    built = pq_corpus_codes(spark, sf_dir)
+    if built is None:
         return spark.createDataFrame([], out_schema)
-    train = np.array([r["ue"] for r in sample], dtype=np.float64)
-    books = _train_pq_books(train)
-
-    bc_books = spark.sparkContext.broadcast(books)
-
-    def encode(batches):
-        bk = bc_books.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array(list(pdf["ue"]), dtype=np.float64)
-            codes = _pq_encode(mat, bk)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                }
-            )
-
-    codes_df = v.mapInPandas(encode, "vec_id long, codes array<int>")
+    codes_df, books, v = built
+    bc_books = spark.sparkContext.broadcast(books)  # for the ADC kernel
 
     qrows = (
         v.filter(F.col("vec_id") % 10 == 0).select("vec_id", "ue").collect()

@@ -84,6 +84,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # shared core, duality assert)
     "b106_ivfpq_ann",                  # IVF x PQ composed index
                                        # (rows-only + parity contract)
+    "a31_stream_pq_encode",            # PQ encode at ingest (shared
+                                       # kernel, bit-identical duality)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

@@ -22,6 +22,9 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    ArrayType,
+    FloatType,
+    IntegerType,
 )
 
 from kafka_streams_sandbox_spark.catalog import normalize_event_ts
@@ -106,6 +109,26 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .format("parquet")
         .load(_staged_table_dir(sf_dir, "documents"))
+    )
+
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over embeddings.parquet — the vector-ingest
+    view, for encode/index-at-ingest operators (a31)."""
+    configure(spark)
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .load(_staged_table_dir(sf_dir, "embeddings"))
     )
 
 

@@ -868,3 +868,70 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a30_stream_repetition_gate",
     )
     return out
+
+
+@query("a31_stream_pq_encode")  # rows-only: streaming sink
+def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b104's PQ encode at INGEST TIME — the production vector
+    pipeline shape: codebooks train ONCE on the standing corpus (the
+    A8 materialized-artifact discipline, like a28's band index), then
+    every arriving vector is encoded to its 8 codes as it lands, so
+    the ANN index grows incrementally without ever re-reading raw
+    vectors at rest.
+
+    foreachBatch applies the SHARED degenerate-row guard
+    (`guarded_unit_vectors`) and the SHARED encode kernel
+    (`pq_encode_kernel` over the same broadcast codebooks) per
+    micro-batch, writing batch_id-derived subpaths (retries replace
+    their own output — a28's idempotency discipline).
+
+    In-query duality assert: a vector's codes depend only on (its own
+    values, the trained codebooks), never on batch-mates — so
+    micro-batch boundaries cannot change them, and a non-error run
+    certifies ingest-time codes == b104's at-rest codes bit-for-bit
+    (same argmin kernel, same broadcast books).
+    """
+    import tempfile
+
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        guarded_unit_vectors,
+        pq_corpus_codes,
+        pq_encode_kernel,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import embeddings_stream
+
+    built = pq_corpus_codes(spark, sf_dir)
+    out_schema = "vec_id bigint, codes array<int>"
+    if built is None:
+        return spark.createDataFrame([], out_schema)
+    batch_codes, books, _ = built
+    bc_books = spark.sparkContext.broadcast(books)
+    out_dir = tempfile.mkdtemp(prefix="kss-a31-")
+
+    def encode_batch(bdf: DataFrame, batch_id: int) -> None:
+        v = guarded_unit_vectors(bdf)
+        v.mapInPandas(
+            pq_encode_kernel(bc_books), "vec_id long, codes array<int>"
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select("vec_id", "codes")
+    except Exception:
+        out = spark.createDataFrame([], out_schema)
+    assert_stream_batch_duality(
+        out,
+        batch_codes,
+        ["vec_id", "codes"],
+        "a31_stream_pq_encode",
+    )
+    return out

@@ -1125,3 +1125,27 @@ def test_stream_repetition_gate_duality(spark):
     assert stream == batch and stream
     verdicts = {r[-1] for r in stream}
     assert verdicts == {True, False}
+
+
+def test_stream_pq_encode_duality(spark):
+    """a31's ingest-time PQ codes must equal b104's at-rest codes
+    bit-for-bit (shared guard, shared kernel, same broadcast books);
+    the in-query assert enforces this on every run, the named test
+    documents it and pins full-corpus coverage."""
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        pq_corpus_codes,
+    )
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a31_stream_pq_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in a31_stream_pq_encode(spark, sf).collect()
+    }
+    batch_codes, _, _ = pq_corpus_codes(spark, sf)
+    batch = {
+        (r["vec_id"], tuple(r["codes"])) for r in batch_codes.collect()
+    }
+    assert stream == batch and stream
