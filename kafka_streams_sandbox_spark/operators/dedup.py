@@ -1807,13 +1807,13 @@ def selfseed_ingest_round(
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest round of the self-seeding pipeline, shared verbatim
     by b99 (batch iteration) and a29 (foreachBatch): verdict the batch
-    against the standing (corpus, index) with b98's core, then derive
-    the index delta — the band keys of ACCEPTED (unique) docs, cap-
-    admitted by admit_index_delta. Rejected near-dups never seed (the
-    keeper already stands — first-wins). Returns (verdicts, delta);
-    the caller materializes verdicts BEFORE the delta (the delta's
-    accepted-id set re-reads them, and both twins checkpoint/write
-    verdicts first so the verdict plan runs once)."""
+    against the standing (corpus, index) with b98's core. Returns
+    (verdicts, probe) where probe is the batch's RAW band keys —
+    NOT an admitted delta: the caller materializes verdicts first,
+    then derives the cap-admitted delta via
+    ``selfseed_delta_from_verdicts(probe, written_verdicts, index)``
+    so the verdict plan runs exactly once and rejected near-dups
+    never seed (first-wins; admit_index_delta enforces the cap)."""
     probe = _minhash_band_keys(batch)
     verdicts = incremental_neardup_verdicts(
         batch=batch,
@@ -1880,33 +1880,57 @@ def b99_selfseed_neardup(  # dependent ingest (no DuckDB twin)
     docs = documents_wide(spark, sf_dir)
     tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
     corpus = tokened.filter((F.col("doc_id") % 10) < 8)
-    index = guarded_band_index(corpus)
+    # seed index persisted ONCE (r7 review fix): the corpus banding
+    # lineage (scan + shingle explode + 32-min agg + windows) is the
+    # dominant cost, and without the persist every round's two eager
+    # consumers (candidate join, admission counts) re-ran it — ~4x at
+    # the 100x probe. Safe to unpersist at the end: the returned
+    # frame depends only on the eager verdict checkpoints.
+    seed_index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
+    seed_index.count()
+    index = seed_index
     rounds = []
-    for seq in (8, 9):
-        sel = (F.col("doc_id") % 10) == seq
-        batch = tokened.filter(sel)
-        verdicts, probe = selfseed_ingest_round(
-            batch=batch,
-            batch_all_ids=docs.filter(sel).select("doc_id"),
-            corpus=corpus,
-            index=index,
-        )
-        verdicts = verdicts.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
-        rounds.append(verdicts.withColumn("seq", (F.col("doc_id") % 10)))
-        accepted = verdicts.filter(F.col("status") == "unique").select(
-            "doc_id"
-        )
-        corpus = corpus.unionByName(batch.join(accepted, "doc_id", "left_semi"))
-        # delta checkpointed too: the grown index has multiple round-
-        # N+1 consumers (candidate join + admission counts), each of
-        # which would otherwise re-run this round's banding lineage
-        index = index.unionByName(
-            selfseed_delta_from_verdicts(probe, verdicts, index).localCheckpoint(
+    try:
+        for seq in (8, 9):
+            sel = (F.col("doc_id") % 10) == seq
+            batch = tokened.filter(sel)
+            handles: list = []
+            verdicts, probe = selfseed_ingest_round(
+                batch=batch,
+                batch_all_ids=docs.filter(sel).select("doc_id"),
+                corpus=corpus,
+                index=index,
+                release_into=handles,
+            )
+            verdicts = verdicts.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
-        )
+            rounds.append(verdicts.withColumn("seq", (F.col("doc_id") % 10)))
+            accepted = verdicts.filter(F.col("status") == "unique").select(
+                "doc_id"
+            )
+            corpus = corpus.unionByName(
+                batch.join(accepted, "doc_id", "left_semi")
+            )
+            # delta checkpointed too: the grown index has multiple
+            # round-N+1 consumers (candidate join + admission counts),
+            # each of which would otherwise re-run this round's
+            # banding lineage
+            index = index.unionByName(
+                selfseed_delta_from_verdicts(
+                    probe, verdicts, index
+                ).localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+            )
+            # the per-round candidate checkpoints (release_into) are
+            # consumed once the verdicts materialize above — release
+            # them here instead of leaking one set per round per
+            # invocation (r7 review fix; the a28/a29 discipline)
+            for h in handles:
+                h.unpersist()
+    finally:
+        seed_index.unpersist()
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)

@@ -1762,8 +1762,12 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
             )
         ]
     )
+    # both currencies coalesced: an EMPTY corpus makes every sum NULL
+    # (r7 review fix — n_docs previously reported NULL while n_tokens
+    # coalesced to 0, an inconsistent report on the routine
+    # empty-slice input)
     stack = ", ".join(
-        f"'{stage}', {stage}_d, coalesce({stage}_t, 0)"
+        f"'{stage}', coalesce({stage}_d, 0), coalesce({stage}_t, 0)"
         for stage, _, _ in stages
     )
     return one.select(

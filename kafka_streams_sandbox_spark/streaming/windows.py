@@ -660,6 +660,8 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         selfseed_delta_from_verdicts,
         selfseed_ingest_round,
     )
+    from pyspark.errors import AnalysisException
+
     from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
 
     docs = documents_wide(spark, sf_dir)
@@ -686,18 +688,43 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="kss-a29-out-")
     guarded_band_index(corpus).write.parquet(f"{index_dir}/seed")
 
-    def _read_state(path: str, schema: str) -> DataFrame:
-        try:
-            return spark.read.option("recursiveFileLookup", "true").parquet(
-                path
-            )
-        except Exception:
+    def _state(root: str, schema: str, upto: int, seed: bool) -> DataFrame:
+        """Standing state = seed (optionally) + COMMITTED batch deltas
+        only (batch_id < the running batch). Selecting paths
+        explicitly — not a recursive read of the whole root — is the
+        retry-correctness fix (r7 review): a crashed attempt of batch
+        N leaves its own batch_id=N subpath behind, and a recursive
+        read on retry would hand batch N its OWN prior delta, making
+        every doc self-match at jaccard 1.0. Explicit paths also
+        remove the bare-except empty-frame fallback that silently
+        degraded a failed state read to accept-everything."""
+        paths = []
+        for p in sorted(glob.glob(f"{root}/*")):
+            base = os.path.basename(p)
+            if base == "seed":
+                if seed:
+                    paths.append(p)
+            elif base.startswith("batch_id="):
+                if int(base.split("=", 1)[1]) < upto:
+                    paths.append(p)
+        if not paths:
             return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths)
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
-        index = _read_state(index_dir, "doc_ref bigint, band int, key bigint")
+        index = _state(
+            index_dir,
+            "doc_ref bigint, band int, key bigint",
+            int(batch_id),
+            seed=True,
+        )
         standing = corpus_text.unionByName(
-            _read_state(accepted_dir, "doc_id bigint, text string")
+            _state(
+                accepted_dir,
+                "doc_id bigint, text string",
+                int(batch_id),
+                seed=False,
+            )
         )
         handles: list = []
         verdicts, probe = selfseed_ingest_round(
@@ -733,9 +760,16 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = _read_state(
-        out_dir, "doc_id bigint, match_id bigint, jaccard double, status string"
-    ).withColumn("seq", (F.col("doc_id") % 10))
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        )
+    except AnalysisException:  # zero batches -> no footer to infer
+        out = spark.createDataFrame(
+            [],
+            "doc_id bigint, match_id bigint, jaccard double, status string",
+        )
+    out = out.withColumn("seq", (F.col("doc_id") % 10))
     assert_stream_batch_duality(
         out,
         b99_selfseed_neardup(spark, sf_dir),

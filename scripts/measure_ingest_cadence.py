@@ -80,11 +80,18 @@ def main() -> None:
     n_arriving = docs.filter(is_new).count()
     for part in range(N_BATCHES):
         stage = tempfile.mkdtemp(prefix=f"kss-cad-w{part}-")
-        docs.filter(is_new & ((F.col("doc_id") % N_BATCHES) == part)).select(
+        # slice on a HASH of doc_id, not doc_id % N: arriving ids are
+        # all == 8 or 9 (mod 10), so any N sharing a factor with 10
+        # (5, 10, 15...) would leave most parts EMPTY and crash the
+        # single-file consolidation below (r7 review fix)
+        part_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_BATCHES))
+        docs.filter(is_new & (part_of == part)).select(
             *cols
         ).write.mode("overwrite").parquet(stage)
         dst = f"{src_dir}/part-{part:02d}.parquet"
         parts = sorted(glob.glob(f"{stage}/part-*.parquet"))
+        if not parts:  # an empty slice contributes no micro-batch
+            continue
         if len(parts) == 1:
             shutil.copyfile(parts[0], dst)
         else:  # big slices arrive multi-file; keep one file per batch

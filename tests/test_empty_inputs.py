@@ -22,7 +22,10 @@ from kafka_streams_sandbox_spark.operators.extended import (
     b51_sliding_window_agg,
     b90_time_grid_fill,
 )
-from kafka_streams_sandbox_spark.operators.pipeline import b103_temperature_mixture
+from kafka_streams_sandbox_spark.operators.pipeline import (
+    b100_curation_capstone,
+    b103_temperature_mixture,
+)
 from kafka_streams_sandbox_spark.operators.packing import (
     b88_shard_shuffle,
     b89_shard_write_manifest,
@@ -118,3 +121,14 @@ _QUERIES = [
 @pytest.mark.parametrize("fn", _QUERIES, ids=lambda f: f.__name__)
 def test_query_on_empty_input_returns_empty(spark, empty_dir, fn):
     assert fn(spark, empty_dir).count() == 0
+
+
+def test_capstone_on_empty_input_reports_zero_attrition(spark, empty_dir):
+    """b100 is shaped differently from the list above: it ALWAYS
+    emits its 8 stage rows (one stack over a single agg row), so on
+    an empty corpus the contract is 8 rows of (0 docs, 0 tokens) —
+    not an empty frame (r7 review: n_docs previously surfaced NULL)."""
+    rows = b100_curation_capstone(spark, empty_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_docs"] == 0 and r["n_tokens"] == 0, r
