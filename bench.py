@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "b105_winnowing_fingerprints",
     # round-7: IVF x PQ composed index (rows-only)
     "b106_ivfpq_ann",
+    # round-7: asymmetric containment pairs (oracle-backed, joins the
+    # shared-ratio membership -- b26's plan family)
+    "b107_containment_pairs",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -2288,3 +2288,132 @@ def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_prints"))
         .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# B107: containment near-dup pairs (asymmetric |A∩B| / |A|)
+# ---------------------------------------------------------------------------
+# b26's jaccard >= 0.5 deliberately prunes pairs whose sizes differ
+# more than 2x — which is exactly where QUOTATION/BOILERPLATE
+# duplication lives: a 40-token snippet reproduced inside a 400-token
+# page has jaccard ~0.1 but containment ~1.0. Containment is the
+# directional set measure the LSH-Ensemble line of work (Zhu et al.
+# 2016) indexes; for curation it flags "doc A is (mostly) inside doc
+# B" so the contained doc can be dropped or the span attributed.
+_B107_TAU = 0.9  # containment threshold (|A∩B| / |A| for A the smaller)
+_B107_MIN_SH = 3  # docs with < 3 distinct shingles can't be evidence:
+# a one-shingle doc is "contained" in every doc sharing that shingle
+_B107_DF_CAP = 50  # hot-shingle guard, identical in the oracle (b105's
+# discipline — boilerplate shingles are not containment evidence)
+
+B107_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS shingles
+        FROM (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+    ), eligible AS (
+        SELECT doc_id, lang, shingles, len(shingles) AS n_sh
+        FROM sh WHERE len(shingles) >= {_B107_MIN_SH}
+    ), p AS (
+        SELECT doc_id, lang, n_sh, unnest(shingles) AS s FROM eligible
+    ), live AS (
+        SELECT s, lang FROM p GROUP BY s, lang
+        HAVING COUNT(*) BETWEEN 2 AND {_B107_DF_CAP}
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_common
+        FROM p a
+        JOIN live USING (s, lang)
+        JOIN p b ON a.s = b.s AND a.lang = b.lang
+                AND a.doc_id != b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a AS contained_id, doc_b AS container_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           (CAST(n_common AS DOUBLE) / n_a) AS containment
+    FROM inter
+    WHERE (CAST(n_common AS DOUBLE) / n_a) >= {_B107_TAU}
+"""
+
+
+@query("b107_containment_pairs", oracle=B107_ORACLE)
+def b107_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs: (contained, container) where the
+    contained doc's distinct word-3-gram set is >= {_B107_TAU:.0%}
+    inside the container's — the asymmetric duplication (quotes,
+    embedded boilerplate, page-in-page) that b26's size-ratio-pruned
+    symmetric jaccard deliberately cannot see.
+
+    Plan = b26's inverted index with b105's df cap: explode distinct
+    shingles (hashed to int64 — counts over hashes equal counts over
+    strings, b26's argument), one uniform-hash bucket per
+    (shingle, lang) capped at df <= {_B107_DF_CAP} (identical in the
+    oracle), DIRECTED pair emission inside the bucket (both
+    directions — containment is asymmetric), pair-count aggregate,
+    threshold on n_common / n_contained. Docs under {_B107_MIN_SH}
+    distinct shingles are excluded in both engines: a one-shingle doc
+    is vacuously "contained" in every doc sharing it.
+
+    Scale: Σ df² bounded by the cap; no per-pair array work — the
+    intersection size falls out of the bucket pair count exactly as
+    in b26. At 100 TB this is the standard containment pre-filter in
+    front of an attribution/span pass (b87/b97 then locate WHERE the
+    contained text sits).
+    """
+    docs = documents_wide(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
+            ).alias("shingles"),
+        )
+        .withColumn("n_sh", F.size("shingles"))
+        .filter(F.col("n_sh") >= _B107_MIN_SH)
+    )
+    posting = sh.select(
+        "lang", "doc_id", "n_sh", F.explode_outer("shingles").alias("s")
+    )
+    bucket = (
+        posting.groupBy("s", "lang")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _B107_DF_CAP))
+    )
+    pairs = bucket.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ds, x ->
+                       filter(transform(ds, y ->
+                                  struct(x.doc_id AS doc_a, x.n_sh AS n_a,
+                                         y.doc_id AS doc_b)),
+                              p -> p.doc_a != p.doc_b)))"""
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_a").cast(
+        "double"
+    )
+    return (
+        inter.filter(containment >= _B107_TAU)
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            containment.alias("containment"),
+        )
+    )

@@ -86,6 +86,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (rows-only + parity contract)
     "a31_stream_pq_encode",            # PQ encode at ingest (shared
                                        # kernel, bit-identical duality)
+    "b107_containment_pairs",          # asymmetric containment dedup
+                                       # (oracle-backed)
     # --- changed in round 7 (code touched; rows must refresh) ---
     "b98_incremental_neardup",         # guarded_band_index now keeps
                                        # _REP_N reps per oversized bucket

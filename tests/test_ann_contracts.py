@@ -1337,3 +1337,86 @@ def test_ivfpq_survives_hostile_vectors(spark, tmp_path):
         assert r["query_id"] not in hostile, r
         assert r["neighbor_id"] not in hostile, r
         assert r["approx_cos"] is not None and np.isfinite(r["approx_cos"]), r
+
+
+# ---------------------------------------------------------------------------
+# b107 containment pairs
+# ---------------------------------------------------------------------------
+def test_containment_catches_what_jaccard_prunes(spark, tmp_path):
+    """The motivating case: a 40-token snippet reproduced inside a
+    200-token page. b26's symmetric jaccard deliberately prunes pairs
+    whose shingle sets differ >2x in size, so it misses the pair;
+    b107 flags it DIRECTIONALLY (snippet contained in page, not the
+    reverse). Sub-threshold and tiny-doc cases stay absent."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b26_ngram_jaccard_pairs,
+        b107_containment_pairs,
+    )
+
+    page = " ".join(f"pg{i}" for i in range(200))
+    snippet = " ".join(f"pg{i}" for i in range(80, 120))  # 40 tokens of it
+    texts = [
+        page,  # 0: container
+        snippet,  # 1: contained (38 shingles, all inside doc 0's 198)
+        " ".join(f"zz{i}" for i in range(60)),  # 2: unrelated
+        "a b c",  # 3: 1 shingle -> excluded by _B107_MIN_SH
+        "a b c d",  # 4: 2 shingles -> still excluded
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["srcC"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["contained_id"], r["container_id"]): r
+        for r in b107_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 0) in got  # snippet contained in page
+    assert got[(1, 0)]["containment"] == 1.0
+    assert got[(1, 0)]["n_common"] == 38
+    assert (0, 1) not in got  # the page is NOT contained in the snippet
+    assert all(3 not in k and 4 not in k for k in got)  # tiny docs out
+    # and b26 misses the pair entirely (size-ratio prune: 198 vs 38)
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in b26_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) not in jac and (1, 0) not in jac
+
+
+def test_containment_on_hostile_docs(spark, tmp_path):
+    """b107's own column names keep it out of the shared neardup
+    hostile sweep; same contract: the exact-dup pair appears (both
+    directions — containment is directional), degenerate docs never
+    pair (token-less docs have no shingles; 1-2-shingle docs are
+    excluded as vacuous)."""
+    from tests.test_hostile_inputs import _DOCS
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b107_containment_pairs,
+    )
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+            "source": pa.array(["srcH"] * len(_DOCS), pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else 0 for d in _DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in b107_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert pairs == {(8, 9), (9, 8)}
