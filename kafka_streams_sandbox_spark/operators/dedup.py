@@ -2265,13 +2265,29 @@ def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INLINED into an interpreted per-row Filter (the b62 recompute
     # trap — measured as a >10-min hang at sf0.001 vs ~2 s). Prints
     # are never empty anyway (>= 1 token -> >= 1 gram -> >= 1 print).
-    posting = prints.select("doc_id", F.explode_outer("prints").alias("pr"))
-    bucket = (
+    from pyspark import StorageLevel
+
+    posting = prints.select(
+        "doc_id", F.explode_outer("prints").alias("pr")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # lazy DISK_ONLY checkpoint: the posting has TWO consumers (df
+    # counts + bucket collect) and each would otherwise re-run the
+    # whole token-hash -> gram-hash -> winnow lineage over the corpus
+    # df first, collect second (the b107 100x lesson applied here
+    # too): a boilerplate print's full posting list must never
+    # materialize in one collect_list buffer just to be dropped by
+    # the cap — count is map-side-combinable, the semi join bounds
+    # every collected bucket at the cap by construction
+    live = (
         posting.groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
+        .select("pr")
+    )
+    bucket = (
+        posting.join(live, ["pr"], "left_semi")
+        .groupBy("pr")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= _WIN_DF_CAP)
-        )
     )
     pairs = bucket.select(
         F.explode(
@@ -2369,27 +2385,63 @@ def b107_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     front of an attribution/span pass (b87/b97 then locate WHERE the
     contained text sits).
     """
+    from pyspark import StorageLevel
+
     docs = documents_wide(spark, sf_dir)
-    sh = (
-        docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
-            ).alias("shingles"),
-        )
-        .withColumn("n_sh", F.size("shingles"))
-        .filter(F.col("n_sh") >= _B107_MIN_SH)
+    sh = docs.select(
+        "doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform({word_ngrams_expr(3, 'toks')}, s -> xxhash64(s))"
+        ).alias("shingles"),
     )
-    posting = sh.select(
-        "lang", "doc_id", "n_sh", F.explode_outer("shingles").alias("s")
+    # Eligibility is gated INSIDE the generator expression, never as a
+    # Filter on the expensive chain: a `.filter(n_sh >= 3)` inlines
+    # the whole tokenize+shingle build into an interpreted scan-level
+    # Filter (the b62/b105 constraint-inference trap — the executed
+    # plan showed the chain duplicated into both scans). Ineligible
+    # docs (< 3 distinct shingles; NULL/empty text collapses there
+    # too) emit an empty array, whose explode_outer NULL row is
+    # dropped on the GENERATED column — not pushable below Generate.
+    posting = (
+        sh.select(
+            "lang",
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(shingles) >= {_B107_MIN_SH} "
+                    "THEN shingles ELSE CAST(array() AS ARRAY<BIGINT>) END"
+                )
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        # the posting has TWO consumers (the df counts and the bucket
+        # collect); without truncation each re-runs the corpus-wide
+        # tokenize+shingle lineage (the b27-multi-consumer lesson) —
+        # narrow ~30 B rows, disk-backed
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # df FIRST, collect SECOND (r7 100x lesson): filtering on
+    # size(collect_list) materializes the HOT buckets' full lists
+    # before dropping them — on the 100x Zipf corpus 27k shingles
+    # exceed the cap, some with df >> 10k, i.e. the b28 unspillable-
+    # buffer shape. A count aggregate is map-side-combinable at any
+    # df; the semi join then bounds every collected bucket at the cap
+    # BY CONSTRUCTION, and the bucket groupBy reuses the join's
+    # (s, lang) partitioning.
+    live = (
+        posting.groupBy("s", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _B107_DF_CAP))
+        .select("s", "lang")
     )
     bucket = (
-        posting.groupBy("s", "lang")
+        posting.join(live, ["s", "lang"], "left_semi")
+        .groupBy("s", "lang")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= _B107_DF_CAP))
     )
     pairs = bucket.select(
         F.explode(
