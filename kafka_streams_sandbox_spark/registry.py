@@ -58,8 +58,8 @@ _OPERATOR_MODULES = (
 REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-7 ordering (VERDICT r6 Next #4): NEW queries first,
     # then queries whose code changed this round, then the 18 queries
-    # whose latest driver row is r4 — the combined head (10 new + 7
-    # changed + 18 r4 rows = 35) fits the ~50-query window with room
+    # whose latest driver row is r4 — the combined head (12 new + 7
+    # changed + 18 r4 rows = 37) fits the ~50-query window with room
     # for r5-row rotation, and the round closes with no registry row
     # older than r5.
     # --- NEW in round 7 (no driver row exists yet) ---
