@@ -1813,8 +1813,22 @@ def selfseed_ingest_round(
     then derives the cap-admitted delta via
     ``selfseed_delta_from_verdicts(probe, written_verdicts, index)``
     so the verdict plan runs exactly once and rejected near-dups
-    never seed (first-wins; admit_index_delta enforces the cap)."""
-    probe = _minhash_band_keys(batch)
+    never seed (first-wins; admit_index_delta enforces the cap).
+
+    The probe frame is lazily DISK_ONLY-checkpointed here (r8, ADVICE
+    r7): it has TWO consumers — the verdict plan's candidate join and
+    the caller's delta derivation — and without truncation the second
+    re-ran the batch's full banding lineage once more per round. The
+    handle rides ``release_into`` like the candidate table, so
+    streaming callers release it with the others after the delta is
+    written."""
+    from pyspark import StorageLevel
+
+    probe = _minhash_band_keys(batch).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    if release_into is not None:
+        release_into.append(probe)
     verdicts = incremental_neardup_verdicts(
         batch=batch,
         batch_all_ids=batch_all_ids,
@@ -1867,8 +1881,12 @@ def b99_selfseed_neardup(  # dependent ingest (no DuckDB twin)
     state instead of re-running round N (and the accepted-id derivation
     reads the checkpoint, not a second verdict run).
 
-    Reference parity: the stateful first-wins discipline is the
-    KTable upsert's (KStreamsToKTable.java:78-81) applied at ingest;
+    Reference parity: the standing keyed store continuously updated
+    by the stream is the KTable state-store pattern
+    (KStreamsToKTable.java:78-81) — note the ordering discipline
+    INVERTS: the KTable upsert is last-wins (a later record replaces
+    the stored value), while dedup admission is first-wins (the
+    earlier arrival is the keeper and later near-dups are rejected);
     a26 is its exact-fingerprint form, b99 the band-geometry form.
     Planted contract: a seq-9 near-copy of an ACCEPTED seq-8 doc is
     flagged with that doc as its match (the cross-batch case b98

@@ -62,6 +62,38 @@ def assert_stream_batch_duality(
         )
 
 
+def committed_state(
+    spark: SparkSession, root: str, schema: str, upto: int, seed: bool
+) -> DataFrame:
+    """Standing parquet-backed state = ``root/seed`` (optionally) +
+    COMMITTED batch deltas only (``batch_id < upto``).
+
+    Selecting paths explicitly — not a recursive read of the whole
+    root — is the retry-correctness rule (r7 review): a crashed
+    attempt of batch N leaves its own batch_id=N subpath behind, and
+    a recursive read on retry would hand batch N its OWN prior delta,
+    making every doc self-match at jaccard 1.0. Explicit paths also
+    remove the bare-except empty-frame fallback that silently
+    degraded a failed state read to accept-everything. One definition
+    shared by a29/a32 and scripts/measure_ingest_cadence.py (r8,
+    ADVICE r7)."""
+    import glob
+    import os
+
+    paths = []
+    for p in sorted(glob.glob(f"{root}/*")):
+        base = os.path.basename(p)
+        if base == "seed":
+            if seed:
+                paths.append(p)
+        elif base.startswith("batch_id="):
+            if int(base.split("=", 1)[1]) < upto:
+                paths.append(p)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
+
+
 def run_to_memory(df: DataFrame, mode: str) -> str:
     """Run a streaming DF availableNow into a memory-sink view."""
     name = f"win_{uuid.uuid4().hex[:8]}"
@@ -545,6 +577,7 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
 
     from kafka_streams_sandbox_spark.catalog import documents_wide
     from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
@@ -608,7 +641,7 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         out = spark.read.option("recursiveFileLookup", "true").parquet(
             out_dir
         ).select("doc_id", "match_id", "jaccard", "status")
-    except Exception:
+    except AnalysisException:  # zero batches -> no footer to infer
         out = spark.createDataFrame(
             [],
             "doc_id bigint, match_id bigint, jaccard double, status string",
@@ -688,38 +721,19 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="kss-a29-out-")
     guarded_band_index(corpus).write.parquet(f"{index_dir}/seed")
 
-    def _state(root: str, schema: str, upto: int, seed: bool) -> DataFrame:
-        """Standing state = seed (optionally) + COMMITTED batch deltas
-        only (batch_id < the running batch). Selecting paths
-        explicitly — not a recursive read of the whole root — is the
-        retry-correctness fix (r7 review): a crashed attempt of batch
-        N leaves its own batch_id=N subpath behind, and a recursive
-        read on retry would hand batch N its OWN prior delta, making
-        every doc self-match at jaccard 1.0. Explicit paths also
-        remove the bare-except empty-frame fallback that silently
-        degraded a failed state read to accept-everything."""
-        paths = []
-        for p in sorted(glob.glob(f"{root}/*")):
-            base = os.path.basename(p)
-            if base == "seed":
-                if seed:
-                    paths.append(p)
-            elif base.startswith("batch_id="):
-                if int(base.split("=", 1)[1]) < upto:
-                    paths.append(p)
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
-
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
-        index = _state(
+        # committed_state (module level, shared with the cadence
+        # probe script): seed + strictly-earlier batch deltas only
+        index = committed_state(
+            spark,
             index_dir,
             "doc_ref bigint, band int, key bigint",
             int(batch_id),
             seed=True,
         )
         standing = corpus_text.unionByName(
-            _state(
+            committed_state(
+                spark,
                 accepted_dir,
                 "doc_id bigint, text string",
                 int(batch_id),
@@ -848,6 +862,8 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
+    from pyspark.errors import AnalysisException
+
     from kafka_streams_sandbox_spark.operators.text import (
         b102_gopher_repetition,
         repetition_metrics,
@@ -885,7 +901,7 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup10_cov",
             "passes_repetition",
         )
-    except Exception:
+    except AnalysisException:  # zero batches -> no footer to infer
         out = spark.createDataFrame([], out_schema)
     assert_stream_batch_duality(
         out,
@@ -924,8 +940,19 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundaries cannot change them, and a non-error run
     certifies ingest-time codes == b104's at-rest codes bit-for-bit
     (same argmin kernel, same broadcast books).
+
+    Returned shape (r8, VERDICT r7 #1): one row per (vec_id, pos,
+    code) — the duality assert still runs on the packed array form,
+    but the DRIVER-facing frame must hold only scalar columns: the
+    round driver canonicalizes results with a raw pandas sort over
+    every column, and an ``array<int>`` column arrives as numpy
+    arrays, which that sort cannot hash (the one red row in
+    CORRECTNESS_r07). The exploded form is also the production
+    posting-table layout for a code column.
     """
     import tempfile
+
+    from pyspark.errors import AnalysisException
 
     from kafka_streams_sandbox_spark.operators.similarity import (
         guarded_unit_vectors,
@@ -936,8 +963,9 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     built = pq_corpus_codes(spark, sf_dir)
     out_schema = "vec_id bigint, codes array<int>"
+    empty_out = "vec_id bigint, pos int, code int"
     if built is None:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame([], empty_out)
     batch_codes, books, _ = built
     bc_books = spark.sparkContext.broadcast(books)
     out_dir = tempfile.mkdtemp(prefix="kss-a31-")
@@ -960,7 +988,7 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.option("recursiveFileLookup", "true").parquet(
             out_dir
         ).select("vec_id", "codes")
-    except Exception:
+    except AnalysisException:  # zero batches -> no footer to infer
         out = spark.createDataFrame([], out_schema)
     assert_stream_batch_duality(
         out,
@@ -968,4 +996,4 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["vec_id", "codes"],
         "a31_stream_pq_encode",
     )
-    return out
+    return out.select("vec_id", F.posexplode("codes").alias("pos", "code"))

@@ -105,23 +105,32 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="kss-cad-out-")
     batch_secs: list[float] = []
 
-    def _read_state(path: str, schema: str):
-        try:
-            return spark.read.option("recursiveFileLookup", "true").parquet(
-                path
-            )
-        except Exception:
-            return spark.createDataFrame([], schema)
+    # a29's committed-state discipline (r8, ADVICE r7): the previous
+    # recursive read had no batch_id < current filter, so a RETRIED
+    # micro-batch would read its own prior delta and self-match every
+    # doc at jaccard 1.0 — the exact bug a29's explicit-path reader
+    # fixed; reuse that reader instead of re-growing the bug here.
+    from kafka_streams_sandbox_spark.streaming.windows import committed_state
 
     def ingest(bdf, batch_id):
         tb = time.time()
         handles: list = []
         if MODE == "selfseed":
-            idx = _read_state(
-                index_dir, "doc_ref bigint, band int, key bigint"
+            idx = committed_state(
+                spark,
+                index_dir,
+                "doc_ref bigint, band int, key bigint",
+                int(batch_id),
+                seed=True,
             )
             standing = corpus_text.unionByName(
-                _read_state(accepted_dir, "doc_id bigint, text string")
+                committed_state(
+                    spark,
+                    accepted_dir,
+                    "doc_id bigint, text string",
+                    int(batch_id),
+                    seed=False,
+                )
             )
             verdicts, probe = selfseed_ingest_round(
                 batch=bdf.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),

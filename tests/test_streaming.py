@@ -1130,8 +1130,12 @@ def test_stream_repetition_gate_duality(spark):
 def test_stream_pq_encode_duality(spark):
     """a31's ingest-time PQ codes must equal b104's at-rest codes
     bit-for-bit (shared guard, shared kernel, same broadcast books);
-    the in-query assert enforces this on every run, the named test
-    documents it and pins full-corpus coverage."""
+    the in-query assert enforces this on every run (packed array
+    form), the named test documents it and pins full-corpus coverage
+    over the driver-facing EXPLODED (vec_id, pos, code) rows — the
+    r8 canonicalizer-safe shape (VERDICT r7 #1)."""
+    from collections import defaultdict
+
     from kafka_streams_sandbox_spark.operators.similarity import (
         pq_corpus_codes,
     )
@@ -1140,9 +1144,14 @@ def test_stream_pq_encode_duality(spark):
     )
 
     sf = "/root/testdata/sf0.001"
+    out = a31_stream_pq_encode(spark, sf)
+    assert [f.name for f in out.schema.fields] == ["vec_id", "pos", "code"]
+    packed: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in out.collect():
+        packed[r["vec_id"]][r["pos"]] = r["code"]
     stream = {
-        (r["vec_id"], tuple(r["codes"]))
-        for r in a31_stream_pq_encode(spark, sf).collect()
+        (vid, tuple(codes[i] for i in range(len(codes))))
+        for vid, codes in packed.items()
     }
     batch_codes, _, _ = pq_corpus_codes(spark, sf)
     batch = {
