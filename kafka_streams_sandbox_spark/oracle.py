@@ -31,6 +31,24 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The round driver's canonicalization, replicated STRICTLY:
+    columns sorted by name, then rows sorted by ALL columns with a
+    raw pandas sort — NO list->tuple coercion. ``_normalize`` below
+    is deliberately more lenient (it tuple-izes list cells so local
+    diffs stay readable), which is exactly how a31's ``array<int>``
+    output column passed every local check and still landed the one
+    red row in CORRECTNESS_r07: the driver's raw sort cannot hash the
+    numpy arrays Spark's toPandas produces for array columns. Every
+    registered query must round-trip through THIS function without
+    raising (scripts/verify_contract.py + tests/test_canonicalizer.py
+    enforce it, r8 VERDICT r7 #1/#8)."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
@@ -54,13 +72,17 @@ class CompareResult:
     oracle_rows: int
     detail: str = ""
     mismatches: list[Any] = field(default_factory=list)
+    # the query's UN-normalized pandas result, for the driver-strict
+    # canon round-trip (driver_canon) without a second Spark run
+    spark_raw: pd.DataFrame | None = None
 
 
 def compare_query(
     spark: SparkSession, sf_dir: str, name: str, max_mismatch: int = 5
 ) -> CompareResult:
     queries, oracles = all_queries(), all_oracles()
-    sdf = _normalize(queries[name](spark, sf_dir).toPandas())
+    raw = queries[name](spark, sf_dir).toPandas()
+    sdf = _normalize(raw)
     con = duckdb_connection(sf_dir)
     try:
         odf = _normalize(con.execute(oracles[name]).fetchdf())
@@ -90,4 +112,4 @@ def compare_query(
         return CompareResult(
             name, False, len(sdf), len(odf), "value mismatch", mismatches
         )
-    return CompareResult(name, True, len(sdf), len(odf))
+    return CompareResult(name, True, len(sdf), len(odf), spark_raw=raw)

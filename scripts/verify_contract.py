@@ -22,7 +22,7 @@ def main() -> int:
     import __spark_entry__ as contract
     from pyspark.sql import SparkSession
 
-    from kafka_streams_sandbox_spark.oracle import compare_query
+    from kafka_streams_sandbox_spark.oracle import compare_query, driver_canon
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -41,8 +41,20 @@ def main() -> int:
             r = compare_query(spark, sf_dir, name)
             fails += 0 if r.ok else 1
             verdict = "OK" if r.ok else f"FAIL {r.detail} {r.mismatches[:1]}"
+            raw = r.spark_raw
         else:
-            verdict = f"rows-only: {qs[name](spark, sf_dir).count()}"
+            raw = qs[name](spark, sf_dir).toPandas()
+            verdict = f"rows-only: {len(raw)}"
+        # every result must round-trip the driver's STRICT canon (raw
+        # pandas sort over all columns) — a31's array<int> column
+        # passed the lenient local compare and still errored at the
+        # driver (CORRECTNESS_r07); this catches that class here
+        if raw is not None:
+            try:
+                driver_canon(raw)
+            except Exception as exc:  # noqa: BLE001 - report any canon fault
+                fails += 1
+                verdict += f" CANON-FAIL {type(exc).__name__}: {exc}"
         # per-query wall secs: the driver's verify window is
         # TIME-budgeted, so these costs are what REVERIFY_FIRST
         # ordering should be planned against next round
