@@ -236,15 +236,21 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the high-throughput twin of b33 (JVM fold): ~10-100×
     faster per pair at 100 TB, at the cost of bit-exactness vs the
-    DuckDB oracle (hence rows-only). The query side of a top-k search
-    is small by construction; it reaches every executor as a proper
-    broadcast VARIABLE built from an Arrow action — torrent-shipped
-    once per executor, not serialized into every task closure, and no
+    DuckDB oracle (hence rows-only). The query side is NOT small by
+    construction — the % 10 workload makes it TH(n) — so it is
+    BOUNDED to ``_ANN_QBATCH`` rows by a hash-ordered limit
+    (TakeOrderedAndProject, the _PQ_TRAIN discipline; r8, VERDICT r7
+    #2) before the Arrow action: one job answers a deterministic
+    bounded batch, and a production caller drains the full query set
+    in batches across jobs. The bounded batch reaches every executor
+    as a proper broadcast VARIABLE — torrent-shipped once per
+    executor, not serialized into every task closure, and no
     driver-side row-object collection anywhere (VERDICT r3 #5).
     """
     import numpy as np
 
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
+    from kafka_streams_sandbox_spark.operators.similarity import _ANN_QBATCH
 
     # NULL / wrong-dim rows out in SQL (a ragged batch breaks the
     # matmul); zero-norm rows masked numpy-side below — same
@@ -256,6 +262,8 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_tbl = (
         emb.filter(F.col("vec_id") % 10 == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_ANN_QBATCH)
         .select("vec_id", "embedding")
         .toArrow()
     )

@@ -950,6 +950,168 @@ def b70_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B108: bigram-LM corpus-typicality gate (the CCNet-shaped filter)
+# ---------------------------------------------------------------------------
+# The standard public pipeline filter this family still lacked (r8,
+# VERDICT r7 #4): CCNet (Wenzek et al. 2019) scores every document
+# with a small LM and gates on the score distribution. b70 builds the
+# bigram count table; b108 scores each doc's own bigram occurrences
+# against it and gates against the corpus-level score.
+#
+# Score design — every step engine-exact (the b102/b103 discipline):
+#   lm_score(doc) = hit_mass / (n_bigrams + base_mass)
+# summed over the doc's bigram OCCURRENCES, where hit = n(prev,next)
+# if that corpus count >= 2 else 0, base = n(prev). All three terms
+# are exact integer sums (decimal(38,0) partials — Sigma n_p over a
+# 100 TB corpus overflows int64); the score is ONE double division of
+# two correctly-rounded int casts, so no cross-engine float-summation
+# drift exists. No log/perplexity: libm ln() is not bit-identical
+# across engines, and the ratio form preserves the ordering the gate
+# needs. The n_pn >= 2 hapax exclusion is what makes SELF-trained
+# scoring sound: under a raw MLE every globally-unique bigram scores
+# p(next|prev) = 1, so gibberish ranks as maximally fluent (the
+# pathology CCNet avoids by training on Wikipedia); dropping hapax
+# mass sends unique-bigram docs to 0 instead.
+#   gate: passes_lm = 2 * lm_score >= corpus_score, where
+# corpus_score is the same ratio over global sums (*2 is exact; the
+# corpus ratio is ONE more division). Docs less than half as
+# corpus-typical as the corpus itself are the tail CCNet buckets off.
+_B108_MIN_BIGRAM_N = 2  # hapax-bigram exclusion (see above)
+
+B108_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> {{'prev': toks[i],
+                                            'next': toks[i+1]}})) AS bg
+        FROM toks WHERE len(toks) >= 2
+    ),
+    pn AS (
+        SELECT bg.prev AS prev_tok, bg.next AS next_tok,
+               COUNT(*) AS n_pn
+        FROM occ GROUP BY 1, 2
+    ),
+    pn2 AS (
+        SELECT prev_tok, next_tok, n_pn,
+               SUM(n_pn) OVER (PARTITION BY prev_tok) AS n_p
+        FROM pn
+    ),
+    scored AS (
+        SELECT o.doc_id,
+               COUNT(*) AS n_bigrams,
+               SUM(CASE WHEN c.n_pn >= {_B108_MIN_BIGRAM_N}
+                        THEN c.n_pn ELSE 0 END) AS hit_mass,
+               SUM(c.n_p) AS base_mass
+        FROM occ o
+        JOIN pn2 c ON o.bg.prev = c.prev_tok AND o.bg.next = c.next_tok
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(hit_mass) AS DOUBLE)
+                   / CAST(SUM(n_bigrams) + SUM(base_mass) AS DOUBLE)
+                   AS corpus_score
+        FROM scored
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(hit_mass AS DOUBLE)
+               / CAST(n_bigrams + base_mass AS DOUBLE) AS lm_score,
+           (2.0 * (CAST(hit_mass AS DOUBLE)
+                   / CAST(n_bigrams + base_mass AS DOUBLE)))
+               >= corpus_score AS passes_lm
+    FROM scored, tot
+"""
+
+
+def bigram_lm_verdict(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, n_bigrams, lm_score, passes_lm) for
+    every doc with >= 2 tokens — b108's scoring core, shared with
+    b100's funnel stage so the gate rule cannot drift.
+
+    Plan shape: bigram occurrences are map-only (inline over the
+    token-hash array — int64 xxhash64 keys, never ~60-char string
+    pairs, the b102 shuffle-key lesson; counts over hashes == counts
+    over strings, the b26 collision argument); ONE shuffle builds the
+    (prev, next) counts with map-side partial agg; the per-prev total
+    rides a window over the counts table (distinct-bigram-sized, not
+    corpus-sized); one corpus-scale SMJ fetches each occurrence's
+    counts; one doc_id shuffle aggregates the three per-doc masses.
+    The corpus threshold is a single-row aggregate broadcast back
+    (the b72 one-row crossJoin idiom) — no driver collect on any
+    corpus-sized frame."""
+    occ = toks_df.select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th")
+    ).select(
+        "doc_id",
+        F.expr(
+            """inline(transform(sequence(1, size(th) - 1),
+                 i -> named_struct('ph', element_at(th, i),
+                                   'nh', element_at(th, i + 1))))"""
+        ),
+    )
+    pn = occ.groupBy("ph", "nh").agg(F.count(F.lit(1)).alias("n_pn"))
+    pn2 = pn.withColumn(
+        "n_p", F.sum("n_pn").over(Window.partitionBy("ph"))
+    )
+    dec = "decimal(38,0)"
+    scored = (
+        occ.join(pn2, ["ph", "nh"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("n_pn") >= _B108_MIN_BIGRAM_N, F.col("n_pn")
+                )
+                .otherwise(F.lit(0))
+                .cast(dec)
+            ).alias("hit_mass"),
+            F.sum(F.col("n_p").cast(dec)).alias("base_mass"),
+        )
+    )
+    tot = scored.agg(
+        (
+            F.sum("hit_mass").cast("double")
+            / (
+                F.sum(F.col("n_bigrams").cast(dec)) + F.sum("base_mass")
+            ).cast("double")
+        ).alias("corpus_score")
+    )
+    score = F.col("hit_mass").cast("double") / (
+        F.col("n_bigrams").cast(dec) + F.col("base_mass")
+    ).cast("double")
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_bigrams",
+        score.alias("lm_score"),
+        (F.lit(2.0) * score >= F.col("corpus_score")).alias("passes_lm"),
+    )
+
+
+@query("b108_bigram_lm_gate", oracle=B108_ORACLE)
+def b108_bigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM gate: score every document's bigram occurrences
+    against the corpus's own bigram model and keep docs at least half
+    as corpus-typical as the corpus average (see the module comment
+    above for the engine-exact score design and the hapax exclusion
+    that makes self-trained scoring sound). Docs with < 2 tokens have
+    no bigram evidence and are not scored — the length floor of the
+    b69 quality gate owns that band. Slots into b100's funnel as the
+    lm_gate stage via the shared ``bigram_lm_verdict`` core."""
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    return bigram_lm_verdict(toks)
+
+
+# ---------------------------------------------------------------------------
 # B71: corpus-curation funnel (the composed end-to-end pipeline)
 # ---------------------------------------------------------------------------
 # The capstone: quality gate (b69 rules) -> dedup canonical keep (b24
@@ -1616,8 +1778,11 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     mixture. b100 composes them, each stage applying the SAME rule its
     standalone operator certifies:
 
-      raw -> quality (b69 gates) -> dedup_exact (b24 fingerprint,
-      min-id keeper) -> dedup_near (b27 banded+verified pairs over the
+      raw -> quality (b69 gates) -> lm_gate (b108's CCNet-shaped
+      corpus-typicality gate, r8 — the shared ``bigram_lm_verdict``
+      core scored against the RAW corpus model, the standalone rule
+      verbatim) -> dedup_exact (b24 fingerprint, min-id keeper among
+      lm survivors) -> dedup_near (b27 banded+verified pairs over the
       survivors -> b55 min-label components -> b60 canonical min-id
       keeper) -> rewrite (b97 span removal over the deduped corpus,
       then RE-GATE kept_tokens >= the b69 floor — the Lee et al. 2022
@@ -1663,6 +1828,11 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
         F.col("repetition_ratio") <= _B69_MAX_REPETITION
     )
     w_fp = Window.partitionBy("fingerprint")
+    # b108's gate verdict over the RAW corpus model (shared core);
+    # only the boolean crosses the join back into the decision frame
+    lm = bigram_lm_verdict(
+        trig.select("doc_id", "toks").filter(F.size("toks") >= 2)
+    ).select("doc_id", "passes_lm")
     # narrow per-doc decision frame: ~70 bytes/row, three consumers
     base = (
         trig.select(
@@ -1678,13 +1848,20 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
                 / F.size("tg")
             ).alias("repetition_ratio"),
         )
+        .join(lm, "doc_id", "left")
         .withColumn("q_pass", q_pass)
         .withColumn(
+            "lm_pass",
+            F.col("q_pass") & F.coalesce("passes_lm", F.lit(False)),
+        )
+        .drop("passes_lm")
+        .withColumn(
             "keep_id",
-            F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w_fp),
+            F.min(F.when(F.col("lm_pass"), F.col("doc_id"))).over(w_fp),
         )
         .withColumn(
-            "ex_keep", F.col("q_pass") & (F.col("doc_id") == F.col("keep_id"))
+            "ex_keep",
+            F.col("lm_pass") & (F.col("doc_id") == F.col("keep_id")),
         )
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
@@ -1745,6 +1922,7 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     stages = (
         ("raw", F.lit(True), pre),
         ("quality", F.col("q_pass"), pre),
+        ("lm_gate", F.col("lm_pass"), pre),
         ("dedup_exact", F.col("ex_keep"), pre),
         ("dedup_near", F.col("near_keep"), pre),
         ("rewrite", F.col("rw_pass"), kept),

@@ -765,6 +765,20 @@ _PQ_TRAIN = 2048  # bounded codebook training sample (FAISS practice)
 _PQ_ITERS = 5
 _PQ_TOPK = 10
 _PQ_QCHUNK = 512  # query rows per in-kernel block (b92's chunk lever)
+# Per-job query-batch bound for the broadcast ANN paths (r8, VERDICT
+# r7 #2). The workload defines queries as vec_id % 10 == 0 — 10% of
+# the corpus, i.e. TH(n) — and b44/b104/b106 materialize the query
+# batch on the driver to broadcast it. At the test SFs that set is
+# small (<= 2k rows), but at a real 100 TB corpus it is a driver OOM
+# and an unbounded broadcast. The bound is the _PQ_TRAIN discipline:
+# hash-ordered limit (TakeOrderedAndProject — distributed top-Q, never
+# a full collect), fixed Q, so one job answers a deterministic
+# bounded batch and a production caller drains the full query set in
+# Q-sized batches across jobs. Every test SF's query set fits under
+# the cap, so results there are unchanged; only the 100x probe caps.
+# b33/b48/b72/b39 are exempt: documented, quarantined oracle anchors
+# whose DuckDB twins define the workload.
+_ANN_QBATCH = 4096
 
 
 def _train_pq_books(train: "np.ndarray") -> "np.ndarray":
@@ -892,9 +906,12 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     code column is array<int> here (driver-comparable plumbing); a
     production sink would pack it to 8 bytes/vector binary.
 
-    Search (ADC): the query matrix (every 10th vector) broadcasts once
-    as per-query IP tables (nq x M x K doubles — b44's
-    broadcast-variable discipline); the kernel streams queries in
+    Search (ADC): the query batch — the % 10 set BOUNDED to
+    _ANN_QBATCH rows by a hash-ordered limit (TakeOrderedAndProject;
+    r8, VERDICT r7 #2 — the uncapped set is TH(n) and was a driver
+    OOM at corpus scale) — broadcasts once as the RAW query matrix
+    (b44's broadcast-variable discipline; each kernel derives a
+    chunk's IP table on the fly); the kernel streams queries in
     _PQ_QCHUNK blocks so the per-task transient is chunk x batch
     doubles (~40 MB at the 100x corpus), emitting each block's
     per-partition top-(k+1). The only shuffle is that bounded
@@ -920,9 +937,14 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc_books = spark.sparkContext.broadcast(books)  # for the ADC kernel
 
     qrows = (
-        v.filter(F.col("vec_id") % 10 == 0).select("vec_id", "ue").collect()
-    )  # the b33/b44 query-batch discipline: the query side is the
-    # broadcast-bounded side by construction
+        v.filter(F.col("vec_id") % 10 == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_ANN_QBATCH)
+        .select("vec_id", "ue")
+        .collect()
+    )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
+    # = TakeOrderedAndProject): the % 10 query set is TH(n), so an
+    # uncapped collect is a driver OOM at corpus scale (VERDICT r7 #2)
     if not qrows:
         return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
@@ -1008,6 +1030,11 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); the members payload is 8 ints/vector — the whole
     point — so a cell's Arrow group is ~64x smaller than b92's.
 
+    The query batch is the % 10 set BOUNDED to _ANN_QBATCH rows by a
+    hash-ordered limit (TakeOrderedAndProject; r8, VERDICT r7 #2);
+    the probe table derives from the same bounded rows, so the TH(n)
+    set never materializes on the driver or in a broadcast.
+
     Rows-only at the driver; the planted exact-copy contract (same
     cell, same residual, same codes -> rank 1 both directions) and a
     measured recall floor vs exact pin correctness in tests.
@@ -1071,9 +1098,15 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qrows = (
         assigned.filter(F.col("vec_id") % 10 == 0)
-        .select("vec_id", "cell", "cell2", "ue")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_ANN_QBATCH)
+        .select("vec_id", "cell", "cell2", "sub", "ue")
         .collect()
-    )  # the b33/b44/b104 broadcast-bounded query-batch discipline
+    )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
+    # = TakeOrderedAndProject — the _PQ_TRAIN discipline): the % 10
+    # set is TH(n) and an uncapped collect is a driver OOM at corpus
+    # scale (VERDICT r7 #2). The probe table below derives from these
+    # same bounded rows, so one scan of `assigned` serves both.
     if not qrows:
         return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
@@ -1090,15 +1123,16 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a per-group 20k-entry Python dict.
     bc_q = spark.sparkContext.broadcast((qids, qmat))
 
-    probes = (
-        assigned.filter(F.col("vec_id") % 10 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(F.array_distinct(F.array("cell", "cell2"))).alias(
-                "pcell"
-            ),
-            F.col("sub").alias("qsub"),
-        )
+    # probe table from the SAME bounded rows (was a second scan +
+    # assignment pass over `assigned`, and — uncapped — re-introduced
+    # the TH(n) query set the collect above just bounded)
+    probe_rows = [
+        (int(r["vec_id"]), int(pc), int(r["sub"]))
+        for r in qrows
+        for pc in {r["cell"], r["cell2"]}
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, pcell int, qsub long"
     )
 
     def adc_cell(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):

@@ -868,18 +868,27 @@ def test_selfseed_neardup_cross_batch_contract(spark, tmp_path):
 
 
 def test_curation_capstone_funnel_contract(spark, tmp_path):
-    """b100 (r7): the composed funnel must equal a pure-Python
-    re-derivation of every stage rule on a corpus that exercises each
-    drop reason — quality (doc 1, 8 tokens), exact dup (doc 3 = copy
-    of 2), near dup (doc 5 = one-token mutation of 4, j ~ 0.95),
-    rewrite re-gate (doc 9 shares a 20-token passage with the larger
-    keeper 8 and keeps only 5 tokens), span attrition without a doc
-    drop (doc 7 shares a 12-token passage with keeper 6, keeps 30).
-    All sources are tier 0 (mixture keeps every survivor), so the
-    mixture stage isolates nothing here — its rule is b67/b71's,
-    already oracle-certified — while train/holdout re-derive the md5
-    bucket split."""
+    """b100 (r7, lm stage r8): the composed funnel must equal a
+    pure-Python re-derivation of every stage rule on a corpus that
+    exercises each drop reason — quality (doc 1, 15 tokens), lm gate
+    (doc 11: all-unique bigrams, the gibberish b108 sends to 0.0),
+    exact dup (doc 3 = copy of 2), near dup (doc 5 = one-token
+    mutation of 4, j ~ 0.95), rewrite re-gate (doc 9 shares a
+    20-token passage with the larger keeper 8 and keeps only 5
+    tokens), span attrition without a doc drop (doc 7 shares a
+    12-token passage with keeper 6, keeps 30). Docs 1-10 carry a
+    shared 7-token header: it gives every intended survivor repeated
+    (n >= 2) bigram mass so the lm gate separates them from doc 11,
+    and at 7 tokens it sits under b97's 8-token span window, so it
+    cannot form a duplicated span except where it abuts the planted
+    shared passages (6/7 and 8/9 — where its positions join the
+    removed span, accounted below). All sources are tier 0 (mixture
+    keeps every survivor), so the mixture stage isolates nothing
+    here — its rule is b67/b71's, already oracle-certified — while
+    train/holdout re-derive the md5 bucket split."""
     import hashlib
+
+    from tests.test_text_kernels import _py_b108
 
     from kafka_streams_sandbox_spark.operators.pipeline import (
         _B69_MIN_TOKENS,
@@ -892,6 +901,7 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     def words(n, tag):
         return [f"{tag}{rng.randrange(10**6):06d}" for _ in range(n)]
 
+    H = [f"hdr{i}" for i in range(7)]  # shared header (see docstring)
     P = words(12, "p")  # shared passage docs 6/7
     R = words(20, "r")  # shared passage docs 8/9
     t2 = words(40, "a")
@@ -899,16 +909,17 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     t5 = list(t4)
     t5[20] = "zzzzz"  # near-dup mutation
     texts = {
-        1: " ".join(words(8, "s")),          # quality fail
-        2: " ".join(t2),
-        3: " ".join(t2),                      # exact dup of 2
-        4: " ".join(t4),
-        5: " ".join(t5),                      # near dup of 4
-        6: " ".join(P + words(30, "u")),      # span keeper
-        7: " ".join(P + words(30, "v")),      # loses P, survives
-        8: " ".join(R + words(30, "w")),      # span keeper
-        9: " ".join(R + words(5, "x")),       # loses R, re-gate drop
-        10: " ".join(words(40, "y")),         # clean survivor
+        1: " ".join(H + words(8, "s")),       # quality fail (15 < 16)
+        2: " ".join(H + t2),
+        3: " ".join(H + t2),                  # exact dup of 2
+        4: " ".join(H + t4),
+        5: " ".join(H + t5),                  # near dup of 4
+        6: " ".join(H + P + words(30, "u")),  # span keeper
+        7: " ".join(H + P + words(30, "v")),  # loses hdr+P, survives
+        8: " ".join(H + R + words(30, "w")),  # span keeper
+        9: " ".join(H + R + words(5, "x")),   # loses hdr+R, re-gate drop
+        10: " ".join(H + words(40, "y")),     # clean survivor
+        11: " ".join(words(40, "g")),         # lm-gate fail (no header)
     }
     table = pa.table(
         {
@@ -925,9 +936,13 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
 
     # ---- pure-Python twin of every stage rule ----
     ntok = {i: len(t.split()) for i, t in texts.items()}
-    quality = {i for i in texts if ntok[i] >= _B69_MIN_TOKENS}  # all
+    quality = {i for i in texts if ntok[i] >= _B69_MIN_TOKENS}
     assert quality == set(texts) - {1}  # trigram repetition is 0 here
-    ex = quality - {3}  # 3's sorted-distinct-token fingerprint == 2's
+    # b108's rule via its own Python twin (model over the RAW corpus)
+    py108 = _py_b108([texts.get(i, "") for i in range(max(texts) + 1)])
+    lm = {i for i in quality if py108[i][2]}
+    assert lm == quality - {11}  # header mass passes, gibberish fails
+    ex = lm - {3}  # 3's sorted-distinct-token fingerprint == 2's
     near = ex - {5}  # the only verified pair among ex survivors
     # b97 rule over the near-SURVIVOR corpus: an 8-token window seen in
     # >= 2 docs elects keeper min(doc_id); other docs remove the
@@ -958,6 +973,7 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     expect = {
         "raw": (len(texts), sum(ntok.values())),
         "quality": (len(quality), sum(ntok[i] for i in quality)),
+        "lm_gate": (len(lm), sum(ntok[i] for i in lm)),
         "dedup_exact": (len(ex), sum(ntok[i] for i in ex)),
         "dedup_near": (len(near), sum(ntok[i] for i in near)),
         "rewrite": (len(rw), sum(kept[i] for i in rw)),
@@ -1420,3 +1436,63 @@ def test_containment_on_hostile_docs(spark, tmp_path):
         for r in b107_containment_pairs(spark, str(tmp_path)).collect()
     }
     assert pairs == {(8, 9), (9, 8)}
+
+
+def test_ann_query_batch_bound(spark, monkeypatch):
+    """b44/b104/b106 must answer a BOUNDED, deterministic query batch
+    (r8, VERDICT r7 #2): the % 10 workload query set is TH(n), so the
+    broadcast paths cap it at _ANN_QBATCH via a hash-ordered limit.
+    Forcing the cap below the sf0.001 set (50 queries) must yield
+    exactly cap-many distinct query_ids — the same hash-chosen ids on
+    a re-run (determinism), and a subset of the uncapped workload set.
+    b33 stays uncapped by design: it is the quarantined exact-oracle
+    anchor whose DuckDB twin defines the workload."""
+    from kafka_streams_sandbox_spark.operators import extended, similarity
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(similarity, "_ANN_QBATCH", 7)
+    for fn in (
+        similarity.b104_pq_ann,
+        similarity.b106_ivfpq_ann,
+        extended.b44_cosine_topk_arrow,
+    ):
+        ids1 = {
+            r["query_id"]
+            for r in fn(spark, sf).select("query_id").distinct().collect()
+        }
+        ids2 = {
+            r["query_id"]
+            for r in fn(spark, sf).select("query_id").distinct().collect()
+        }
+        assert len(ids1) == 7, fn.__name__
+        assert ids1 == ids2, f"{fn.__name__}: non-deterministic batch"
+        assert all(q % 10 == 0 for q in ids1), fn.__name__
+
+
+def test_winnowing_coverage_aggregates_pair_set(spark):
+    """b109 (r8, VERDICT r7 #6): the coverage rows must be exactly
+    the per-doc aggregate of b105's pair set — same df guard, same
+    print arithmetic — so the output-bounded scale form and the
+    oracle-anchored pair form cannot drift. Recomputed here from
+    b105's own output (a third derivation, independent of the shared
+    plan lineage)."""
+    from collections import defaultdict
+
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b105_winnowing_fingerprints,
+        b109_winnowing_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    agg: dict[int, list[int]] = defaultdict(list)
+    for r in b105_winnowing_fingerprints(spark, sf).collect():
+        agg[r["doc_a"]].append(r["shared_prints"])
+        agg[r["doc_b"]].append(r["shared_prints"])
+    want = {
+        d: (len(v), max(v), sum(v)) for d, v in agg.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_partners"], r["max_shared"], r["shared_print_mass"])
+        for r in b109_winnowing_coverage(spark, sf).collect()
+    }
+    assert got == want and got

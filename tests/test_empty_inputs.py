@@ -25,6 +25,7 @@ from kafka_streams_sandbox_spark.operators.extended import (
 from kafka_streams_sandbox_spark.operators.pipeline import (
     b100_curation_capstone,
     b103_temperature_mixture,
+    b108_bigram_lm_gate,
 )
 from kafka_streams_sandbox_spark.operators.packing import (
     b88_shard_shuffle,
@@ -116,6 +117,7 @@ _QUERIES = [
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union
     b103_temperature_mixture,  # r7: zero sources -> default cap, empty out
+    b108_bigram_lm_gate,  # r8: no bigrams -> no scored docs
 ]
 
 
@@ -126,10 +128,11 @@ def test_query_on_empty_input_returns_empty(spark, empty_dir, fn):
 
 def test_capstone_on_empty_input_reports_zero_attrition(spark, empty_dir):
     """b100 is shaped differently from the list above: it ALWAYS
-    emits its 8 stage rows (one stack over a single agg row), so on
-    an empty corpus the contract is 8 rows of (0 docs, 0 tokens) —
-    not an empty frame (r7 review: n_docs previously surfaced NULL)."""
+    emits its 9 stage rows (one stack over a single agg row; lm_gate
+    joined in r8), so on an empty corpus the contract is 9 rows of
+    (0 docs, 0 tokens) — not an empty frame (r7 review: n_docs
+    previously surfaced NULL)."""
     rows = b100_curation_capstone(spark, empty_dir).collect()
-    assert len(rows) == 8
+    assert len(rows) == 9
     for r in rows:
         assert r["n_docs"] == 0 and r["n_tokens"] == 0, r

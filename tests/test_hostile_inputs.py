@@ -230,3 +230,23 @@ def test_span_removal_rewrite_mega_doc_linear(spark, tmp_path):
     assert out[1]["n_tokens"] == out[2]["n_tokens"] == n
     # linearity pin: the quadratic form needs minutes-to-hours here
     assert elapsed < 120, f"rewrite took {elapsed:.0f}s — not linear"
+
+
+def test_bigram_lm_gate_on_hostile_docs(spark, hostile_dir):
+    """b108 over the hostile corpus: NULL/empty/whitespace/1-token
+    docs (0-4, 11-13) carry no bigram evidence and emit no row; the
+    rest are scored with lm_score in [0, 1). The exact-dup pair 8/9
+    is maximal repeated-bigram mass and must gate IN; the unicode
+    docs must tokenize without error (split is byte-agnostic)."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b108_bigram_lm_gate,
+    )
+
+    got = {
+        r["doc_id"]: r for r in b108_bigram_lm_gate(spark, hostile_dir).collect()
+    }
+    assert set(got) == {5, 6, 7, 8, 9, 10}
+    for r in got.values():
+        assert 0.0 <= r["lm_score"] < 1.0
+    assert got[8]["passes_lm"] and got[9]["passes_lm"]
+    assert got[8]["lm_score"] == got[9]["lm_score"]

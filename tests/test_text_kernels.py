@@ -174,3 +174,71 @@ def test_gopher_repetition_matches_python_twin(spark, tmp_path):
     assert got[1]["dup10_cov"] > 0.10
     assert got[2]["passes_repetition"]  # clean doc passes
     assert got[3]["passes_repetition"] and got[4]["passes_repetition"]
+
+
+def _py_b108(texts):
+    """Pure-Python twin of b108's scoring core (Counter form)."""
+    from collections import Counter
+
+    toks = {
+        i: [t for t in (txt or "").strip().split() if t]
+        for i, txt in enumerate(texts)
+    }
+    occ = {
+        i: list(zip(ts, ts[1:])) for i, ts in toks.items() if len(ts) >= 2
+    }
+    pn: Counter = Counter(bg for bgs in occ.values() for bg in bgs)
+    n_p: Counter = Counter()
+    for (p, _n), c in pn.items():
+        n_p[p] += c
+    masses = {}
+    for i, bgs in occ.items():
+        masses[i] = (
+            len(bgs),
+            sum(pn[bg] for bg in bgs if pn[bg] >= 2),
+            sum(n_p[bg[0]] for bg in bgs),
+        )
+    g_hit = sum(h for _b, h, _ba in masses.values())
+    g_den = sum(b + ba for b, _h, ba in masses.values())
+    avg = g_hit / g_den
+    return {
+        i: (b, h / (b + ba), 2.0 * (h / (b + ba)) >= avg)
+        for i, (b, h, ba) in masses.items()
+    }
+
+
+def test_bigram_lm_gate_matches_python_twin_and_separates(spark, tmp_path):
+    """b108's engine plan must agree value-for-value (exact float
+    equality — the score is one integer-ratio division in both
+    implementations) with the obvious pure-Python Counter twin, and
+    the gate must SEPARATE: corpus-typical template docs pass, docs
+    made of globally-unique bigrams (the self-trained-MLE pathology
+    that scores gibberish as maximally fluent) land at 0.0 and fail.
+    Degenerate docs (< 2 tokens) are not scored — the b69 length
+    floor owns that band."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b108_bigram_lm_gate,
+    )
+
+    template = "the cat sat on the mat and the dog sat on the rug " * 3
+    texts = (
+        [template] * 6  # corpus-typical: repeated transitions
+        + [
+            " ".join(f"gib{i}_{j}" for j in range(30))  # unique bigrams
+            for i in range(4)
+        ]
+        + ["solo", ""]  # < 2 tokens: excluded
+    )
+    sf_dir = _docs_dir(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"], r["passes_lm"])
+        for r in b108_bigram_lm_gate(spark, sf_dir).collect()
+    }
+    want = _py_b108(texts)
+    assert set(got) == set(want)  # solo/empty rows absent
+    for i in want:
+        assert got[i] == want[i], (i, got[i], want[i])
+    for i in range(6):  # templates pass
+        assert got[i][2] and 0.0 < got[i][1] < 1.0
+    for i in range(6, 10):  # gibberish: hapax mass excluded -> 0.0
+        assert got[i][1] == 0.0 and not got[i][2]
