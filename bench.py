@@ -135,6 +135,15 @@ BENCH_QUERIES = [
     # round-7: asymmetric containment pairs (oracle-backed, joins the
     # shared-ratio membership -- b26's plan family)
     "b107_containment_pairs",
+    # round-8: CCNet-shaped bigram-LM gate (oracle-backed, joins the
+    # shared-ratio membership — integer-ratio score, cheap CTE twin)
+    "b108_bigram_lm_gate",
+    # round-8: winnowing coverage, b105's output-bounded per-doc form
+    # (oracle-backed — composes B105's SQL as a CTE)
+    "b109_winnowing_coverage",
+    # round-8: component expansion over b96's star-guarded pairs
+    # (rows-only — iterative label loop; Spark-timed row)
+    "b110_lsh_neardup_components",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -800,6 +800,43 @@ def b96_lsh_embedding_neardup_scaled(  # probabilistic, geometry n-scaled
     return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
 
 
+@query("b110_lsh_neardup_components")  # rows-only: banded candidates +
+def b110_lsh_neardup_components(  # iterative label loop (no SQL twin)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b96's pairs -> duplicate GROUP MEMBERSHIP (r8, VERDICT r7 #5):
+    the component expansion b96's output contract points at,
+    registered as its own operator instead of documentation. Past
+    _BUCKET_CAP b96 emits STAR pairs only (bucket-min -> member) —
+    duplication EVIDENCE, not the full similarity graph — so a
+    consumer that needs whole-group membership must run connected
+    components over the emitted edges. This operator IS that
+    consumer: b55's ``min_label_components`` loop (shared code) over
+    b96's verified pairs, yielding (vec_id, cluster_id = min vec_id
+    reachable). For the homogeneous masses the star guard targets,
+    every member stays reachable through the representative (all star
+    legs clear the cosine verify), so the guarded pair set recovers
+    the identical membership the unguarded clique would — pinned by
+    the planted oversized-bucket test in tests/test_ann_contracts.py.
+
+    Scale: the label loop is one distributed join + agg per round;
+    star edges put the guarded masses at diameter <= 2, so those
+    converge at the smart init and the loop cost is carried by the
+    organic (small-bucket) chains, exactly as in b55."""
+    from kafka_streams_sandbox_spark.operators.extended import (
+        min_label_components,
+    )
+
+    pairs = b96_lsh_embedding_neardup_scaled(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _rounds = min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup capstone (SemDeDup-shape): cluster embeddings, keep one
 # representative per semantic cluster
@@ -2321,6 +2358,61 @@ def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_prints"))
         .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B109: winnowing COVERAGE — b105's output-bounded scale form
+# ---------------------------------------------------------------------------
+# The r7 100x probe showed b105 is OUTPUT-bound on a Zipf corpus
+# (560k verified pairs — the computation is df-capped, the result
+# set is not). The coverage form is the documented scale output
+# (VERDICT r7 #6, b87's aggregate shape): one row per INVOLVED doc
+# with its duplication-evidence profile, TH(docs) instead of
+# TH(pairs). The pair set still exists as a shuffle intermediate —
+# bounded by the same Sigma df^2 <= cap^2 x #prints construction —
+# but is aggregated away before anything materializes as output.
+# b105 stays registered unchanged: its exact pair set is the
+# hash-verified oracle anchor a candidate generator needs.
+
+B109_ORACLE = f"""
+    WITH b105_pairs AS ({B105_ORACLE}),
+    sym AS (
+        SELECT doc_a AS doc_id, shared_prints FROM b105_pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, shared_prints FROM b105_pairs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_partners,
+           CAST(MAX(shared_prints) AS BIGINT) AS max_shared,
+           CAST(SUM(shared_prints) AS BIGINT) AS shared_print_mass
+    FROM sym GROUP BY doc_id
+"""
+
+
+@query("b109_winnowing_coverage", oracle=B109_ORACLE)
+def b109_winnowing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing-duplication coverage: for every doc in at
+    least one b105 candidate pair, the number of partner docs, the
+    strongest partner's shared-print count, and the total shared
+    print mass — the per-doc evidence profile a curation pipeline
+    acts on (drop/attribute/review), in TH(docs) output.
+
+    Plan: b105's pair plan verbatim (same df guard, same engine-exact
+    print arithmetic — the oracle composes b105's SQL as a CTE, so
+    the two queries cannot drift), then a symmetric explode of each
+    pair into both endpoint rows and ONE doc_id-keyed aggregate.
+    Counts and max/sum over the hash-verified pair counts stay
+    integers end-to-end, so this is hash-verified too.
+    """
+    pairs = b105_winnowing_fingerprints(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), "shared_prints"
+    ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "shared_prints"))
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partners"),
+        F.max("shared_prints").cast("bigint").alias("max_shared"),
+        F.sum("shared_prints").cast("bigint").alias("shared_print_mass"),
     )
 
 

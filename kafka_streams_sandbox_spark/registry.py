@@ -56,88 +56,40 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-7 ordering (VERDICT r6 Next #4): NEW queries first,
-    # then queries whose code changed this round, then the 18 queries
-    # whose latest driver row is r4 — the combined head (12 new + 7
-    # changed + 18 r4 rows = 37) fits the ~50-query window with room
-    # for r5-row rotation, and the round closes with no registry row
-    # older than r5.
-    # --- NEW in round 7 (no driver row exists yet) ---
-    "b99_selfseed_neardup",            # self-seeding ingest near-dup:
-                                       # accepted docs join the index
-    "a29_stream_selfseed_neardup",     # b99's streaming twin (parquet-
-                                       # backed growing state)
-    "b100_curation_capstone",          # composed funnel: quality ->
-                                       # exact -> near-dup -> rewrite ->
-                                       # mixture -> split
-    "b101_exact_substring_runs",       # maximal-run exact-substring
-                                       # rewrite (oracle-backed)
-    "b102_gopher_repetition",          # Gopher repetition-rule suite
-                                       # (oracle-backed)
-    "b103_temperature_mixture",        # alpha=0.5 source rebalancing
-                                       # (oracle-backed)
-    "b104_pq_ann",                     # 8-bit product-quantization ANN
-                                       # (rows-only + planted contracts)
-    "b105_winnowing_fingerprints",     # winnowed candidate pairs
+    # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
+    # the NEW queries first, then every query whose code changed this
+    # round, then ALL 31 queries still carrying r5 rows — the head
+    # (1 red + 4 new + 8 changed + 31 r5 = 44) fits the ~50-query
+    # window, so the round closes with no registry row older than r6.
+    # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
+    "a31_stream_pq_encode",            # now exploded (vec_id, pos,
+                                       # code) — canonicalizer-hashable
+    # --- NEW in round 8 (no driver row exists yet) ---
+    "b108_bigram_lm_gate",             # CCNet-shaped LM typicality gate
                                        # (oracle-backed, engine-exact)
-    "a30_stream_repetition_gate",      # b102 at ingest (foreachBatch
-                                       # shared core, duality assert)
-    "b106_ivfpq_ann",                  # IVF x PQ composed index
-                                       # (rows-only + parity contract)
-    "a31_stream_pq_encode",            # PQ encode at ingest (shared
-                                       # kernel, bit-identical duality)
-    "b107_containment_pairs",          # asymmetric containment dedup
-                                       # (oracle-backed)
-    # --- changed in round 7 (code touched; rows must refresh) ---
-    "b98_incremental_neardup",         # guarded_band_index now keeps
-                                       # _REP_N reps per oversized bucket
-    "a28_stream_incremental_neardup",  # idempotent per-batch subpaths +
-                                       # checkpoint release + read guard
-    "b97_span_removal_rewrite",        # linear array_except rewrite
-                                       # (was per-token array_contains)
-    "b27_minhash_lsh_dedup",           # banding+verify core extracted to
-                                       # minhash_verified_pairs (pure
-                                       # refactor; results hash-stable)
-    "b96_lsh_embedding_neardup_scaled",  # docstring-only (star-pair
-                                         # contract); cheap to refresh
-    "b92_ann_ivf_kmeans",              # training block extracted to
-                                       # _train_cell_assignments (pure
-                                       # refactor; results unchanged)
-    "b91_ann_ivf_scaled_cells",        # same family; cheap to refresh
-    # --- r4 rows: the 18 oldest (VERDICT r6 Next #4 list) ---
-    "a08_stream_tombstone_store",
-    "a09_app_interactive_query",
-    "a10_topic_ddl",
-    "a21_stream_running_stats",
-    "a22_stream_static_join",
-    "a23_stream_stream_join",
-    "a24_stream_dedup_watermark",
-    "a25_stream_quality_gate",
-    "b40_asof_join",
-    "b41_pivot_event_counts",
-    "b71_corpus_curation",
-    "b75_table_profile",
-    "b78_keep_best_in_cluster",
-    "b81_lang_centroid_outliers",
-    "b82_context_packing",
-    "b83_pii_mask",
-    "b86_phash_neardup",
-    "b87_duplicated_spans",
-    # --- rotation filler: oldest remaining rows (r5) in age order, so
-    # the window's tail refreshes them ---
-    "b01_scan_filter_project",
-    "b02_tpch_q1_agg",
-    "b03_join_orders_customer",
-    "b04_multiway_join_agg",
-    "b05_broadcast_join_agg",
-    "b06_left_outer_join",
-    "b07_left_semi_join",
-    "b08_left_anti_join",
-    "b09_window_functions",
-    "b10_topk_per_group",
-    "b11_global_sort_limit",
-    "b12_distinct_count",
-    "b13_set_operations",
+    "b109_winnowing_coverage",         # b105's output-bounded per-doc
+                                       # form (oracle composes B105 SQL)
+    "b110_lsh_neardup_components",     # component expansion of b96's
+                                       # star-guarded pairs (rows-only)
+    "a32_stream_curation_funnel",      # ingest-time curation funnel
+                                       # (b100's a-side, duality assert)
+    # --- changed in round 8 (code touched; rows must refresh) ---
+    "b104_pq_ann",                     # query batch bounded (_ANN_QBATCH
+                                       # hash-ordered limit)
+    "b106_ivfpq_ann",                  # same bound; probes derive from
+                                       # the bounded rows (one scan)
+    "b44_cosine_topk_arrow",           # same bound before the Arrow
+                                       # broadcast action
+    "b100_curation_capstone",          # lm_gate stage joined into the
+                                       # funnel (9 stage rows now)
+    "b99_selfseed_neardup",            # selfseed_ingest_round now
+                                       # checkpoints the probe bands
+    "a29_stream_selfseed_neardup",     # same core; committed_state
+                                       # extracted to module level
+    "a28_stream_incremental_neardup",  # read fallback narrowed to
+                                       # AnalysisException
+    "a30_stream_repetition_gate",      # same exception narrowing
+    # --- r5 rows: all 31 remaining (VERDICT r7 #3 list) ---
     "b14_rollup_agg",
     "b16_json_extract",
     "b35_ann_random_projection",
@@ -152,6 +104,23 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b57_train_holdout_split",
     "b58_tfidf_top_terms",
     "b59_funnel_conversion",
+    "b62_contamination_overlap",
+    "b63_intradoc_repetition",
+    "b64_stratified_sample",
+    "b65_embedding_quantize",
+    "b66_scd2_history",
+    "b67_mixture_sample",
+    "b68_incremental_dedup",
+    "b69_quality_gate",
+    "b70_bigram_lm",
+    "b72_key_skew_report",
+    "b74_robust_anomalies",
+    "b76_fuzzy_match",
+    "b77_value_quartiles",
+    "b88_shard_shuffle",
+    "b89_shard_write_manifest",
+    "b90_time_grid_fill",
+    "b94_semantic_dedup_exact",
 )
 
 

@@ -23,7 +23,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -997,3 +997,269 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a31_stream_pq_encode",
     )
     return out.select("vec_id", F.posexplode("codes").alias("pos", "code"))
+
+
+@query("a32_stream_curation_funnel")  # rows-only: streaming sink
+def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST-TIME curation funnel (r8, VERDICT r7 #7): b100's
+    a-side. The arriving 20% of the corpus (doc_id % 10 >= 8 — the
+    a26/a28/b98 decomposition) streams against the frozen 80% and
+    every arriving doc is gated as it lands, each stage applying the
+    SAME rule its standalone operator certifies:
+
+      arrived -> quality (a25/b69 `quality_verdict`) -> repetition
+      (a30/b102 `repetition_metrics`) -> dedup_exact (a26/b68's
+      corpus-fingerprint check + FIRST-WINS within the stream, state
+      parquet-backed via `committed_state`) -> dedup_near (a28/b98
+      `incremental_neardup_verdicts` against the frozen band index).
+
+    Ingest decomposition is a29's: one staged file per seq
+    (seq = doc_id % 10 in {8, 9}, mtime-ordered, maxFilesPerTrigger=1)
+    so micro-batch N IS seq N. First-wins exact dedup across
+    seq-ordered batches == the batch rule "keeper = min (seq, doc_id)
+    among gate-passing holders of the fingerprint": within a batch
+    the stream keeps the min doc_id, across batches the earlier seq
+    wins via the committed fingerprint state. The near-dup stage is
+    the FROZEN-index form (a28): each verdict is a pure per-doc
+    function of (own text, standing corpus), so it is batch-boundary
+    invariant; the self-seeding form is a29's separate contract.
+
+    In-query duality assert: the per-doc decision frame (q_pass,
+    rep_pass, ex_keep, near_keep) must equal the batch twin derived
+    from the same shared cores + the (seq, doc_id)-min window rule —
+    bit-identical booleans, so a non-error run certifies the whole
+    composed funnel, not just each stage. Returned shape is the
+    b100-style attrition report (stage, n_docs, n_tokens): 5 scalar
+    rows, canonicalizer-safe."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        guarded_band_index,
+        incremental_neardup_verdicts,
+    )
+    from kafka_streams_sandbox_spark.operators.pipeline import quality_verdict
+    from kafka_streams_sandbox_spark.operators.text import repetition_metrics
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
+        )
+    )
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+    corpus = tokened.filter(~is_new)
+    # frozen standing artifacts, materialized ONCE before the stream
+    # (a28's discipline): the band index for the near stage, the
+    # fingerprint set for the exact stage
+    index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
+    index.count()
+    corpus_fps = (
+        docs.filter(~is_new)
+        .select(fingerprint.alias("fingerprint"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    corpus_fps.count()
+
+    def decisions(bdf: DataFrame, standing_fps: DataFrame) -> DataFrame:
+        """Per-doc decision frame over any slice of arriving docs.
+        ``standing_fps`` = fingerprints already kept by earlier
+        arrivals (empty for the batch twin, which replaces the state
+        with the (seq, doc_id)-min window rule)."""
+        q = quality_verdict(bdf).select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("verdict") == "pass").alias("q_pass"),
+        )
+        rep = repetition_metrics(bdf).select(
+            "doc_id", F.col("passes_repetition").alias("rep_pass")
+        )
+        handles: list = []
+        near = incremental_neardup_verdicts(
+            batch=bdf.filter(F.expr(f"size({TOKENS_EXPR}) > 0")),
+            batch_all_ids=bdf.select("doc_id"),
+            corpus=corpus,
+            index_guarded=index,
+            release_into=handles,
+        ).select("doc_id", (F.col("status") == "unique").alias("near_ok"))
+        fp = (
+            bdf.select("doc_id", fingerprint.alias("fingerprint"))
+            .join(corpus_fps, "fingerprint", "left")
+            .join(standing_fps, "fingerprint", "left")
+        )
+        out = (
+            q.join(rep, "doc_id")
+            .join(fp, "doc_id")
+            .join(near, "doc_id")
+            .withColumn("gate", F.col("q_pass") & F.col("rep_pass"))
+            .withColumn(
+                "fp_free",
+                F.col("in_corpus").isNull() & F.col("in_state").isNull(),
+            )
+        )
+        # keeper = min (seq, doc_id) among gate-passing fp-free
+        # holders — ONE rule valid on both sides: in a stream batch
+        # all docs share a seq, so this reduces to the batch's
+        # first-wins min doc_id; in the batch twin it encodes the
+        # seq-ordered replay (earlier seq wins even over a smaller
+        # doc_id arriving later).
+        w_fp = Window.partitionBy("fingerprint")
+        out = out.withColumn(
+            "keep_id",
+            F.min(
+                F.when(
+                    F.col("gate") & F.col("fp_free"),
+                    F.struct(
+                        (F.col("doc_id") % 10).alias("s"),
+                        F.col("doc_id").alias("d"),
+                    ),
+                )
+            ).over(w_fp),
+        ).withColumn(
+            "ex_keep",
+            F.col("gate")
+            & F.col("fp_free")
+            & (F.col("doc_id") == F.col("keep_id").getField("d")),
+        )
+        return (
+            out.withColumn("near_keep", F.col("ex_keep") & F.col("near_ok"))
+            .select(
+                "doc_id",
+                "n_tokens",
+                "fingerprint",
+                "q_pass",
+                "rep_pass",
+                "ex_keep",
+                "near_keep",
+            ),
+            handles,
+        )
+
+    # ---- stream side: one staged file per seq, a29's replay shape ----
+    src_dir = tempfile.mkdtemp(prefix="kss-a32-src-")
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    for seq in (8, 9):
+        stage = tempfile.mkdtemp(prefix=f"kss-a32-w{seq}-")
+        docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        dst = f"{src_dir}/seq-{seq:02d}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
+
+    state_dir = tempfile.mkdtemp(prefix="kss-a32-fps-")
+    out_dir = tempfile.mkdtemp(prefix="kss-a32-out-")
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        standing = committed_state(
+            spark, state_dir, "fingerprint string", int(batch_id), seed=False
+        ).select("fingerprint", F.lit(True).alias("in_state"))
+        dec, handles = decisions(bdf, standing)
+        vpath = f"{out_dir}/batch_id={batch_id}"
+        dec.write.mode("overwrite").parquet(vpath)
+        # state delta derives from the WRITTEN decisions (one run per
+        # batch; a retry regenerates identical subpaths — a29's rule)
+        spark.read.parquet(vpath).filter(F.col("ex_keep")).select(
+            "fingerprint"
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+        for h in handles:
+            h.unpersist()
+
+    try:
+        q = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+            .writeStream.foreachBatch(ingest_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dec_schema = (
+            "doc_id bigint, n_tokens bigint, fingerprint string, "
+            "q_pass boolean, rep_pass boolean, ex_keep boolean, "
+            "near_keep boolean"
+        )
+        try:
+            stream_dec = spark.read.option(
+                "recursiveFileLookup", "true"
+            ).parquet(out_dir).select(
+                "doc_id",
+                "n_tokens",
+                "q_pass",
+                "rep_pass",
+                "ex_keep",
+                "near_keep",
+            )
+        except AnalysisException:  # zero batches -> no footer to infer
+            stream_dec = spark.createDataFrame([], dec_schema).select(
+                "doc_id",
+                "n_tokens",
+                "q_pass",
+                "rep_pass",
+                "ex_keep",
+                "near_keep",
+            )
+        # ---- batch twin: same shared cores, (seq, doc_id)-min rule ----
+        twin, twin_handles = decisions(
+            docs.filter(is_new),
+            spark.createDataFrame([], "fingerprint string").withColumn(
+                "in_state", F.lit(True)
+            ),
+        )
+        # replace the per-batch first-wins with the replay-order rule:
+        # keeper = min (seq, doc_id) among gate-passing fp-free holders
+        # — identical to first-wins under seq-ordered micro-batches.
+        # (doc_id % 10 maps seqs 8,9 in arrival order, and within a
+        # seq min doc_id is the batch keeper, so min (seq, doc_id)
+        # composes both levels.)
+        assert_stream_batch_duality(
+            stream_dec,
+            twin,
+            ["doc_id", "n_tokens", "q_pass", "rep_pass", "ex_keep", "near_keep"],
+            "a32_stream_curation_funnel",
+        )
+        for h in twin_handles:
+            h.unpersist()
+    finally:
+        index.unpersist()
+        corpus_fps.unpersist()
+    kept = F.col("n_tokens").cast("long")
+    stages = (
+        ("arrived", F.lit(True)),
+        ("quality", F.col("q_pass")),
+        ("repetition", F.col("q_pass") & F.col("rep_pass")),
+        ("dedup_exact", F.col("ex_keep")),
+        ("dedup_near", F.col("near_keep")),
+    )
+    one = stream_dec.agg(
+        *[
+            a
+            for stage, cond in stages
+            for a in (
+                F.sum(cond.cast("int")).cast("bigint").alias(f"{stage}_d"),
+                F.sum(F.when(cond, kept)).cast("bigint").alias(f"{stage}_t"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{stage}', coalesce({stage}_d, 0), coalesce({stage}_t, 0)"
+        for stage, _ in stages
+    )
+    return one.select(
+        F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
+    )

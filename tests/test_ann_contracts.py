@@ -1496,3 +1496,57 @@ def test_winnowing_coverage_aggregates_pair_set(spark):
         for r in b109_winnowing_coverage(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_lsh_components_recover_oversized_bucket_membership(spark, tmp_path):
+    """b96 + b110 (r8, VERDICT r7 #5): past _BUCKET_CAP a bucket emits
+    only STAR pairs (bucket-min -> member) — so a planted
+    600-identical-vector mass (> the 512 cap; identical vectors share
+    every signature, so the star guard MUST engage) yields exactly
+    mass-1 edges from b96 instead of the C(600,2) ~ 180k clique. The
+    closure claim: connected components over those star edges recover
+    FULL membership — b110 must put all 600 in one cluster labeled by
+    the min id. Background vectors are random (no accidental >= 0.92
+    cosine at 64 dims) and must stay out of that cluster."""
+    g = np.random.default_rng(110)
+    n_mass, n_bg = 600, 50
+    mass_vec = g.normal(size=64)
+    bg = g.normal(size=(n_bg, 64))
+    vecs = np.concatenate([np.tile(mass_vec, (n_mass, 1)), bg]).astype(
+        np.float32
+    )
+    ids = list(range(1000, 1000 + n_mass)) + list(range(n_bg))
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b96_lsh_embedding_neardup_scaled,
+        b110_lsh_neardup_components,
+    )
+
+    mass_ids = set(range(1000, 1000 + n_mass))
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in b96_lsh_embedding_neardup_scaled(spark, str(tmp_path)).collect()
+    ]
+    mass_pairs = [
+        (a, b) for a, b in pairs if a in mass_ids or b in mass_ids
+    ]
+    # star guard engaged: linear evidence, all anchored at the min id
+    assert len(mass_pairs) == n_mass - 1
+    assert all(a == 1000 for a, _b in mass_pairs)
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in b110_lsh_neardup_components(spark, str(tmp_path)).collect()
+    }
+    assert {clusters[i] for i in mass_ids} == {1000}  # full membership
+    assert all(
+        c == 1000 or v not in mass_ids for v, c in clusters.items()
+    )

@@ -113,6 +113,8 @@ _QUERIES = [
     dedup.b101_exact_substring_runs,  # r7: empty posting/run chain
     dedup.b105_winnowing_fingerprints,  # r7: no tokens -> no prints -> no pairs
     dedup.b107_containment_pairs,  # r7: no shingles -> no buckets -> no pairs
+    dedup.b109_winnowing_coverage,  # r8: empty pair set -> empty coverage
+    dedup.b110_lsh_neardup_components,  # r8: empty pairs -> zero-round loop
     b88_shard_shuffle,
     b89_shard_write_manifest,  # sink: empty corpus -> empty manifest
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union

@@ -1158,3 +1158,35 @@ def test_stream_pq_encode_duality(spark):
         (r["vec_id"], tuple(r["codes"])) for r in batch_codes.collect()
     }
     assert stream == batch and stream
+
+
+def test_stream_curation_funnel_shape_and_duality(spark):
+    """a32 (r8): the ingest-time curation funnel's in-query duality
+    assert certifies decisions == batch twin on every run; the named
+    test documents it and pins the report shape — 5 stages, docs and
+    tokens both monotone non-increasing, 'arrived' equal to the
+    arriving slice, and a funnel that actually attrits on the driver
+    corpus (dedup_exact < repetition: the corpus plants cross-slice
+    exact dups)."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a32_stream_curation_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in a32_stream_curation_funnel(spark, sf).collect()
+    }
+    order = ["arrived", "quality", "repetition", "dedup_exact", "dedup_near"]
+    assert list(rows) == order or set(rows) == set(order)
+    n_arriving = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id % 10 >= 8")
+        .count()
+    )
+    assert rows["arrived"][0] == n_arriving
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0]
+        assert rows[a][1] >= rows[b][1]
+    assert rows["dedup_exact"][0] < rows["repetition"][0]
+    assert rows["dedup_near"][0] < rows["dedup_exact"][0]
