@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     # round-8: component expansion over b96's star-guarded pairs
     # (rows-only — iterative label loop; Spark-timed row)
     "b110_lsh_neardup_components",
+    # round-8: CCNet bucketed mixture over the b108 score (oracle-
+    # backed — same SQL body as b108 plus bucket/keep CASE rules)
+    "b111_lm_bucket_mixture",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -978,8 +978,9 @@ def b70_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-typical as the corpus itself are the tail CCNet buckets off.
 _B108_MIN_BIGRAM_N = 2  # hapax-bigram exclusion (see above)
 
-B108_ORACLE = f"""
-    WITH toks AS (
+# WITH-clause body shared by B108's and B111's oracles (one
+# definition, so the gate and the bucketed mixture cannot drift)
+_B108_SQL_BODY = f"""toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'),
                            t -> t != '') AS toks
@@ -1017,7 +1018,10 @@ B108_ORACLE = f"""
                    / CAST(SUM(n_bigrams) + SUM(base_mass) AS DOUBLE)
                    AS corpus_score
         FROM scored
-    )
+    )"""
+
+B108_ORACLE = f"""
+    WITH {_B108_SQL_BODY}
     SELECT doc_id,
            CAST(n_bigrams AS BIGINT) AS n_bigrams,
            CAST(hit_mass AS DOUBLE)
@@ -1029,7 +1033,9 @@ B108_ORACLE = f"""
 """
 
 
-def bigram_lm_verdict(toks_df: DataFrame) -> DataFrame:
+def bigram_lm_verdict(
+    toks_df: DataFrame, with_threshold: bool = False
+) -> DataFrame:
     """(doc_id, toks) -> (doc_id, n_bigrams, lm_score, passes_lm) for
     every doc with >= 2 tokens — b108's scoring core, shared with
     b100's funnel stage so the gate rule cannot drift.
@@ -1086,12 +1092,16 @@ def bigram_lm_verdict(toks_df: DataFrame) -> DataFrame:
     score = F.col("hit_mass").cast("double") / (
         F.col("n_bigrams").cast(dec) + F.col("base_mass")
     ).cast("double")
-    return scored.crossJoin(F.broadcast(tot)).select(
+    out = scored.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_bigrams",
         score.alias("lm_score"),
         (F.lit(2.0) * score >= F.col("corpus_score")).alias("passes_lm"),
+        "corpus_score",
     )
+    # corpus_score exposed only on request (b111's bucket thresholds);
+    # b108's driver contract keeps the original 4-column shape
+    return out if with_threshold else out.drop("corpus_score")
 
 
 @query("b108_bigram_lm_gate", oracle=B108_ORACLE)
@@ -1109,6 +1119,80 @@ def b108_bigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 2
     )
     return bigram_lm_verdict(toks)
+
+
+# ---------------------------------------------------------------------------
+# B111: LM-bucketed mixture — the full CCNet shape (score -> bucket ->
+# per-bucket downsample)
+# ---------------------------------------------------------------------------
+# CCNet's actual pipeline step: documents are BUCKETED by LM score
+# (head / middle / tail of the perplexity distribution) and each
+# bucket is sampled at its own rate (head kept, tail mostly dropped).
+# b108 is the binary gate; b111 is the graded form. Bucket thresholds
+# are the corpus-level score and its exact half (a *0.5 of a double
+# is exact), so bucketing is engine-exact without any order-statistic
+# computation — a percentile threshold would need a global sort (or a
+# non-reproducible approx quantile) at 100 TB, while the ratio
+# threshold is one broadcast scalar from the same integer sums the
+# score uses. Per-bucket sampling is b67's configured-rate discipline
+# as a pure function of doc_id (Lehmer hash), so the subsample is
+# reproducible and append-stable.
+_B111_RATE_PERMILLE = {"head": 1000, "middle": 500, "tail": 100}
+
+B111_ORACLE = f"""
+    WITH {_B108_SQL_BODY},
+    bucketed AS (
+        SELECT doc_id,
+               CAST(hit_mass AS DOUBLE)
+                   / CAST(n_bigrams + base_mass AS DOUBLE) AS lm_score,
+               corpus_score
+        FROM scored, tot
+    )
+    SELECT doc_id, lm_score,
+           CASE WHEN lm_score >= corpus_score THEN 'head'
+                WHEN 2.0 * lm_score >= corpus_score THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           ((doc_id * 48271) % 2147483647) % 1000 <
+               CASE WHEN lm_score >= corpus_score
+                    THEN {_B111_RATE_PERMILLE["head"]}
+                    WHEN 2.0 * lm_score >= corpus_score
+                    THEN {_B111_RATE_PERMILLE["middle"]}
+                    ELSE {_B111_RATE_PERMILLE["tail"]} END AS keep
+    FROM bucketed
+"""
+
+
+@query("b111_lm_bucket_mixture", oracle=B111_ORACLE)
+def b111_lm_bucket_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-bucketed mixture: head (at least corpus-typical)
+    / middle (within half) / tail buckets from b108's engine-exact
+    score, each downsampled at a configured per-bucket rate by the
+    deterministic Lehmer pick (keep = hash(doc_id) under the bucket's
+    permille). The shared ``bigram_lm_verdict`` core supplies score
+    AND threshold, so b108's gate and b111's buckets cannot drift;
+    the oracle composes the same SQL body."""
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    v = bigram_lm_verdict(toks, with_threshold=True)
+    bucket = (
+        F.when(F.col("lm_score") >= F.col("corpus_score"), "head")
+        .when(F.lit(2.0) * F.col("lm_score") >= F.col("corpus_score"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", _B111_RATE_PERMILLE["head"])
+        .when(F.col("bucket") == "middle", _B111_RATE_PERMILLE["middle"])
+        .otherwise(_B111_RATE_PERMILLE["tail"])
+    )
+    return (
+        v.select("doc_id", "lm_score", bucket.alias("bucket"))
+        .withColumn(
+            "keep",
+            ((F.col("doc_id") * 48271) % 2147483647) % 1000 < rate,
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

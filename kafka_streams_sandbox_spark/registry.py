@@ -59,7 +59,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
     # the NEW queries first, then every query whose code changed this
     # round, then ALL 31 queries still carrying r5 rows — the head
-    # (1 red + 4 new + 8 changed + 31 r5 = 44) fits the ~50-query
+    # (1 red + 5 new + 8 changed + 31 r5 = 45) fits the ~50-query
     # window, so the round closes with no registry row older than r6.
     # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
     "a31_stream_pq_encode",            # now exploded (vec_id, pos,
@@ -73,6 +73,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # star-guarded pairs (rows-only)
     "a32_stream_curation_funnel",      # ingest-time curation funnel
                                        # (b100's a-side, duality assert)
+    "b111_lm_bucket_mixture",          # CCNet head/middle/tail buckets
+                                       # + per-bucket Lehmer sampling
     # --- changed in round 8 (code touched; rows must refresh) ---
     "b104_pq_ann",                     # query batch bounded (_ANN_QBATCH
                                        # hash-ordered limit)

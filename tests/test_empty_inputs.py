@@ -26,6 +26,7 @@ from kafka_streams_sandbox_spark.operators.pipeline import (
     b100_curation_capstone,
     b103_temperature_mixture,
     b108_bigram_lm_gate,
+    b111_lm_bucket_mixture,
 )
 from kafka_streams_sandbox_spark.operators.packing import (
     b88_shard_shuffle,
@@ -120,6 +121,7 @@ _QUERIES = [
     b90_time_grid_fill,  # sequence() over an empty agg + tagged union
     b103_temperature_mixture,  # r7: zero sources -> default cap, empty out
     b108_bigram_lm_gate,  # r8: no bigrams -> no scored docs
+    b111_lm_bucket_mixture,  # r8: empty scored set -> empty buckets
 ]
 
 

@@ -242,3 +242,34 @@ def test_bigram_lm_gate_matches_python_twin_and_separates(spark, tmp_path):
         assert got[i][2] and 0.0 < got[i][1] < 1.0
     for i in range(6, 10):  # gibberish: hapax mass excluded -> 0.0
         assert got[i][1] == 0.0 and not got[i][2]
+
+
+def test_lm_bucket_mixture_separates_and_samples(spark, tmp_path):
+    """b111 (r8): on the template/gibberish corpus the templates score
+    above the corpus ratio (head — kept outright) and the
+    unique-bigram gibberish lands at 0.0 (tail — kept only under the
+    100-permille Lehmer pick); bucket membership and the keep bit
+    must match the pure-Python re-derivation of both rules."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B111_RATE_PERMILLE,
+        b111_lm_bucket_mixture,
+    )
+
+    template = "the cat sat on the mat and the dog sat on the rug " * 3
+    texts = [template] * 6 + [
+        " ".join(f"gib{i}_{j}" for j in range(30)) for i in range(4)
+    ]
+    sf_dir = _docs_dir(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["bucket"], r["keep"], r["lm_score"])
+        for r in b111_lm_bucket_mixture(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(10))
+    for i in range(6):
+        assert got[i][0] == "head" and got[i][1]
+    for i in range(6, 10):
+        assert got[i][0] == "tail" and got[i][2] == 0.0
+        want_keep = ((i * 48271) % 2147483647) % 1000 < _B111_RATE_PERMILLE[
+            "tail"
+        ]
+        assert got[i][1] == want_keep
