@@ -2406,9 +2406,23 @@ def b109_winnowing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers end-to-end, so this is hash-verified too.
     """
     pairs = b105_winnowing_fingerprints(spark, sf_dir)
+    # one-pass symmetric explode, not a two-branch union — a union
+    # would consume the pair aggregate lineage twice (the
+    # min_label_components r8 lesson)
     sym = pairs.select(
-        F.col("doc_a").alias("doc_id"), "shared_prints"
-    ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "shared_prints"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("shared_prints").alias("sp"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("shared_prints").alias("sp"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", F.col("e.sp").alias("shared_prints"))
     return sym.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_partners"),
         F.max("shared_prints").cast("bigint").alias("max_shared"),

@@ -826,9 +826,30 @@ def min_label_components(
     under-converged labeling. tests/test_operators.py exercises the
     multi-round path on a chain graph.
     """
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    # one-pass symmetric edge build + lazy DISK_ONLY checkpoint (r8):
+    # the old two-branch union consumed `pairs` twice, and edges join
+    # into EVERY loop round — so a caller handing in an expensive pair
+    # lineage (b110's banding+verify, b100's minhash pairs) re-ran it
+    # 2x per round (measured: b110's first 100x probe spent ~120 of
+    # 195 s re-deriving b96). Explode emits both directions in one
+    # pass; the checkpoint materializes the pair lineage exactly once
+    # for the whole loop.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     # Smart init: label(node) = min(node, min direct neighbor) — the
     # result of the classic first propagation round, for the price of
     # ONE aggregation instead of a join+agg round. Fingerprint dup

@@ -1061,11 +1061,17 @@ def bigram_lm_verdict(
                                    'nh', element_at(th, i + 1))))"""
         ),
     )
+    from pyspark import StorageLevel
+
     pn = occ.groupBy("ph", "nh").agg(F.count(F.lit(1)).alias("n_pn"))
     pn2 = pn.withColumn(
         "n_p", F.sum("n_pn").over(Window.partitionBy("ph"))
     )
     dec = "decimal(38,0)"
+    # lazy DISK_ONLY checkpoint: scored has TWO consumers (the corpus
+    # threshold aggregate + the returned per-doc frame) and without
+    # truncation each re-runs the corpus-scale occ x counts join (the
+    # b27/b105 multi-consumer lesson). Narrow rows: doc_id + 3 numbers.
     scored = (
         occ.join(pn2, ["ph", "nh"])
         .groupBy("doc_id")
@@ -1080,6 +1086,7 @@ def bigram_lm_verdict(
             ).alias("hit_mass"),
             F.sum(F.col("n_p").cast(dec)).alias("base_mass"),
         )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     tot = scored.agg(
         (

@@ -59,7 +59,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
     # the NEW queries first, then every query whose code changed this
     # round, then ALL 31 queries still carrying r5 rows — the head
-    # (1 red + 5 new + 8 changed + 31 r5 = 45) fits the ~50-query
+    # (1 red + 5 new + 10 changed + 31 r5 = 47) fits the ~50-query
     # window, so the round closes with no registry row older than r6.
     # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
     "a31_stream_pq_encode",            # now exploded (vec_id, pos,
@@ -91,6 +91,9 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a28_stream_incremental_neardup",  # read fallback narrowed to
                                        # AnalysisException
     "a30_stream_repetition_gate",      # same exception narrowing
+    "b55_dedup_clusters",              # min_label_components edge build
+                                       # now one-pass + checkpointed
+    "b93_semantic_dedup",              # same shared-loop change
     # --- r5 rows: all 31 remaining (VERDICT r7 #3 list) ---
     "b14_rollup_agg",
     "b16_json_extract",
