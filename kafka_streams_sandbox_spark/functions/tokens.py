@@ -31,3 +31,26 @@ DUCK_TRIGRAMS_EXPR = """CASE WHEN len(toks) < 3
     ELSE list_transform(range(1, len(toks) - 1),
          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
     END"""
+
+
+def token_set_fingerprint(toks=None):
+    """Column: md5 over the sorted distinct whitespace-token set — the
+    exact-dedup join key. ONE definition (r8 review): b24/b55/b68/b71/
+    b100 and the a26/a32 ingest twins all join on this rule, and a26/
+    a32 additionally join it against parquet-persisted state, so a
+    drift in any one inline copy would silently diverge the stream
+    dedup from the batch operators with no failing test at the drift
+    point. ``toks`` = None derives tokens from ``text`` (TOKENS_EXPR);
+    pass a column name/Column to fingerprint a precomputed token array.
+    Case-SENSITIVE by design — b32's provenance fingerprint is the
+    separate lowercased rule."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if toks is None:
+        arr = F.expr(TOKENS_EXPR)
+    elif isinstance(toks, Column):
+        arr = toks
+    else:
+        arr = F.col(toks)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(arr)), " "))

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_sandbox_spark.catalog import documents_wide, table
-from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+from kafka_streams_sandbox_spark.functions.tokens import (
+    TOKENS_EXPR,
+    token_set_fingerprint,
+)
 from kafka_streams_sandbox_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -84,11 +87,7 @@ def b24_dedup_across_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-source case exact byte equality misses. Canonical copy =
     min doc_id; provenance spread = distinct sources."""
     docs = table(spark, sf_dir, "documents")
-    fingerprint = F.md5(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
-        )
-    )
+    fingerprint = token_set_fingerprint()
     return (
         docs.select(fingerprint.alias("fingerprint"), "doc_id", "source")
         .groupBy("fingerprint")
@@ -1932,6 +1931,8 @@ def b99_selfseed_neardup(  # dependent ingest (no DuckDB twin)
     """
     from pyspark import StorageLevel
 
+    from kafka_streams_sandbox_spark.session import release_local_checkpoint
+
     docs = documents_wide(spark, sf_dir)
     tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
     corpus = tokened.filter((F.col("doc_id") % 10) < 8)
@@ -1983,7 +1984,7 @@ def b99_selfseed_neardup(  # dependent ingest (no DuckDB twin)
             # them here instead of leaking one set per round per
             # invocation (r7 review fix; the a28/a29 discipline)
             for h in handles:
-                h.unpersist()
+                release_local_checkpoint(h)
     finally:
         seed_index.unpersist()
     out = rounds[0]

@@ -31,6 +31,7 @@ from kafka_streams_sandbox_spark.functions.numeric import (
     sql_dsum,
     sql_lsum,
 )
+from kafka_streams_sandbox_spark.functions.tokens import token_set_fingerprint
 from kafka_streams_sandbox_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -776,11 +777,7 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
 
     docs = table(spark, sf_dir, "documents")
-    fingerprint = F.md5(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
-        )
-    )
+    fingerprint = token_set_fingerprint()
     # STAR edges, not clique edges: a fingerprint group is a clique by
     # construction, so connecting every member to the group MINIMUM
     # (g-1 edges) yields the identical components as all g(g-1)/2

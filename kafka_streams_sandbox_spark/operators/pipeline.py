@@ -25,6 +25,7 @@ from kafka_streams_sandbox_spark.functions.tokens import (
     DUCK_TRIGRAMS_EXPR,
     TOKENS_EXPR,
     TRIGRAMS_EXPR,
+    token_set_fingerprint,
 )
 from kafka_streams_sandbox_spark.registry import query
 
@@ -748,9 +749,7 @@ def b68_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch + corpus-scan), independent of corpus shuffle width.
     """
     docs = table(spark, sf_dir, "documents")
-    fingerprint = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " ")
-    )
+    fingerprint = token_set_fingerprint()
     fp = docs.select("doc_id", fingerprint.alias("fingerprint"))
     is_new = (F.col("doc_id") % 10) >= 8
     new_batch = fp.filter(is_new)
@@ -1299,9 +1298,7 @@ def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size("toks").alias("n_tokens"),
-        F.md5(
-            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
-        ).alias("fingerprint"),
+        token_set_fingerprint("toks").alias("fingerprint"),
         (
             F.lit(1.0)
             - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
@@ -1930,9 +1927,7 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
             "doc_id",
             "source",
             F.size("toks").alias("n_tokens"),
-            F.md5(
-                F.array_join(F.array_sort(F.array_distinct("toks")), " ")
-            ).alias("fingerprint"),
+            token_set_fingerprint("toks").alias("fingerprint"),
             (
                 F.lit(1.0)
                 - F.size(F.array_distinct("tg")).cast("double")

@@ -59,7 +59,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
     # the NEW queries first, then every query whose code changed this
     # round, then ALL 31 queries still carrying r5 rows — the head
-    # (1 red + 5 new + 10 changed + 31 r5 = 47) fits the ~50-query
+    # (1 red + 5 new + 13 changed + 31 r5 = 50) fills the ~50-query
     # window, so the round closes with no registry row older than r6.
     # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
     "a31_stream_pq_encode",            # now exploded (vec_id, pos,
@@ -94,6 +94,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b55_dedup_clusters",              # min_label_components edge build
                                        # now one-pass + checkpointed
     "b93_semantic_dedup",              # same shared-loop change
+    "a26_stream_incremental_dedup",    # fingerprint expr -> shared
+                                       # token_set_fingerprint helper
+    "b24_dedup_across_sources",        # same helper swap
+    "b71_corpus_curation",             # same helper swap
     # --- r5 rows: all 31 remaining (VERDICT r7 #3 list) ---
     "b14_rollup_agg",
     "b16_json_extract",

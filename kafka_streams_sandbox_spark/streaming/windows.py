@@ -36,7 +36,9 @@ from pyspark.sql.types import (
 )
 
 from kafka_streams_sandbox_spark.functions.numeric import dsum
+from kafka_streams_sandbox_spark.functions.tokens import token_set_fingerprint
 from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import release_local_checkpoint
 from kafka_streams_sandbox_spark.sources.replay import events_stream
 
 
@@ -521,16 +523,7 @@ def a26_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.catalog import table as batch_table
     from kafka_streams_sandbox_spark.sources.replay import documents_stream
 
-    fingerprint = F.md5(
-        F.array_join(
-            F.array_sort(
-                F.array_distinct(
-                    F.expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")
-                )
-            ),
-            " ",
-        )
-    )
+    fingerprint = token_set_fingerprint()
     corpus_fps = (
         batch_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 10) < 8)
@@ -618,7 +611,7 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
             f"{out_dir}/batch_id={batch_id}"
         )
         for h in handles:
-            h.unpersist()
+            release_local_checkpoint(h)
 
     try:
         q = (
@@ -761,7 +754,7 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text"
         ).write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={batch_id}")
         for h in handles:
-            h.unpersist()
+            release_local_checkpoint(h)
 
     q = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -1048,11 +1041,7 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.operators.text import repetition_metrics
     from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
 
-    fingerprint = F.md5(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.expr(TOKENS_EXPR))), " "
-        )
-    )
+    fingerprint = token_set_fingerprint()
     docs = documents_wide(spark, sf_dir)
     is_new = (F.col("doc_id") % 10) >= 8
     tokened = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
@@ -1071,8 +1060,11 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_fps.count()
 
-    def decisions(bdf: DataFrame, standing_fps: DataFrame) -> DataFrame:
-        """Per-doc decision frame over any slice of arriving docs.
+    def decisions(
+        bdf: DataFrame, standing_fps: DataFrame
+    ) -> tuple[DataFrame, list]:
+        """(per-doc decision frame, checkpoint handles to release
+        after materializing) over any slice of arriving docs.
         ``standing_fps`` = fingerprints already kept by earlier
         arrivals (empty for the batch twin, which replaces the state
         with the (seq, doc_id)-min window rule)."""
@@ -1173,7 +1165,7 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
         for h in handles:
-            h.unpersist()
+            release_local_checkpoint(h)
 
     try:
         q = (
@@ -1234,7 +1226,7 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a32_stream_curation_funnel",
         )
         for h in twin_handles:
-            h.unpersist()
+            release_local_checkpoint(h)
     finally:
         index.unpersist()
         corpus_fps.unpersist()

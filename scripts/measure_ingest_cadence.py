@@ -110,6 +110,7 @@ def main() -> None:
     # micro-batch would read its own prior delta and self-match every
     # doc at jaccard 1.0 — the exact bug a29's explicit-path reader
     # fixed; reuse that reader instead of re-growing the bug here.
+    from kafka_streams_sandbox_spark.session import release_local_checkpoint
     from kafka_streams_sandbox_spark.streaming.windows import committed_state
 
     def ingest(bdf, batch_id):
@@ -165,7 +166,7 @@ def main() -> None:
                 f"{out_dir}/batch_id={batch_id}"
             )
         for h in handles:
-            h.unpersist()
+            release_local_checkpoint(h)
         batch_secs.append(round(time.time() - tb, 2))
 
     q = (
