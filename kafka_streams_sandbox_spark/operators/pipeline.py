@@ -1032,6 +1032,90 @@ B108_ORACLE = f"""
 """
 
 
+def bigram_lm_occurrences(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> one (doc_id, ph, nh) row per bigram
+    OCCURRENCE — map-only, int64 xxhash64 keys (the b102 shuffle-key
+    lesson). Shared by the self-trained scorer (b108/b111/b100) and
+    the frozen-model scorer (a33)."""
+    return toks_df.select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th")
+    ).select(
+        "doc_id",
+        F.expr(
+            """inline(transform(sequence(1, size(th) - 1),
+                 i -> named_struct('ph', element_at(th, i),
+                                   'nh', element_at(th, i + 1))))"""
+        ),
+    )
+
+
+def bigram_lm_counts(toks_df: DataFrame) -> DataFrame:
+    """Train the bigram model over a corpus: (ph, nh, n_pn, n_p) —
+    one shuffle for the (prev, next) counts (map-side partial agg),
+    the per-prev total as a window over the counts table
+    (distinct-bigram-sized, never corpus-sized)."""
+    pn = (
+        bigram_lm_occurrences(toks_df)
+        .groupBy("ph", "nh")
+        .agg(F.count(F.lit(1)).alias("n_pn"))
+    )
+    return pn.withColumn("n_p", F.sum("n_pn").over(Window.partitionBy("ph")))
+
+
+def bigram_lm_frozen_score(
+    toks_df: DataFrame,
+    model: DataFrame,
+    threshold: float,
+    with_masses: bool = False,
+) -> DataFrame:
+    """Score docs against a FROZEN counts model — the CCNet
+    train/apply split (the reference corpus trains, arriving data is
+    scored; b108's self-trained form is the at-rest twin). Unseen
+    bigrams contribute 0 hit and 0 base via the LEFT join (the
+    n_bigrams term still counts them in the denominator), so a doc of
+    fully out-of-model bigrams scores 0.0 and fails any positive
+    threshold. ``threshold`` is the frozen training-corpus score — a
+    plain float captured once, so every per-doc verdict is a pure
+    function of (own text, frozen model, frozen scalar): exactly what
+    makes the ingest stream's micro-batching invisible (a33's duality
+    assert relies on it)."""
+    dec = "decimal(38,0)"
+    scored = (
+        bigram_lm_occurrences(toks_df)
+        .join(model, ["ph", "nh"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.coalesce(
+                    F.when(
+                        F.col("n_pn") >= _B108_MIN_BIGRAM_N, F.col("n_pn")
+                    ),
+                    F.lit(0),
+                ).cast(dec)
+            ).alias("hit_mass"),
+            F.sum(F.coalesce(F.col("n_p"), F.lit(0)).cast(dec)).alias(
+                "base_mass"
+            ),
+        )
+    )
+    score = F.col("hit_mass").cast("double") / (
+        F.col("n_bigrams").cast(dec) + F.col("base_mass")
+    ).cast("double")
+    out = scored.select(
+        "doc_id",
+        "n_bigrams",
+        score.alias("lm_score"),
+        (F.lit(2.0) * score >= F.lit(threshold)).alias("passes_lm"),
+        "hit_mass",
+        "base_mass",
+    )
+    # masses exposed only for the threshold derivation (a33 freezes
+    # the training corpus's aggregate ratio from the exact integer
+    # masses); scoring callers keep the 4-column driver shape
+    return out if with_masses else out.drop("hit_mass", "base_mass")
+
+
 def bigram_lm_verdict(
     toks_df: DataFrame, with_threshold: bool = False
 ) -> DataFrame:
@@ -1050,22 +1134,10 @@ def bigram_lm_verdict(
     The corpus threshold is a single-row aggregate broadcast back
     (the b72 one-row crossJoin idiom) — no driver collect on any
     corpus-sized frame."""
-    occ = toks_df.select(
-        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th")
-    ).select(
-        "doc_id",
-        F.expr(
-            """inline(transform(sequence(1, size(th) - 1),
-                 i -> named_struct('ph', element_at(th, i),
-                                   'nh', element_at(th, i + 1))))"""
-        ),
-    )
     from pyspark import StorageLevel
 
-    pn = occ.groupBy("ph", "nh").agg(F.count(F.lit(1)).alias("n_pn"))
-    pn2 = pn.withColumn(
-        "n_p", F.sum("n_pn").over(Window.partitionBy("ph"))
-    )
+    occ = bigram_lm_occurrences(toks_df)
+    pn2 = bigram_lm_counts(toks_df)
     dec = "decimal(38,0)"
     # lazy DISK_ONLY checkpoint: scored has TWO consumers (the corpus
     # threshold aggregate + the returned per-doc frame) and without

@@ -59,8 +59,9 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
     # the NEW queries first, then every query whose code changed this
     # round, then ALL 31 queries still carrying r5 rows — the head
-    # (1 red + 5 new + 13 changed + 31 r5 = 50) fills the ~50-query
-    # window, so the round closes with no registry row older than r6.
+    # (1 red + 6 new + 13 changed + 31 r5 = 51) slightly overfills the
+    # ~50-query window — if the budget cuts at 50, the one row left
+    # behind is b94's (r5), the cheapest acceptable casualty.
     # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
     "a31_stream_pq_encode",            # now exploded (vec_id, pos,
                                        # code) — canonicalizer-hashable
@@ -75,6 +76,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # (b100's a-side, duality assert)
     "b111_lm_bucket_mixture",          # CCNet head/middle/tail buckets
                                        # + per-bucket Lehmer sampling
+    "a33_stream_lm_gate",              # frozen-model LM gate at ingest
+                                       # (train/apply split, duality)
     # --- changed in round 8 (code touched; rows must refresh) ---
     "b104_pq_ann",                     # query batch bounded (_ANN_QBATCH
                                        # hash-ordered limit)

@@ -1255,3 +1255,116 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
     )
+
+
+@query("a33_stream_lm_gate")  # rows-only: streaming sink
+def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b108's LM gate in its TRUE CCNet deployment shape: the model
+    trains ONCE on the frozen reference corpus (doc_id % 10 < 8 — the
+    a26/a28/a32 decomposition; CCNet trains on Wikipedia, not on the
+    data being filtered), the training corpus's own score freezes as
+    the threshold scalar, and every ARRIVING doc is scored against
+    that frozen (model, threshold) as it lands. Completes the
+    ingest-gate family: a25 = heuristic rules, a30 = repetition
+    rules, a33 = the learned-model gate.
+
+    Unlike self-trained b108, unseen bigrams are a real case here:
+    the LEFT-join scorer (`bigram_lm_frozen_score`, shared code)
+    gives them 0 hit / 0 base, so out-of-distribution text scores
+    toward 0 and gates out — the behavior a train/apply split is FOR.
+
+    foreachBatch writes batch_id-derived subpaths (retries replace
+    their own output); the model counts persist DISK_ONLY before the
+    stream starts (a28's standing-artifact discipline) and release
+    after. A doc's verdict depends only on (its own text, the frozen
+    model, the frozen scalar), so micro-batch boundaries cannot
+    change it — the in-query duality assert certifies stream == the
+    batch twin scored over the whole arriving slice in one pass
+    (bit-identical: per-doc integer sums + one division, no
+    aggregation-order drift)."""
+    import tempfile
+
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        bigram_lm_counts,
+        bigram_lm_frozen_score,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_schema = (
+        "doc_id bigint, n_bigrams bigint, lm_score double, "
+        "passes_lm boolean"
+    )
+    cols = ["doc_id", "n_bigrams", "lm_score", "passes_lm"]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+
+    def toks_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+        ).filter(F.size("toks") >= 2)
+
+    corpus_toks = toks_of(docs.filter(~is_new))
+    model = bigram_lm_counts(corpus_toks).persist(StorageLevel.DISK_ONLY)
+    model.count()  # materialize once, before the stream starts
+    out_dir = tempfile.mkdtemp(prefix="kss-a33-")
+    try:
+        # frozen threshold = the training corpus's own aggregate score,
+        # from the EXACT integer masses (one bounded 1-row collect;
+        # self-scoring, so the scorer's left join is vacuous and the
+        # arithmetic matches b108's inner-join form)
+        dec = "decimal(38,0)"
+        threshold = (
+            bigram_lm_frozen_score(
+                corpus_toks, model, threshold=0.0, with_masses=True
+            )
+            .agg(
+                (
+                    F.sum("hit_mass").cast("double")
+                    / (
+                        F.sum(F.col("n_bigrams").cast(dec))
+                        + F.sum("base_mass")
+                    ).cast("double")
+                ).alias("corpus_score")
+            )
+            .collect()[0]["corpus_score"]
+        )
+        if threshold is None:  # empty training corpus -> no model:
+            threshold = float("inf")  # nothing passes (conservative)
+
+        def score_batch(bdf: DataFrame, batch_id: int) -> None:
+            bigram_lm_frozen_score(
+                toks_of(bdf.filter(is_new)), model, threshold
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        q = (
+            documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(score_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            out = spark.read.option("recursiveFileLookup", "true").parquet(
+                out_dir
+            ).select(*cols)
+        except AnalysisException:  # zero batches -> no footer to infer
+            out = spark.createDataFrame([], out_schema)
+        assert_stream_batch_duality(
+            out,
+            bigram_lm_frozen_score(
+                toks_of(docs.filter(is_new)), model, threshold
+            ),
+            cols,
+            "a33_stream_lm_gate",
+        )
+    finally:
+        model.unpersist()
+    return out

@@ -1190,3 +1190,43 @@ def test_stream_curation_funnel_shape_and_duality(spark):
         assert rows[a][1] >= rows[b][1]
     assert rows["dedup_exact"][0] < rows["repetition"][0]
     assert rows["dedup_near"][0] < rows["dedup_exact"][0]
+
+
+def test_stream_lm_gate_frozen_model_separates(spark, tmp_path):
+    """a33 (r8): the frozen-model LM gate must pass in-distribution
+    arrivals and fail out-of-distribution ones — the train/apply
+    split's whole point, unreachable by self-trained b108 (which
+    would fold the OOD doc into its own model). The frozen 80%
+    (doc_id % 10 < 8) is template text; arriving doc 8 is the same
+    template (scores like the corpus, passes), arriving doc 9 is
+    all-unique gibberish (every bigram unseen -> left-join zeros ->
+    lm_score 0.0, fails). The in-query duality assert also ran."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a33_stream_lm_gate,
+    )
+
+    template = "the cat sat on the mat and the dog sat on the rug " * 3
+    texts = {i: template for i in range(8)}
+    texts[8] = template  # in-distribution arrival
+    texts[9] = " ".join(f"ood{j}" for j in range(40))  # OOD arrival
+    ids = sorted(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["srcL"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["lm_score"], r["passes_lm"])
+        for r in a33_stream_lm_gate(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {8, 9}
+    assert got[8][1] and got[8][0] > 0.0
+    assert got[9] == (0.0, False)
