@@ -1,0 +1,43 @@
+"""Session-level runtime utilities."""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+
+from kafka_streams_sandbox_spark.session import release_local_checkpoint
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """The r8 review finding, pinned: DataFrame.unpersist() is a
+    silent no-op for localCheckpoint blocks (a checkpoint is a
+    LogicalRDD persisted directly, never cached), so the streaming
+    release discipline must go through release_local_checkpoint,
+    which unpersists the UNDERLYING RDD. This test is the empirical
+    proof that mechanism works in this environment — if a Spark
+    upgrade changes the LogicalRDD accessor path, this fails here
+    instead of silently re-leaking per-micro-batch blocks."""
+    base = _n_persistent(spark)
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    cp = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    assert cp.count() == 10_000  # materialize the checkpoint
+    assert _n_persistent(spark) == base + 1
+    cp.unpersist(True)  # the documented no-op
+    assert _n_persistent(spark) == base + 1
+    release_local_checkpoint(cp)
+    assert _n_persistent(spark) == base
+
+
+def test_release_local_checkpoint_fallback_on_plain_persist(spark):
+    """Non-checkpoint handles take the df.unpersist fallback — the
+    helper must release a plain persisted frame too, so call sites
+    can route every handle through it without caring which kind."""
+    base = _n_persistent(spark)
+    df = spark.range(1_000).persist(StorageLevel.DISK_ONLY)
+    df.count()
+    assert _n_persistent(spark) == base + 1
+    release_local_checkpoint(df)
+    assert _n_persistent(spark) == base
