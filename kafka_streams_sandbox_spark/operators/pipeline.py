@@ -1036,8 +1036,13 @@ def bigram_lm_occurrences(toks_df: DataFrame) -> DataFrame:
     """(doc_id, toks) -> one (doc_id, ph, nh) row per bigram
     OCCURRENCE — map-only, int64 xxhash64 keys (the b102 shuffle-key
     lesson). Shared by the self-trained scorer (b108/b111/b100) and
-    the frozen-model scorer (a33)."""
-    return toks_df.select(
+    the frozen-model scorer (a33).
+
+    The >= 2-token guard is ENFORCED here, not assumed (r8 review):
+    ``sequence(1, size - 1)`` on a 1-token doc descends to [1, 0] and
+    ``element_at(th, 0)`` throws at runtime — a shared helper must not
+    be one forgotten caller-side filter away from killing a query."""
+    return toks_df.filter(F.size("toks") >= 2).select(
         "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th")
     ).select(
         "doc_id",
@@ -1047,6 +1052,40 @@ def bigram_lm_occurrences(toks_df: DataFrame) -> DataFrame:
                                    'nh', element_at(th, i + 1))))"""
         ),
     )
+
+
+def _lm_doc_masses(occ_with_counts: DataFrame) -> DataFrame:
+    """ONE definition of the per-doc mass aggregate (r8 review —
+    the self-trained and frozen scorers previously spelled it out
+    twice, the exact single-definition rule this module preaches):
+    (doc_id, n_bigrams, hit_mass, base_mass) from an occurrences
+    frame carrying (possibly NULL, for model-unseen bigrams) n_pn /
+    n_p count columns. Hapax mass (n_pn < {_B108_MIN_BIGRAM_N}) and
+    unseen bigrams both contribute 0 hit; decimal(38,0) partials keep
+    the sums exact at any corpus size."""
+    dec = "decimal(38,0)"
+    return occ_with_counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.coalesce(
+                F.when(
+                    F.col("n_pn") >= _B108_MIN_BIGRAM_N, F.col("n_pn")
+                ),
+                F.lit(0),
+            ).cast(dec)
+        ).alias("hit_mass"),
+        F.sum(F.coalesce(F.col("n_p"), F.lit(0)).cast(dec)).alias(
+            "base_mass"
+        ),
+    )
+
+
+def _lm_score_col() -> "F.Column":
+    """The score expression over a _lm_doc_masses row — shared so the
+    gate arithmetic cannot drift between scorers."""
+    return F.col("hit_mass").cast("double") / (
+        F.col("n_bigrams").cast("decimal(38,0)") + F.col("base_mass")
+    ).cast("double")
 
 
 def bigram_lm_counts(toks_df: DataFrame) -> DataFrame:
@@ -1063,10 +1102,7 @@ def bigram_lm_counts(toks_df: DataFrame) -> DataFrame:
 
 
 def bigram_lm_frozen_score(
-    toks_df: DataFrame,
-    model: DataFrame,
-    threshold: float,
-    with_masses: bool = False,
+    toks_df: DataFrame, model: DataFrame, threshold: float
 ) -> DataFrame:
     """Score docs against a FROZEN counts model — the CCNet
     train/apply split (the reference corpus trains, arriving data is
@@ -1079,41 +1115,16 @@ def bigram_lm_frozen_score(
     function of (own text, frozen model, frozen scalar): exactly what
     makes the ingest stream's micro-batching invisible (a33's duality
     assert relies on it)."""
-    dec = "decimal(38,0)"
-    scored = (
-        bigram_lm_occurrences(toks_df)
-        .join(model, ["ph", "nh"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(
-                F.coalesce(
-                    F.when(
-                        F.col("n_pn") >= _B108_MIN_BIGRAM_N, F.col("n_pn")
-                    ),
-                    F.lit(0),
-                ).cast(dec)
-            ).alias("hit_mass"),
-            F.sum(F.coalesce(F.col("n_p"), F.lit(0)).cast(dec)).alias(
-                "base_mass"
-            ),
-        )
+    scored = _lm_doc_masses(
+        bigram_lm_occurrences(toks_df).join(model, ["ph", "nh"], "left")
     )
-    score = F.col("hit_mass").cast("double") / (
-        F.col("n_bigrams").cast(dec) + F.col("base_mass")
-    ).cast("double")
-    out = scored.select(
+    score = _lm_score_col()
+    return scored.select(
         "doc_id",
         "n_bigrams",
         score.alias("lm_score"),
         (F.lit(2.0) * score >= F.lit(threshold)).alias("passes_lm"),
-        "hit_mass",
-        "base_mass",
     )
-    # masses exposed only for the threshold derivation (a33 freezes
-    # the training corpus's aggregate ratio from the exact integer
-    # masses); scoring callers keep the 4-column driver shape
-    return out if with_masses else out.drop("hit_mass", "base_mass")
 
 
 def bigram_lm_verdict(
@@ -1143,21 +1154,10 @@ def bigram_lm_verdict(
     # threshold aggregate + the returned per-doc frame) and without
     # truncation each re-runs the corpus-scale occ x counts join (the
     # b27/b105 multi-consumer lesson). Narrow rows: doc_id + 3 numbers.
-    scored = (
-        occ.join(pn2, ["ph", "nh"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(
-                F.when(
-                    F.col("n_pn") >= _B108_MIN_BIGRAM_N, F.col("n_pn")
-                )
-                .otherwise(F.lit(0))
-                .cast(dec)
-            ).alias("hit_mass"),
-            F.sum(F.col("n_p").cast(dec)).alias("base_mass"),
-        )
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # Inner join here (self-scoring: every bigram is in its own
+    # model), so _lm_doc_masses' coalesces are vacuous identities.
+    scored = _lm_doc_masses(occ.join(pn2, ["ph", "nh"])).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     tot = scored.agg(
         (
@@ -1167,9 +1167,7 @@ def bigram_lm_verdict(
             ).cast("double")
         ).alias("corpus_score")
     )
-    score = F.col("hit_mass").cast("double") / (
-        F.col("n_bigrams").cast(dec) + F.col("base_mass")
-    ).cast("double")
+    score = _lm_score_col()
     out = scored.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_bigrams",

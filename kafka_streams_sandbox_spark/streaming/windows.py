@@ -1290,6 +1290,7 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.catalog import documents_wide
     from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
     from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B108_MIN_BIGRAM_N,
         bigram_lm_counts,
         bigram_lm_frozen_score,
     )
@@ -1314,27 +1315,40 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="kss-a33-")
     try:
         # frozen threshold = the training corpus's own aggregate score,
-        # from the EXACT integer masses (one bounded 1-row collect;
-        # self-scoring, so the scorer's left join is vacuous and the
-        # arithmetic matches b108's inner-join form)
+        # from the EXACT integer masses — derived from ONE scan of the
+        # distinct-bigram-sized model table (r8 review): self-scoring
+        # means bigram (p, n) occurs exactly n_pn times, each
+        # occurrence contributing n_pn (if >= min) to hit, n_p to
+        # base, and 1 to n_bigrams — so the corpus sums are
+        # SUM(n_pn^2 | n_pn >= min) / (SUM(n_pn) + SUM(n_pn * n_p)):
+        # the same decimal(38,0) integers the per-doc scorer would
+        # re-derive via a corpus-scale occurrences x model join + doc
+        # shuffle, for the price of the already-persisted counts scan.
         dec = "decimal(38,0)"
+        n_pn_d = F.col("n_pn").cast(dec)
         threshold = (
-            bigram_lm_frozen_score(
-                corpus_toks, model, threshold=0.0, with_masses=True
-            )
-            .agg(
+            model.agg(
                 (
-                    F.sum("hit_mass").cast("double")
+                    F.sum(
+                        F.when(
+                            F.col("n_pn") >= _B108_MIN_BIGRAM_N,
+                            n_pn_d * n_pn_d,
+                        ).otherwise(F.lit(0).cast(dec))
+                    ).cast("double")
                     / (
-                        F.sum(F.col("n_bigrams").cast(dec))
-                        + F.sum("base_mass")
+                        F.sum(n_pn_d)
+                        + F.sum(n_pn_d * F.col("n_p").cast(dec))
                     ).cast("double")
                 ).alias("corpus_score")
             )
             .collect()[0]["corpus_score"]
         )
-        if threshold is None:  # empty training corpus -> no model:
-            threshold = float("inf")  # nothing passes (conservative)
+        if threshold is None or threshold <= 0.0:
+            # empty corpus (null) OR an all-hapax corpus (0.0): no
+            # model signal exists, and a 0.0 threshold would FAIL OPEN
+            # (2 * 0.0 >= 0.0 passes the exact OOD docs the gate
+            # exists to reject) — fail closed instead (r8 review)
+            threshold = float("inf")
 
         def score_batch(bdf: DataFrame, batch_id: int) -> None:
             bigram_lm_frozen_score(

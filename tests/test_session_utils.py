@@ -7,8 +7,13 @@ from pyspark import StorageLevel
 from kafka_streams_sandbox_spark.session import release_local_checkpoint
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    return {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
 
 
 def test_release_local_checkpoint_frees_blocks(spark):
@@ -19,25 +24,30 @@ def test_release_local_checkpoint_frees_blocks(spark):
     which unpersists the UNDERLYING RDD. This test is the empirical
     proof that mechanism works in this environment — if a Spark
     upgrade changes the LogicalRDD accessor path, this fails here
-    instead of silently re-leaking per-micro-batch blocks."""
-    base = _n_persistent(spark)
+    instead of silently re-leaking per-micro-batch blocks. Compared
+    by RDD-id SET DIFFERENCE, not global count: the session-scoped
+    fixture carries other tests' persisted RDDs, and the async
+    ContextCleaner may release one mid-assertion."""
+    base = _persistent_ids(spark)
     df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
     cp = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     assert cp.count() == 10_000  # materialize the checkpoint
-    assert _n_persistent(spark) == base + 1
+    new = _persistent_ids(spark) - base
+    assert len(new) == 1  # exactly our checkpoint block
     cp.unpersist(True)  # the documented no-op
-    assert _n_persistent(spark) == base + 1
+    assert new <= _persistent_ids(spark)  # ...block still there
     release_local_checkpoint(cp)
-    assert _n_persistent(spark) == base
+    assert not (new & _persistent_ids(spark))  # actually freed
 
 
 def test_release_local_checkpoint_fallback_on_plain_persist(spark):
     """Non-checkpoint handles take the df.unpersist fallback — the
     helper must release a plain persisted frame too, so call sites
     can route every handle through it without caring which kind."""
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     df = spark.range(1_000).persist(StorageLevel.DISK_ONLY)
     df.count()
-    assert _n_persistent(spark) == base + 1
+    new = _persistent_ids(spark) - base
+    assert len(new) == 1
     release_local_checkpoint(df)
-    assert _n_persistent(spark) == base
+    assert not (new & _persistent_ids(spark))
