@@ -2594,3 +2594,154 @@ def b107_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             containment.alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b112: CCNet paragraph-level dedup (keep-first paragraph occurrence,
+# corpus-wide) — the granularity between b24 (whole doc) and b97
+# (overlapping token spans)
+# ---------------------------------------------------------------------------
+# Wenzek et al. 2019 (CCNet) dedup by paragraph hash before anything
+# else: split each doc on paragraph boundaries, hash each paragraph,
+# keep the FIRST occurrence corpus-wide, rewrite the doc from its
+# surviving paragraphs. This corpus has no newline/punctuation
+# boundaries (pure space-separated tokens), so "paragraph" is defined
+# structurally as fixed NON-OVERLAPPING blocks of _B112_P tokens —
+# the standard fallback for boundary-free text, and exactly the
+# hash-set semantics CCNet applies (first writer wins, including
+# intra-doc repeats: a doc repeating its own paragraph keeps only the
+# earliest copy).
+_B112_P = 20
+
+B112_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, s.pos AS pos, s.para AS para
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(toks) / {_B112_P}.0) AS BIGINT)),
+                       i -> {{'pos': i,
+                              'para': array_to_string(
+                                  toks[i * {_B112_P} + 1 : i * {_B112_P} + {_B112_P}],
+                                  ' ')}})) AS s
+            FROM t WHERE len(toks) > 0
+        )
+    ),
+    kept AS (
+        SELECT doc_id, pos, para
+        FROM (SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM paras)
+        WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS kept_paras,
+               string_agg(para, ' ' ORDER BY pos) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.toks) / {_B112_P}.0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(r.kept_paras, 0) AS BIGINT) AS kept_paras,
+           COALESCE(r.new_text, '') AS new_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def paragraph_dedup_rewrite(docs: DataFrame) -> DataFrame:
+    """Core of b112 over any ``(doc_id, text)`` relation — exposed so
+    the curation funnel (b100/a32) can run the CCNet paragraph step
+    ahead of the LM gate with the SAME code as the registered query.
+
+    Returns ``(doc_id, n_paras, kept_paras, new_text)`` — one row per
+    input doc; ``new_text = ''`` when every paragraph was already seen
+    (a fully-duplicated doc).
+
+    Scale shape (reference: CCNet's sharded hash set, re-expressed as
+    relational keep-first):
+    - Paragraph build is map-only: ``transform(sequence(...))`` slices
+      the token array into blocks with NO token-level explode
+      (_B112_P x fewer generated rows than a per-token posting).
+    - Keep-first is ONE shuffle keyed by the 64-bit paragraph hash
+      (uniform — no skew), evaluated as min(struct(doc_id, pos)) over
+      a hash-partitioned window; WindowExec buffers SPILL, so a
+      boilerplate paragraph shared by 10M docs at 100 TB degrades to
+      disk, never OOM (the b55 window-min discipline).
+    - Rebuild is one groupBy(doc_id) whose collect_list is bounded by
+      paragraphs-per-doc (docs are bounded; a 1 MB doc is ~50k tokens
+      = 2.5k paras), then a broadcast-free doc-keyed join back to the
+      base. 2 shuffles + 1 join total.
+    - Spark groups by ``xxhash64(para)`` (int64 shuffle keys — the
+      b102 discipline); the oracle partitions by the paragraph STRING.
+      Identical keep-sets absent a 64-bit collision (the b26 odds
+      argument); a collision would only merge two distinct paragraphs
+      into one keep-first group.
+    """
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    n_paras = F.ceil(F.size("toks") / F.lit(float(_B112_P)))
+    base = toks.select("doc_id", n_paras.cast("bigint").alias("n_paras"))
+    paras = (
+        toks.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode_outer(  # outer + post-filter: the b105
+                # constraint-inference trap (a plain explode re-infers
+                # the whole slice chain into the scan filter)
+                F.expr(
+                    f"""transform(
+                        sequence(0, cast(ceil(size(toks) / {_B112_P}.0)
+                                         as int) - 1),
+                        i -> concat_ws(' ',
+                                 slice(toks, i * {_B112_P} + 1, {_B112_P})))"""
+                )
+            ).alias("pos", "para"),
+        )
+        .filter(F.col("para").isNotNull())
+    )
+    w = Window.partitionBy(F.xxhash64("para"))
+    kept = (
+        paras.withColumn(
+            "first", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w)
+        )
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .drop("first")
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_paras"),
+            F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            "kept_paras",
+            F.concat_ws(
+                " ", F.transform(F.col("ps"), lambda s: s["para"])
+            ).alias("new_text"),
+        )
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("kept_paras", F.lit(0)).cast("bigint").alias("kept_paras"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+@query("b112_paragraph_dedup", oracle=B112_ORACLE)
+def b112_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-granularity dedup over the documents table —
+    see paragraph_dedup_rewrite for semantics and the scale shape.
+    Reference behavior modeled: Wenzek et al. 2019 §3.1 (paragraph
+    hash set, first occurrence wins); the VERDICT r8 gap between
+    b24's whole-doc fingerprint and b97's overlapping span removal."""
+    return paragraph_dedup_rewrite(documents_wide(spark, sf_dir))

@@ -251,7 +251,9 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
-    from kafka_streams_sandbox_spark.operators.similarity import _ANN_QBATCH
+    from kafka_streams_sandbox_spark.operators.similarity import (
+        bounded_query_rows,
+    )
 
     # NULL / wrong-dim rows out in SQL (a ragged batch breaks the
     # matmul); zero-norm rows masked numpy-side below — same
@@ -261,15 +263,13 @@ def b44_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
 
-    q_tbl = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_ANN_QBATCH)
-        .select("vec_id", "embedding")
-        .toArrow()
+    q_rows = bounded_query_rows(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        ["vec_id", "embedding"],
+        "b44_cosine_topk_arrow",
     )
-    q_ids = q_tbl["vec_id"].to_numpy()
-    q_mat = np.array(q_tbl["embedding"].to_pylist(), dtype=np.float64)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     if q_mat.size == 0:  # empty slice: keep 2-D so the axis-1 math holds
         q_mat = q_mat.reshape(0, 64)
     q_norms = np.linalg.norm(q_mat, axis=1)
@@ -808,7 +808,9 @@ def b55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_components(
-    pairs: DataFrame, max_rounds: int = _B55_MAX_ROUNDS
+    pairs: DataFrame,
+    max_rounds: int = _B55_MAX_ROUNDS,
+    release_into: list | None = None,
 ) -> tuple[DataFrame, int]:
     """Connected components by min-label propagation to a verified
     fixpoint over a ``(doc_a < doc_b)`` pair set.
@@ -822,7 +824,18 @@ def min_label_components(
     loop runs to a verified fixpoint and refuses to return an
     under-converged labeling. tests/test_operators.py exercises the
     multi-round path on a chain graph.
+
+    Checkpoint hygiene (r9, ADVICE r8): the loop's DISK_ONLY blocks do
+    not wait for JVM GC. Each round's count() materializes that
+    round's label checkpoint, so the PREVIOUS round's blocks are dead
+    and are released inline; the edge table's blocks are dead the
+    moment the loop exits (the returned labels frame reads only its
+    own checkpoint RDD) and are released on BOTH exit paths. Only the
+    final labels checkpoint outlives the call — long-lived callers
+    (streams, the 131-query verify session) pass ``release_into`` to
+    collect that handle and free it after materializing their result.
     """
+    from kafka_streams_sandbox_spark.session import release_local_checkpoint
     # one-pass symmetric edge build + lazy DISK_ONLY checkpoint (r8):
     # the old two-branch union consumed `pairs` twice, and edges join
     # into EVERY loop round — so a caller handing in an expensive pair
@@ -868,42 +881,59 @@ def min_label_components(
     ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     converged = False
     rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        propagated = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = labels.join(
-            propagated, labels.node == propagated.src, "left"
-        ).select(
-            "node",
-            F.least(
-                "label", F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-            # fold convergence detection into the SAME join instead of
-            # re-joining old vs new labels each round
-            (F.col("nbr_label") < F.col("label")).alias("_changed"),
-        )
-        # truncate lineage each round: without this the plan re-derives
-        # every previous iteration (exponential at depth) — the classic
-        # iterative-DataFrame trap; checkpoint() on a real cluster.
-        # Lazy: the convergence count below is the materializing
-        # action, so each round runs ONE job, not two.
-        new_labels = new_labels.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
-        )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            converged = True
-            break
+    # handle to the CHECKPOINTED frame backing `labels` — after round
+    # 1 `labels` itself is a Project over the checkpoint, and the
+    # release helper frees blocks only when handed the LogicalRDD
+    # frame directly
+    labels_ckpt = labels
+    try:
+        for _ in range(max_rounds):
+            rounds += 1
+            propagated = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = labels.join(
+                propagated, labels.node == propagated.src, "left"
+            ).select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                # fold convergence detection into the SAME join instead
+                # of re-joining old vs new labels each round
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            # truncate lineage each round: without this the plan
+            # re-derives every previous iteration (exponential at
+            # depth) — the classic iterative-DataFrame trap;
+            # checkpoint() on a real cluster. Lazy: the convergence
+            # count below is the materializing action, so each round
+            # runs ONE job, not two.
+            new_labels = new_labels.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
+            changed = new_labels.filter(F.col("_changed")).count()
+            # the count materialized new_labels' blocks — the previous
+            # round's label checkpoint is now unreferenced; free it
+            release_local_checkpoint(labels_ckpt)
+            labels_ckpt = new_labels
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # edge blocks die with the loop on both exit paths (the
+        # returned frame reads only its own checkpoint RDD)
+        release_local_checkpoint(edges)
     if not converged:
         raise RuntimeError(
             f"label propagation did not converge in {max_rounds} "
             "rounds — graph diameter exceeds the bound; raise max_rounds"
         )
+    if release_into is not None:
+        release_into.append(labels_ckpt)
     return labels, rounds
 
 

@@ -458,9 +458,11 @@ def b63_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinStd multiplicative hash (Lehmer '88): (doc_id * 48271) mod 2^31-1.
 # Chosen over xxhash64 because BOTH engines evaluate it with plain
-# BIGINT arithmetic (the oracle is the point); product fits in int64
-# for doc_id < ~1.9e14 — at bigger id spaces swap in xxhash64 and drop
-# the oracle to rows-only.
+# BIGINT arithmetic (the oracle is the point). doc_id is reduced
+# mod 2^31-1 BEFORE the multiply — algebraically identical, but the
+# product then stays < 2^47 for ANY int64 id, where the naive form
+# overflows at doc_id ~1.9e14 (Spark would wrap with ANSI off while
+# DuckDB raises Out-of-Range — a latent cross-engine divergence).
 _B64_K = 20
 
 B64_ORACLE = f"""
@@ -469,7 +471,7 @@ B64_ORACLE = f"""
     FROM (SELECT lang, doc_id,
                  row_number() OVER (
                      PARTITION BY lang
-                     ORDER BY (doc_id * 48271) % 2147483647, doc_id
+                     ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647, doc_id
                  ) AS rnk
           FROM documents)
     WHERE rnk <= {_B64_K}
@@ -490,7 +492,7 @@ def b64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is O(strata x k), not O(rows).
     """
     docs = table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
+    h = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271)) % F.lit(2147483647)
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select("lang", "doc_id")
@@ -1228,7 +1230,7 @@ B111_ORACLE = f"""
            CASE WHEN lm_score >= corpus_score THEN 'head'
                 WHEN 2.0 * lm_score >= corpus_score THEN 'middle'
                 ELSE 'tail' END AS bucket,
-           ((doc_id * 48271) % 2147483647) % 1000 <
+           (((doc_id % 2147483647) * 48271) % 2147483647) % 1000 <
                CASE WHEN lm_score >= corpus_score
                     THEN {_B111_RATE_PERMILLE["head"]}
                     WHEN 2.0 * lm_score >= corpus_score
@@ -1266,7 +1268,7 @@ def b111_lm_bucket_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select("doc_id", "lm_score", bucket.alias("bucket"))
         .withColumn(
             "keep",
-            ((F.col("doc_id") * 48271) % 2147483647) % 1000 < rate,
+            (((F.col("doc_id") % 2147483647) * 48271) % 2147483647) % 1000 < rate,
         )
     )
 
@@ -2135,7 +2137,7 @@ B103_ORACLE = f"""
         SELECT source, doc_id,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 48271) % 2147483647, doc_id
+                   ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647, doc_id
                ) AS rnk
         FROM documents
     )
@@ -2188,7 +2190,7 @@ def b103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota_dim = spark.createDataFrame(
         qrows, "source string, n_source bigint, quota bigint"
     )
-    h = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
+    h = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271)) % F.lit(2147483647)
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     ranked = (
         docs.withColumn("sample_rank", F.row_number().over(w))

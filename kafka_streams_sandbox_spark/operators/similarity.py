@@ -780,6 +780,47 @@ _PQ_QCHUNK = 512  # query rows per in-kernel block (b92's chunk lever)
 # whose DuckDB twins define the workload.
 _ANN_QBATCH = 4096
 
+# Observable truncation audit (ADVICE r8: "no silent caps"): query
+# name -> True when the last run's %10 workload exceeded _ANN_QBATCH
+# and the batch was capped. Tests read it; a warning also logs.
+ANN_QBATCH_TRUNCATED: dict[str, bool] = {}
+
+
+def bounded_query_rows(queries: DataFrame, cols: list, name: str) -> list:
+    """Collect the ANN query set BOUNDED to ``_ANN_QBATCH`` rows by a
+    hash-ordered limit (TakeOrderedAndProject — never a full collect;
+    VERDICT r7 #2).
+
+    Over-fetches exactly ONE row so a capped run is distinguishable
+    from a complete one without paying a separate count job: if row
+    ``_ANN_QBATCH + 1`` exists the workload was truncated, which is
+    logged and recorded in ``ANN_QBATCH_TRUNCATED[name]`` (ADVICE r8 —
+    the repo's no-silent-caps discipline). The full-set path is the
+    chunked drain (``b114_ann_drain``), which answers every query
+    in ``_ANN_QBATCH``-sized batches across jobs.
+    """
+    rows = (
+        queries.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_ANN_QBATCH + 1)
+        .select(*cols)
+        .collect()
+    )
+    truncated = len(rows) > _ANN_QBATCH
+    ANN_QBATCH_TRUNCATED[name] = truncated
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: ANN query set exceeds _ANN_QBATCH=%d — answering the "
+            "%d lowest-hash queries only; drain the rest in further "
+            "batches (b114 form)",
+            name,
+            _ANN_QBATCH,
+            _ANN_QBATCH,
+        )
+        rows = rows[:_ANN_QBATCH]
+    return rows
+
 
 def _train_pq_books(train: "np.ndarray") -> "np.ndarray":
     """Deterministic per-subspace driver Lloyd over a bounded training
@@ -936,12 +977,8 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_df, books, v = built
     bc_books = spark.sparkContext.broadcast(books)  # for the ADC kernel
 
-    qrows = (
-        v.filter(F.col("vec_id") % 10 == 0)
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_ANN_QBATCH)
-        .select("vec_id", "ue")
-        .collect()
+    qrows = bounded_query_rows(
+        v.filter(F.col("vec_id") % 10 == 0), ["vec_id", "ue"], "b104_pq_ann"
     )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
     # = TakeOrderedAndProject): the % 10 query set is TH(n), so an
     # uncapped collect is a driver OOM at corpus scale (VERDICT r7 #2)
@@ -1096,12 +1133,10 @@ def b106_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, cell int, sub long, codes array<int>"
     )
 
-    qrows = (
-        assigned.filter(F.col("vec_id") % 10 == 0)
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_ANN_QBATCH)
-        .select("vec_id", "cell", "cell2", "sub", "ue")
-        .collect()
+    qrows = bounded_query_rows(
+        assigned.filter(F.col("vec_id") % 10 == 0),
+        ["vec_id", "cell", "cell2", "sub", "ue"],
+        "b106_ivfpq_ann",
     )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
     # = TakeOrderedAndProject — the _PQ_TRAIN discipline): the % 10
     # set is TH(n) and an uncapped collect is a driver OOM at corpus

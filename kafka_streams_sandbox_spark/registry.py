@@ -56,83 +56,76 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-8 ordering (VERDICT r7 #1/#3): the red a31 row and
-    # the NEW queries first, then every query whose code changed this
-    # round, then ALL 31 queries still carrying r5 rows — the head
-    # (1 red + 6 new + 13 changed + 31 r5 = 51) slightly overfills the
-    # ~50-query window — if the budget cuts at 50, the one row left
-    # behind is b94's (r5), the cheapest acceptable casualty.
-    # --- red row in CORRECTNESS_r07 (output schema fixed this round) ---
-    "a31_stream_pq_encode",            # now exploded (vec_id, pos,
-                                       # code) — canonicalizer-hashable
-    # --- NEW in round 8 (no driver row exists yet) ---
-    "b108_bigram_lm_gate",             # CCNet-shaped LM typicality gate
-                                       # (oracle-backed, engine-exact)
-    "b109_winnowing_coverage",         # b105's output-bounded per-doc
-                                       # form (oracle composes B105 SQL)
-    "b110_lsh_neardup_components",     # component expansion of b96's
-                                       # star-guarded pairs (rows-only)
-    "a32_stream_curation_funnel",      # ingest-time curation funnel
-                                       # (b100's a-side, duality assert)
-    "b111_lm_bucket_mixture",          # CCNet head/middle/tail buckets
-                                       # + per-bucket Lehmer sampling
-    "a33_stream_lm_gate",              # frozen-model LM gate at ingest
-                                       # (train/apply split, duality)
-    # --- changed in round 8 (code touched; rows must refresh) ---
-    "b104_pq_ann",                     # query batch bounded (_ANN_QBATCH
-                                       # hash-ordered limit)
-    "b106_ivfpq_ann",                  # same bound; probes derive from
-                                       # the bounded rows (one scan)
-    "b44_cosine_topk_arrow",           # same bound before the Arrow
-                                       # broadcast action
-    "b100_curation_capstone",          # lm_gate stage joined into the
-                                       # funnel (9 stage rows now)
-    "b99_selfseed_neardup",            # selfseed_ingest_round now
-                                       # checkpoints the probe bands
-    "a29_stream_selfseed_neardup",     # same core; committed_state
-                                       # extracted to module level
-    "a28_stream_incremental_neardup",  # read fallback narrowed to
-                                       # AnalysisException
-    "a30_stream_repetition_gate",      # same exception narrowing
-    "b55_dedup_clusters",              # min_label_components edge build
-                                       # now one-pass + checkpointed
+    # --- round-9 ordering (VERDICT r8 #2): NEW queries first, then
+    # queries whose RESULTS changed this round (the Lehmer pre-reduce
+    # fix rewrote code AND oracle identically — values are the same
+    # for every in-range doc_id, but the expression changed so the
+    # rows must refresh), then behavior-identical code touches, then
+    # b94 (the last r5 row) and ALL 39 r6-aged rows, oracle-backed
+    # before rows-only so any window cutoff lands on the weakest rows.
+    # Head = 4-ish new + 3 + 7 + 40 ≈ 54: a 50-row window drops only
+    # tail rows-only streams already covered by local two-SF logs.
+    # --- NEW in round 9 (no driver row exists yet) ---
+    "b112_paragraph_dedup",            # CCNet paragraph keep-first
+                                       # rewrite (oracle-backed)
+    # --- changed in round 9: expression rewritten in code+oracle ---
+    "b64_stratified_sample",           # Lehmer hash pre-reduced mod
+                                       # 2^31-1 (ADVICE r8 overflow)
+    "b103_temperature_mixture",        # same pre-reduce, same fix
+    "b111_lm_bucket_mixture",          # same pre-reduce, same fix
+    # --- changed in round 9: behavior-identical code touches ---
+    "b44_cosine_topk_arrow",           # bounded_query_rows helper +
+                                       # truncation audit (ADVICE r8)
+    "b104_pq_ann",                     # same helper swap
+    "b106_ivfpq_ann",                  # same helper swap
+    "b55_dedup_clusters",              # min_label_components now frees
+                                       # per-round checkpoint blocks
     "b93_semantic_dedup",              # same shared-loop change
-    "a26_stream_incremental_dedup",    # fingerprint expr -> shared
-                                       # token_set_fingerprint helper
-    "b24_dedup_across_sources",        # same helper swap
-    "b71_corpus_curation",             # same helper swap
-    # --- r5 rows: all 31 remaining (VERDICT r7 #3 list) ---
-    "b14_rollup_agg",
-    "b16_json_extract",
-    "b35_ann_random_projection",
-    "b38_frame_sample",
-    "b42_above_avg_customers",
-    "b43_grouping_sets",
-    "b45_sketch_aggregates",
-    "b46_range_join_bands",
-    "b49_audio_features",
-    "b52_unpivot_measures",
-    "b56_exact_percentiles",
-    "b57_train_holdout_split",
-    "b58_tfidf_top_terms",
-    "b59_funnel_conversion",
-    "b62_contamination_overlap",
-    "b63_intradoc_repetition",
-    "b64_stratified_sample",
-    "b65_embedding_quantize",
-    "b66_scd2_history",
-    "b67_mixture_sample",
-    "b68_incremental_dedup",
-    "b69_quality_gate",
-    "b70_bigram_lm",
-    "b72_key_skew_report",
-    "b74_robust_anomalies",
-    "b76_fuzzy_match",
-    "b77_value_quartiles",
-    "b88_shard_shuffle",
-    "b89_shard_write_manifest",
-    "b90_time_grid_fill",
+    "b110_lsh_neardup_components",     # same shared-loop change
+    "b100_curation_capstone",          # same shared-loop change
+    # --- the last r5 row (VERDICT r8 'What's wrong' #1) ---
     "b94_semantic_dedup_exact",
+    # --- r6 rows, oracle-backed first ---
+    "b15_scalar_functions",
+    "b17_latest_per_user",
+    "b18_table_filter_key_eq_value",
+    "b19_tumbling_window_agg",
+    "b20_sessionization",
+    "b21_exact_dedup",
+    "b23_text_stats",
+    "b26_ngram_jaccard_pairs",
+    "b28_simhash_dedup",
+    "b29_language_id",
+    "b30_quality_score",
+    "b31_token_count",
+    "b32_fingerprint",
+    "b33_cosine_topk",
+    "b34_ann_ivf_label",
+    "b36_multimodal_metadata",
+    "b39_embedding_neardup",
+    "b39_lsh_embedding_neardup",
+    "b48_hybrid_search",
+    "b50_salted_agg",
+    "b51_sliding_window_agg",
+    "b53_rolling_hash",
+    "b54_merge_upsert",
+    "b60_canonical_assignment",
+    "b73_retention_cohorts",
+    "b79_stopword_prune",
+    "b80_context_length_cdf",
+    "b84_salted_join",
+    "b85_novel_bigram_ratio",
+    "b95_fuzzy_match_minhash_blocked",
+    # --- r6 rows, rows-only (streams + env-gated stub) ---
+    "b37_image_decode_stub",
+    "a01_stream_passthrough",
+    "a02_stream_table_latest",
+    "a03_stream_peek",
+    "a04_stream_filtered_table",
+    "a11_avro_value_serde",
+    "a19_stream_tumbling_window",
+    "a20_stream_session_window",
+    "a27_stream_sliding_window",
 )
 
 

@@ -1467,6 +1467,17 @@ def test_ann_query_batch_bound(spark, monkeypatch):
         assert len(ids1) == 7, fn.__name__
         assert ids1 == ids2, f"{fn.__name__}: non-deterministic batch"
         assert all(q % 10 == 0 for q in ids1), fn.__name__
+    # the cap must not be SILENT (r9, ADVICE r8): every forced-cap run
+    # above records its truncation in the observable audit dict
+    assert all(
+        similarity.ANN_QBATCH_TRUNCATED[n]
+        for n in ("b104_pq_ann", "b106_ivfpq_ann", "b44_cosine_topk_arrow")
+    )
+    # and an uncapped run (sf0.001's 50 queries fit any real cap)
+    # clears the flag — capped and complete runs are distinguishable
+    monkeypatch.setattr(similarity, "_ANN_QBATCH", 4096)
+    extended.b44_cosine_topk_arrow(spark, sf).count()
+    assert not similarity.ANN_QBATCH_TRUNCATED["b44_cosine_topk_arrow"]
 
 
 def test_winnowing_coverage_aggregates_pair_set(spark):

@@ -335,3 +335,93 @@ def test_temperature_mixture_flattens_skew(spark, tmp_path):
         assert sorted(r["doc_id"] for r in got) == sorted(want_ids), src
     keep_rate = {s: len(by_src[s]) / n for s, n in sizes.items()}
     assert keep_rate["head"] < 0.2 < keep_rate["mid"] < keep_rate["tail"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def b112_dir(tmp_path_factory) -> str:
+    # paragraphs are 20-token blocks (_B112_P); tokens chosen so no
+    # accidental block collides except the planted ones
+    A = " ".join(f"a{i}" for i in range(20))
+    B = " ".join(f"b{i}" for i in range(20))
+    C = "c0 c1 c2 c3 c4"
+    D = " ".join(f"d{i}" for i in range(20))
+    E = "e0 e1 e2 e3 e4"
+    FF = " ".join(f"f{i}" for i in range(20))
+    G = "g0 g1 g2 g3 g4"
+    docs = [
+        (10, f"{A} {B} {C}"),      # first owner of A, B, C
+        (11, f"{D} {B} {E}"),      # loses B to doc 10
+        (12, f"{A} {A}"),          # both copies already owned by 10
+        (13, f"{FF} {FF}"),        # intra-doc repeat, first owner
+        (14, G),                   # short unique doc (1 paragraph)
+    ]
+    tmp = tmp_path_factory.mktemp("b112_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    return str(tmp)
+
+
+def test_b112_planted_paragraph_keep_first(spark, b112_dir):
+    """b112 (r9, VERDICT r8 #3): CCNet keep-first at paragraph
+    granularity — a cross-doc duplicate paragraph survives only in
+    the lowest (doc_id, pos) owner; a doc whose every paragraph is
+    already owned rewrites to ''; an intra-doc repeat keeps only its
+    first copy even when the doc IS the corpus-wide first owner."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        _B112_P,
+        b112_paragraph_dedup,
+    )
+
+    assert _B112_P == 20  # the planted block arithmetic assumes it
+    A = " ".join(f"a{i}" for i in range(20))
+    B = " ".join(f"b{i}" for i in range(20))
+    C = "c0 c1 c2 c3 c4"
+    D = " ".join(f"d{i}" for i in range(20))
+    E = "e0 e1 e2 e3 e4"
+    FF = " ".join(f"f{i}" for i in range(20))
+    G = "g0 g1 g2 g3 g4"
+    out = {
+        r["doc_id"]: r
+        for r in b112_paragraph_dedup(spark, b112_dir).collect()
+    }
+    assert set(out) == {10, 11, 12, 13, 14}
+    # first owner keeps everything
+    assert out[10]["new_text"] == f"{A} {B} {C}"
+    assert (out[10]["n_paras"], out[10]["kept_paras"]) == (3, 3)
+    # doc 11 loses exactly the shared paragraph B
+    assert out[11]["new_text"] == f"{D} {E}"
+    assert (out[11]["n_paras"], out[11]["kept_paras"]) == (3, 2)
+    # doc 12: both paragraphs owned by doc 10 -> fully deduped
+    assert out[12]["new_text"] == ""
+    assert (out[12]["n_paras"], out[12]["kept_paras"]) == (2, 0)
+    # doc 13: intra-doc repeat, keeps only the first copy
+    assert out[13]["new_text"] == FF
+    assert (out[13]["n_paras"], out[13]["kept_paras"]) == (2, 1)
+    # short unique doc untouched
+    assert out[14]["new_text"] == G
+    assert (out[14]["n_paras"], out[14]["kept_paras"]) == (1, 1)
+
+
+def test_b112_plan_shape(spark, sf_dir):
+    """Paragraph dedup must stay relational: no pairwise join, no
+    row-Python, and the keep-first shuffle keys on the int64
+    paragraph hash (xxhash64), not the paragraph string."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b112_paragraph_dedup,
+    )
+
+    df = b112_paragraph_dedup(spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert not uses_row_python_udf(df), plan
+    assert "xxhash64" in plan
