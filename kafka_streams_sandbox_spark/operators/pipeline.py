@@ -656,7 +656,11 @@ def b66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -function-of-id trick as b64 — hash(doc_id) under the source's rate
 # threshold — so the mixture is reproducible and append-stable with no
 # sampling state. Weights live in a (broadcast) config dim keyed by
-# source tier.
+# source tier. doc_id is pre-reduced mod 1000 before the multiply —
+# exact, since the product is only read mod 1000 and a*b == (a mod m)*b
+# (mod m) — so the expression never overflows int64 at any id (the b64
+# Lehmer-overflow fix, ADVICE r8, applied to this rule's modulus; the
+# same spelling is used at every 16807 site: b67, b71, b100, a34).
 _B67_TIERS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.1)]
 
 B67_ORACLE = f"""
@@ -669,7 +673,7 @@ B67_ORACLE = f"""
     )
     SELECT source, w AS weight,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN (doc_id * 16807) % 1000 < w * 1000
+           CAST(SUM(CASE WHEN ((doc_id % 1000) * 16807) % 1000 < w * 1000
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM d JOIN tiers USING (tier)
     GROUP BY 1, 2
@@ -692,7 +696,7 @@ def b67_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("tier"),
     )
-    keep = ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000)
+    keep = (((F.col("doc_id") % 1000) * 16807) % 1000) < (F.col("w") * 1000)
     return (
         d.join(F.broadcast(tiers), "tier")
         .groupBy("source", F.col("w").alias("weight"))
@@ -1129,6 +1133,44 @@ def bigram_lm_frozen_score(
     )
 
 
+def frozen_lm_threshold(model: DataFrame) -> float:
+    """The frozen gate threshold = the training corpus's own aggregate
+    score, derived from ONE scan of the (distinct-bigram-sized) counts
+    model — shared by a33 and a34 so the scalar's derivation cannot
+    drift between the standalone gate and the funnel (r9).
+
+    Self-scoring means bigram (p, n) occurs exactly n_pn times, each
+    occurrence contributing n_pn (if >= the hapax floor) to hit, n_p
+    to base, and 1 to n_bigrams — so the corpus sums reduce to
+    SUM(n_pn^2 | n_pn >= min) / (SUM(n_pn) + SUM(n_pn * n_p)): the
+    same decimal(38,0) integers the per-doc scorer would re-derive via
+    a corpus-scale occurrences x model join + doc shuffle, for the
+    price of a scan of the already-persisted counts.
+
+    Fail-closed (r8 review): an empty corpus (NULL) or an all-hapax
+    corpus (0.0) has no model signal, and a 0.0 threshold would FAIL
+    OPEN (2 * 0.0 >= 0.0 passes the exact OOD docs the gate exists to
+    reject) — those degenerate corpora freeze to +inf instead."""
+    dec = "decimal(38,0)"
+    n_pn_d = F.col("n_pn").cast(dec)
+    threshold = model.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("n_pn") >= _B108_MIN_BIGRAM_N,
+                    n_pn_d * n_pn_d,
+                ).otherwise(F.lit(0).cast(dec))
+            ).cast("double")
+            / (
+                F.sum(n_pn_d) + F.sum(n_pn_d * F.col("n_p").cast(dec))
+            ).cast("double")
+        ).alias("corpus_score")
+    ).collect()[0]["corpus_score"]
+    if threshold is None or threshold <= 0.0:
+        return float("inf")
+    return float(threshold)
+
+
 def bigram_lm_verdict(
     toks_df: DataFrame, with_threshold: bool = False
 ) -> DataFrame:
@@ -1315,7 +1357,7 @@ B71_ORACLE = f"""
         JOIN (VALUES {", ".join(f"({t}, CAST({w} AS DOUBLE))" for t, w in _B67_TIERS)})
              tiers(tier, w)
           ON TRY_CAST(substring(d.source, 4) AS INT) % 4 = tiers.tier
-        WHERE (d.doc_id * 16807) % 1000 < tiers.w * 1000
+        WHERE ((d.doc_id % 1000) * 16807) % 1000 < tiers.w * 1000
     ),
     split AS (
         SELECT doc_id,
@@ -1401,7 +1443,7 @@ def b71_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "mix_keep",
             F.coalesce(
-                ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000),
+                (((F.col("doc_id") % 1000) * 16807) % 1000) < (F.col("w") * 1000),
                 F.lit(False),
             ),
         )
@@ -2069,7 +2111,7 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
             "mix_keep",
             F.col("rw_pass")
             & F.coalesce(
-                ((F.col("doc_id") * 16807) % 1000) < (F.col("w") * 1000),
+                (((F.col("doc_id") % 1000) * 16807) % 1000) < (F.col("w") * 1000),
                 F.lit(False),
             ),
         )

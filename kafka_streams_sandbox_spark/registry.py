@@ -68,11 +68,16 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # --- NEW in round 9 (no driver row exists yet) ---
     "b112_paragraph_dedup",            # CCNet paragraph keep-first
                                        # rewrite (oracle-backed)
+    "a34_stream_full_funnel",          # FULL ingest funnel: + frozen
+                                       # lm gate, mixture, split
     # --- changed in round 9: expression rewritten in code+oracle ---
     "b64_stratified_sample",           # Lehmer hash pre-reduced mod
                                        # 2^31-1 (ADVICE r8 overflow)
     "b103_temperature_mixture",        # same pre-reduce, same fix
     "b111_lm_bucket_mixture",          # same pre-reduce, same fix
+    "b67_mixture_sample",              # 16807 twin of the same fix
+                                       # (pre-reduce mod 1000, exact)
+    "b71_corpus_curation",             # same 16807 pre-reduce
     # --- changed in round 9: behavior-identical code touches ---
     "b44_cosine_topk_arrow",           # bounded_query_rows helper +
                                        # truncation audit (ADVICE r8)
@@ -82,7 +87,13 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # per-round checkpoint blocks
     "b93_semantic_dedup",              # same shared-loop change
     "b110_lsh_neardup_components",     # same shared-loop change
-    "b100_curation_capstone",          # same shared-loop change
+    "b100_curation_capstone",          # same shared-loop change +
+                                       # 16807 pre-reduce
+    "a32_stream_curation_funnel",      # body moved into the shared
+                                       # _ingest_funnel (identical
+                                       # stages/rules)
+    "a33_stream_lm_gate",              # threshold derivation extracted
+                                       # to frozen_lm_threshold
     # --- the last r5 row (VERDICT r8 'What's wrong' #1) ---
     "b94_semantic_dedup_exact",
     # --- r6 rows, oracle-backed first ---

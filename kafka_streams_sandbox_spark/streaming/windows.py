@@ -992,19 +992,41 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("codes").alias("pos", "code"))
 
 
-@query("a32_stream_curation_funnel")  # rows-only: streaming sink
-def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The INGEST-TIME curation funnel (r8, VERDICT r7 #7): b100's
-    a-side. The arriving 20% of the corpus (doc_id % 10 >= 8 — the
+def _ingest_funnel(
+    spark: SparkSession, sf_dir: str, *, full: bool, label: str
+) -> DataFrame:
+    """ONE implementation of the ingest-time curation funnel, shared
+    by a32 (``full=False``) and a34 (``full=True``) so the stage rules
+    cannot drift between the partial and full forms (r9, VERDICT r8
+    #1). The arriving 20% of the corpus (doc_id % 10 >= 8 — the
     a26/a28/b98 decomposition) streams against the frozen 80% and
     every arriving doc is gated as it lands, each stage applying the
     SAME rule its standalone operator certifies:
 
       arrived -> quality (a25/b69 `quality_verdict`) -> repetition
-      (a30/b102 `repetition_metrics`) -> dedup_exact (a26/b68's
+      (a30/b102 `repetition_metrics`) -> [full] lm_gate (a33's frozen
+      (model, threshold) via the shared `bigram_lm_frozen_score` /
+      `frozen_lm_threshold` cores — trains ONCE on the frozen 80%,
+      before the stream starts) -> dedup_exact (a26/b68's
       corpus-fingerprint check + FIRST-WINS within the stream, state
-      parquet-backed via `committed_state`) -> dedup_near (a28/b98
-      `incremental_neardup_verdicts` against the frozen band index).
+      parquet-backed via `committed_state`; the keeper rule gates on
+      every upstream stage, so in the full form only LM survivors
+      contend — b100's order) -> dedup_near (a28/b98
+      `incremental_neardup_verdicts` against the frozen band index)
+      -> [full] mixture (b67's tier rule — a pure function of
+      (doc_id, source), overflow-safe pre-reduced Lehmer) -> [full]
+      train/holdout (b57's md5-bucket rule — a pure function of
+      doc_id).
+
+    The full form closes the a32-vs-b100 parity gap up to ONE stage:
+    b97's span rewrite stays batch-side BY DESIGN. Span election is
+    corpus-global ("duplicated" means >= 2 occurrences across the
+    WHOLE corpus at judgment time), so an arriving doc can
+    retroactively flip spans in ALREADY-EMITTED docs — no per-doc
+    decision against frozen state expresses that; it is a periodic
+    at-rest compaction (b97/b101), not an ingest gate. Every stage
+    that IS a per-doc function of (own text, frozen artifacts, and —
+    for exact dedup only — committed first-wins state) runs here.
 
     Ingest decomposition is a29's: one staged file per seq
     (seq = doc_id % 10 in {8, 9}, mtime-ordered, maxFilesPerTrigger=1)
@@ -1015,15 +1037,19 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins via the committed fingerprint state. The near-dup stage is
     the FROZEN-index form (a28): each verdict is a pure per-doc
     function of (own text, standing corpus), so it is batch-boundary
-    invariant; the self-seeding form is a29's separate contract.
+    invariant; the self-seeding form is a29's separate contract. The
+    full form's added stages (lm, mixture, split) are pure per-doc
+    functions of (text, frozen model/scalar) or (doc_id, source), so
+    they add NO state and cannot break batch-invariance.
 
     In-query duality assert: the per-doc decision frame (q_pass,
-    rep_pass, ex_keep, near_keep) must equal the batch twin derived
-    from the same shared cores + the (seq, doc_id)-min window rule —
-    bit-identical booleans, so a non-error run certifies the whole
-    composed funnel, not just each stage. Returned shape is the
-    b100-style attrition report (stage, n_docs, n_tokens): 5 scalar
-    rows, canonicalizer-safe."""
+    rep_pass, [lm_pass,] ex_keep, near_keep[, mix_keep, is_train])
+    must equal the batch twin derived from the same shared cores +
+    the (seq, doc_id)-min window rule — bit-identical booleans, so a
+    non-error run certifies the whole composed funnel, not just each
+    stage. Returned shape is the b100-style attrition report
+    (stage, n_docs, n_tokens): 5 scalar rows (a32) / 9 (a34),
+    canonicalizer-safe."""
     import glob
     import os
     import shutil
@@ -1048,7 +1074,8 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = tokened.filter(~is_new)
     # frozen standing artifacts, materialized ONCE before the stream
     # (a28's discipline): the band index for the near stage, the
-    # fingerprint set for the exact stage
+    # fingerprint set for the exact stage, and (full form) the bigram
+    # model + threshold scalar for the lm stage
     index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
     index.count()
     corpus_fps = (
@@ -1059,6 +1086,33 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.DISK_ONLY)
     )
     corpus_fps.count()
+    model = None
+    if full:
+        from kafka_streams_sandbox_spark.operators.pipeline import (
+            _B67_TIERS,
+            _SPLIT_BUCKETS_TRAIN,
+            bigram_lm_counts,
+            bigram_lm_frozen_score,
+            frozen_lm_threshold,
+        )
+
+        corpus_toks = (
+            docs.filter(~is_new)
+            .select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+            .filter(F.size("toks") >= 2)
+        )
+        model = bigram_lm_counts(corpus_toks).persist(StorageLevel.DISK_ONLY)
+        model.count()
+        threshold = frozen_lm_threshold(model)
+        tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
+
+    flags = (
+        ["q_pass", "rep_pass", "lm_pass", "ex_keep", "near_keep",
+         "mix_keep", "is_train"]
+        if full
+        else ["q_pass", "rep_pass", "ex_keep", "near_keep"]
+    )
+    dec_cols = ["doc_id", "n_tokens", *flags]
 
     def decisions(
         bdf: DataFrame, standing_fps: DataFrame
@@ -1089,15 +1143,26 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(corpus_fps, "fingerprint", "left")
             .join(standing_fps, "fingerprint", "left")
         )
-        out = (
-            q.join(rep, "doc_id")
-            .join(fp, "doc_id")
-            .join(near, "doc_id")
-            .withColumn("gate", F.col("q_pass") & F.col("rep_pass"))
-            .withColumn(
-                "fp_free",
-                F.col("in_corpus").isNull() & F.col("in_state").isNull(),
+        out = q.join(rep, "doc_id").join(fp, "doc_id").join(near, "doc_id")
+        if full:
+            # frozen-model score (a33's core): docs without bigram
+            # evidence (< 2 tokens) are unscored -> fail closed, the
+            # b100 coalesce rule; pure per-doc function of (text,
+            # frozen model, frozen scalar) => batch-invariant
+            lm = bigram_lm_frozen_score(
+                bdf.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")),
+                model,
+                threshold,
+            ).select("doc_id", "passes_lm")
+            out = out.join(lm, "doc_id", "left").withColumn(
+                "lm_pass", F.coalesce("passes_lm", F.lit(False))
             )
+            gate = F.col("q_pass") & F.col("rep_pass") & F.col("lm_pass")
+        else:
+            gate = F.col("q_pass") & F.col("rep_pass")
+        out = out.withColumn("gate", gate).withColumn(
+            "fp_free",
+            F.col("in_corpus").isNull() & F.col("in_state").isNull(),
         )
         # keeper = min (seq, doc_id) among gate-passing fp-free
         # holders — ONE rule valid on both sides: in a stream batch
@@ -1122,26 +1187,43 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gate")
             & F.col("fp_free")
             & (F.col("doc_id") == F.col("keep_id").getField("d")),
-        )
-        return (
-            out.withColumn("near_keep", F.col("ex_keep") & F.col("near_ok"))
-            .select(
-                "doc_id",
-                "n_tokens",
-                "fingerprint",
-                "q_pass",
-                "rep_pass",
-                "ex_keep",
-                "near_keep",
-            ),
-            handles,
-        )
+        ).withColumn("near_keep", F.col("ex_keep") & F.col("near_ok"))
+        if full:
+            # b67's mixture rule + b57's split rule — pure map columns
+            # over (doc_id, source); the overflow-safe pre-reduced
+            # Lehmer spelling (see operators/pipeline.py at b67)
+            bucket = F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            out = (
+                out.join(bdf.select("doc_id", "source"), "doc_id")
+                .withColumn(
+                    "tier", F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4
+                )
+                .join(F.broadcast(tiers), "tier", "left")
+                .withColumn(
+                    "mix_keep",
+                    F.col("near_keep")
+                    & F.coalesce(
+                        (((F.col("doc_id") % 1000) * 16807) % 1000)
+                        < (F.col("w") * 1000),
+                        F.lit(False),
+                    ),
+                )
+                .withColumn(
+                    "is_train",
+                    F.col("mix_keep") & (bucket < _SPLIT_BUCKETS_TRAIN),
+                )
+            )
+        return out.select("fingerprint", *dec_cols), handles
 
     # ---- stream side: one staged file per seq, a29's replay shape ----
-    src_dir = tempfile.mkdtemp(prefix="kss-a32-src-")
+    src_dir = tempfile.mkdtemp(prefix=f"kss-{label}-src-")
     cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
     for seq in (8, 9):
-        stage = tempfile.mkdtemp(prefix=f"kss-a32-w{seq}-")
+        stage = tempfile.mkdtemp(prefix=f"kss-{label}-w{seq}-")
         docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
             1
         ).write.mode("overwrite").parquet(stage)
@@ -1149,8 +1231,8 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
         os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
 
-    state_dir = tempfile.mkdtemp(prefix="kss-a32-fps-")
-    out_dir = tempfile.mkdtemp(prefix="kss-a32-out-")
+    state_dir = tempfile.mkdtemp(prefix=f"kss-{label}-fps-")
+    out_dir = tempfile.mkdtemp(prefix=f"kss-{label}-out-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         standing = committed_state(
@@ -1181,30 +1263,16 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        dec_schema = (
-            "doc_id bigint, n_tokens bigint, fingerprint string, "
-            "q_pass boolean, rep_pass boolean, ex_keep boolean, "
-            "near_keep boolean"
+        dec_schema = "doc_id bigint, n_tokens bigint, " + ", ".join(
+            f"{c} boolean" for c in flags
         )
         try:
             stream_dec = spark.read.option(
                 "recursiveFileLookup", "true"
-            ).parquet(out_dir).select(
-                "doc_id",
-                "n_tokens",
-                "q_pass",
-                "rep_pass",
-                "ex_keep",
-                "near_keep",
-            )
+            ).parquet(out_dir).select(*dec_cols)
         except AnalysisException:  # zero batches -> no footer to infer
             stream_dec = spark.createDataFrame([], dec_schema).select(
-                "doc_id",
-                "n_tokens",
-                "q_pass",
-                "rep_pass",
-                "ex_keep",
-                "near_keep",
+                *dec_cols
             )
         # ---- batch twin: same shared cores, (seq, doc_id)-min rule ----
         twin, twin_handles = decisions(
@@ -1222,22 +1290,36 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert_stream_batch_duality(
             stream_dec,
             twin,
-            ["doc_id", "n_tokens", "q_pass", "rep_pass", "ex_keep", "near_keep"],
-            "a32_stream_curation_funnel",
+            dec_cols,
+            label,
         )
         for h in twin_handles:
             release_local_checkpoint(h)
     finally:
         index.unpersist()
         corpus_fps.unpersist()
+        if model is not None:
+            model.unpersist()
     kept = F.col("n_tokens").cast("long")
-    stages = (
+    stages = [
         ("arrived", F.lit(True)),
         ("quality", F.col("q_pass")),
         ("repetition", F.col("q_pass") & F.col("rep_pass")),
+    ]
+    if full:
+        stages.append(
+            ("lm_gate", F.col("q_pass") & F.col("rep_pass") & F.col("lm_pass"))
+        )
+    stages += [
         ("dedup_exact", F.col("ex_keep")),
         ("dedup_near", F.col("near_keep")),
-    )
+    ]
+    if full:
+        stages += [
+            ("mixture", F.col("mix_keep")),
+            ("train", F.col("is_train")),
+            ("holdout", F.col("mix_keep") & ~F.col("is_train")),
+        ]
     one = stream_dec.agg(
         *[
             a
@@ -1254,6 +1336,35 @@ def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.select(
         F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
+    )
+
+
+@query("a32_stream_curation_funnel")  # rows-only: streaming sink
+def a32_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST-TIME curation funnel (r8, VERDICT r7 #7): b100's
+    a-side, partial form — quality -> repetition -> exact dedup ->
+    near dedup over the arriving 20%. See ``_ingest_funnel`` for the
+    stage rules, the replay decomposition, and the in-query duality
+    assert; a34 is the full form (+ lm gate, mixture, split)."""
+    return _ingest_funnel(
+        spark, sf_dir, full=False, label="a32_stream_curation_funnel"
+    )
+
+
+@query("a34_stream_full_funnel")  # rows-only: streaming sink
+def a34_stream_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ingest-time curation funnel (r9, VERDICT r8 #1):
+    b100's a-side with every per-doc-expressible stage — quality ->
+    repetition -> frozen-LM gate (a33's (model, threshold), trained
+    once on the frozen 80% before the stream starts) -> first-wins
+    exact dedup (parquet-committed state) -> frozen-index near dedup
+    -> b67 mixture -> b57 train/holdout split. 9 attrition rows; the
+    in-query duality assert covers the full 7-flag decision frame.
+    b97's span rewrite is the ONE b100 stage deliberately absent —
+    span election is corpus-global and retroactive, an at-rest
+    compaction rather than an ingest gate (see ``_ingest_funnel``)."""
+    return _ingest_funnel(
+        spark, sf_dir, full=True, label="a34_stream_full_funnel"
     )
 
 
@@ -1290,9 +1401,9 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.catalog import documents_wide
     from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
     from kafka_streams_sandbox_spark.operators.pipeline import (
-        _B108_MIN_BIGRAM_N,
         bigram_lm_counts,
         bigram_lm_frozen_score,
+        frozen_lm_threshold,
     )
     from kafka_streams_sandbox_spark.sources.replay import documents_stream
 
@@ -1314,41 +1425,11 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     model.count()  # materialize once, before the stream starts
     out_dir = tempfile.mkdtemp(prefix="kss-a33-")
     try:
-        # frozen threshold = the training corpus's own aggregate score,
-        # from the EXACT integer masses — derived from ONE scan of the
-        # distinct-bigram-sized model table (r8 review): self-scoring
-        # means bigram (p, n) occurs exactly n_pn times, each
-        # occurrence contributing n_pn (if >= min) to hit, n_p to
-        # base, and 1 to n_bigrams — so the corpus sums are
-        # SUM(n_pn^2 | n_pn >= min) / (SUM(n_pn) + SUM(n_pn * n_p)):
-        # the same decimal(38,0) integers the per-doc scorer would
-        # re-derive via a corpus-scale occurrences x model join + doc
-        # shuffle, for the price of the already-persisted counts scan.
-        dec = "decimal(38,0)"
-        n_pn_d = F.col("n_pn").cast(dec)
-        threshold = (
-            model.agg(
-                (
-                    F.sum(
-                        F.when(
-                            F.col("n_pn") >= _B108_MIN_BIGRAM_N,
-                            n_pn_d * n_pn_d,
-                        ).otherwise(F.lit(0).cast(dec))
-                    ).cast("double")
-                    / (
-                        F.sum(n_pn_d)
-                        + F.sum(n_pn_d * F.col("n_p").cast(dec))
-                    ).cast("double")
-                ).alias("corpus_score")
-            )
-            .collect()[0]["corpus_score"]
-        )
-        if threshold is None or threshold <= 0.0:
-            # empty corpus (null) OR an all-hapax corpus (0.0): no
-            # model signal exists, and a 0.0 threshold would FAIL OPEN
-            # (2 * 0.0 >= 0.0 passes the exact OOD docs the gate
-            # exists to reject) — fail closed instead (r8 review)
-            threshold = float("inf")
+        # frozen threshold from ONE scan of the distinct-bigram-sized
+        # model table, fail-closed on degenerate corpora — the shared
+        # derivation (pipeline.frozen_lm_threshold, r9: a34 freezes
+        # the same scalar, so the rule lives once)
+        threshold = frozen_lm_threshold(model)
 
         def score_batch(bdf: DataFrame, batch_id: int) -> None:
             bigram_lm_frozen_score(

@@ -1230,3 +1230,122 @@ def test_stream_lm_gate_frozen_model_separates(spark, tmp_path):
     assert set(got) == {8, 9}
     assert got[8][1] and got[8][0] > 0.0
     assert got[9] == (0.0, False)
+
+
+def test_stream_full_funnel_shape(spark):
+    """a34 (r9, VERDICT r8 #1): the FULL ingest funnel emits 9
+    attrition rows, monotone non-increasing through train, with
+    holdout == mixture - train; the in-query duality assert over the
+    7-flag decision frame ran by construction."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a34_stream_full_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in a34_stream_full_funnel(spark, sf).collect()
+    }
+    order = [
+        "arrived", "quality", "repetition", "lm_gate",
+        "dedup_exact", "dedup_near", "mixture", "train",
+    ]
+    assert set(rows) == {*order, "holdout"}
+    n_arriving = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id % 10 >= 8")
+        .count()
+    )
+    assert rows["arrived"][0] == n_arriving
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0], (a, b)
+        assert rows[a][1] >= rows[b][1], (a, b)
+    assert rows["holdout"][0] == rows["mixture"][0] - rows["train"][0]
+    assert rows["holdout"][1] == rows["mixture"][1] - rows["train"][1]
+    # the funnel attrits on the driver corpus (planted cross-slice
+    # dups + the mixture's sub-1.0 tiers)
+    assert rows["dedup_exact"][0] < rows["repetition"][0]
+    assert rows["mixture"][0] < rows["dedup_near"][0]
+
+
+def test_stream_full_funnel_planted_every_stage(spark, tmp_path):
+    """a34 planted contract (the b100 pure-Python re-derivation
+    discipline at ingest): a corpus where each arrival exercises
+    exactly one drop reason, with every expected stage count derived
+    by hand — the frozen 80% is one 30-token chain repeated 8x, so
+    the bigram model is (w_j, w_j+1) -> n_pn = 8, n_p = 8 and the
+    frozen threshold is 29*64 / (232 + 1856) = 0.8889 exactly.
+
+      id 18 (src0): 15-token model chain + 10 uniques -> survives all
+          stages; Lehmer keep (w=1.0); md5 bucket 111 -> train
+      id 19 (src0): 30 OOD tokens -> lm_score 0.0, drops at lm_gate
+      id 28 (src1): in-dist; Lehmer key 596 >= 500 -> drops at mixture
+      id 29 (src1): in-dist; key 403 < 500 -> kept; bucket 110 -> train
+      id 38 (src2): in-dist; key 666 >= 250 -> drops at mixture
+      id 39 (src3): in-dist; key 473 >= 100 -> drops at mixture
+      id 48 (src0): EXACT copy of 18 (same seq batch) -> first-wins
+          keeps 18, 48 drops at dedup_exact
+      id 49 (src0): the full corpus chain + 1 token -> jaccard vs the
+          frozen corpus 30/31 = 0.97 >= 0.8 -> drops at dedup_near
+          (lm passes first: score 232/262 = 0.885)
+      id 98 (src0): in-dist survivor; md5 bucket 244 -> holdout
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a34_stream_full_funnel,
+    )
+
+    W = [f"w{j}" for j in range(30)]
+    chain = " ".join(W)
+    in_dist_18 = " ".join(W[:15] + [f"u{j}" for j in range(10)])
+    texts = {i: chain for i in range(8)}  # frozen 80%
+    texts[18] = in_dist_18
+    texts[19] = " ".join(f"g{j}" for j in range(30))
+    texts[28] = " ".join(W[15:30] + [f"v{j}" for j in range(10)])
+    texts[29] = " ".join(W[5:20] + [f"y{j}" for j in range(10)])
+    texts[38] = " ".join(W[10:25] + [f"z{j}" for j in range(10)])
+    texts[39] = " ".join(W[2:17] + [f"t{j}" for j in range(10)])
+    texts[48] = in_dist_18
+    texts[49] = chain + " n0"
+    texts[98] = " ".join(W[:15] + [f"q{j}" for j in range(10)])
+    srcs = {28: "src1", 29: "src1", 38: "src2", 39: "src3"}
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(
+                    [srcs.get(i, "src0") for i in ids], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in a34_stream_full_funnel(spark, str(tmp_path)).collect()
+    }
+    toks = {i: len(texts[i].split()) for i in ids}
+    arriving = [i for i in ids if i % 10 >= 8]
+    want = {
+        "arrived": arriving,
+        "quality": arriving,
+        "repetition": arriving,
+        "lm_gate": [i for i in arriving if i != 19],
+        "dedup_exact": [18, 28, 29, 38, 39, 49, 98],
+        "dedup_near": [18, 28, 29, 38, 39, 98],
+        "mixture": [18, 29, 98],
+        "train": [18, 29],
+        "holdout": [98],
+    }
+    assert got == {
+        s: (len(members), sum(toks[i] for i in members))
+        for s, members in want.items()
+    }
