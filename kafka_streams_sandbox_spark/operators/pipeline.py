@@ -1969,9 +1969,8 @@ def b77_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("b100_curation_capstone")  # rows-only: the near-dup stage is
-def b100_curation_capstone(  # banding-based (b27's engine-specific label)
-    spark: SparkSession, sf_dir: str
+def _curation_capstone(
+    spark: SparkSession, sf_dir: str, graded: bool
 ) -> DataFrame:
     """The full LLM-curation funnel (r7, VERDICT r6 Next #6): b71
     chains quality -> exact dedup -> mixture -> split but never
@@ -2031,10 +2030,17 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     )
     w_fp = Window.partitionBy("fingerprint")
     # b108's gate verdict over the RAW corpus model (shared core);
-    # only the boolean crosses the join back into the decision frame
+    # only the boolean crosses the join back into the decision frame —
+    # plus, in the graded form, the (lm_score, corpus_score) pair
+    # b111's bucket CASE reads (two doubles; the frame stays narrow)
     lm = bigram_lm_verdict(
-        trig.select("doc_id", "toks").filter(F.size("toks") >= 2)
-    ).select("doc_id", "passes_lm")
+        trig.select("doc_id", "toks").filter(F.size("toks") >= 2),
+        with_threshold=graded,
+    ).select(
+        "doc_id",
+        "passes_lm",
+        *(["lm_score", "corpus_score"] if graded else []),
+    )
     # narrow per-doc decision frame: ~70 bytes/row, three consumers
     base = (
         trig.select(
@@ -2087,8 +2093,7 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     rewritten = span_removal_rewrite(
         docs.join(rw_ids, "doc_id", "left_semi").select("doc_id", "text")
     ).select("doc_id", "kept_tokens")
-    tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
-    bucket = F.conv(
+    split_bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
     final = (
@@ -2103,33 +2108,83 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
             F.col("near_keep")
             & (F.coalesce("kept_tokens", F.lit(0)) >= _B69_MIN_TOKENS),
         )
-        .withColumn(
-            "tier", F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4
-        )
-        .join(F.broadcast(tiers), "tier", "left")
-        .withColumn(
+    )
+    if graded:
+        # b113: b111's LM-bucketed rates in place of b67's flat tiers
+        # — ONE CASE projection over the (lm_score, corpus_score) the
+        # frame already carries (the shared bigram_lm_verdict core, so
+        # b108's gate, b111's buckets, and this stage cannot drift)
+        final = final.withColumn(
+            "bucket",
+            F.when(F.col("lm_score") >= F.col("corpus_score"), "head")
+            .when(
+                F.lit(2.0) * F.col("lm_score") >= F.col("corpus_score"),
+                "middle",
+            )
+            .otherwise("tail"),
+        ).withColumn(
             "mix_keep",
             F.col("rw_pass")
-            & F.coalesce(
-                (((F.col("doc_id") % 1000) * 16807) % 1000) < (F.col("w") * 1000),
-                F.lit(False),
+            & (
+                (((F.col("doc_id") % 2147483647) * 48271) % 2147483647)
+                % 1000
+                < F.when(
+                    F.col("bucket") == "head",
+                    _B111_RATE_PERMILLE["head"],
+                )
+                .when(
+                    F.col("bucket") == "middle",
+                    _B111_RATE_PERMILLE["middle"],
+                )
+                .otherwise(_B111_RATE_PERMILLE["tail"])
             ),
         )
-        .withColumn("is_train", F.col("mix_keep") & (bucket < _SPLIT_BUCKETS_TRAIN))
+    else:
+        tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
+        final = (
+            final.withColumn(
+                "tier", F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4
+            )
+            .join(F.broadcast(tiers), "tier", "left")
+            .withColumn(
+                "mix_keep",
+                F.col("rw_pass")
+                & F.coalesce(
+                    (((F.col("doc_id") % 1000) * 16807) % 1000)
+                    < (F.col("w") * 1000),
+                    F.lit(False),
+                ),
+            )
+        )
+    final = final.withColumn(
+        "is_train", F.col("mix_keep") & (split_bucket < _SPLIT_BUCKETS_TRAIN)
     )
     kept = F.coalesce("kept_tokens", F.lit(0)).cast("long")
     pre = F.col("n_tokens").cast("long")
-    stages = (
+    stages = [
         ("raw", F.lit(True), pre),
         ("quality", F.col("q_pass"), pre),
         ("lm_gate", F.col("lm_pass"), pre),
         ("dedup_exact", F.col("ex_keep"), pre),
         ("dedup_near", F.col("near_keep"), pre),
         ("rewrite", F.col("rw_pass"), kept),
+    ]
+    if graded:
+        # bucket-level attrition: candidates (rewrite survivors) and
+        # kept docs per LM bucket, so the report shows the graded
+        # rates actually applied — the CCNet head/middle/tail shape
+        stages += [
+            (f"{b}_in", F.col("rw_pass") & (F.col("bucket") == b), kept)
+            for b in ("head", "middle", "tail")
+        ] + [
+            (f"{b}_kept", F.col("mix_keep") & (F.col("bucket") == b), kept)
+            for b in ("head", "middle", "tail")
+        ]
+    stages += [
         ("mixture", F.col("mix_keep"), kept),
         ("train", F.col("is_train"), kept),
         ("holdout", F.col("mix_keep") & ~F.col("is_train"), kept),
-    )
+    ]
     one = final.agg(
         *[
             a
@@ -2151,6 +2206,35 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
     return one.select(
         F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
     )
+
+
+@query("b100_curation_capstone")  # rows-only: the near-dup stage is
+def b100_curation_capstone(  # banding-based (b27's engine-specific label)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full curation funnel with b67's flat per-source mixture
+    rates — see ``_curation_capstone`` for the stage rules and scale
+    shape; b113 is the graded-mixture (b111 LM buckets) form."""
+    return _curation_capstone(spark, sf_dir, graded=False)
+
+
+@query("b113_curation_graded_mixture")  # rows-only: near-dup stage is
+def b113_curation_graded_mixture(  # banding-based (b27's label)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b100's funnel with the mixture stage GRADED by b111's CCNet
+    LM buckets (r9, VERDICT r8 #7): instead of b67's flat per-source
+    rates, rewrite survivors split into head / middle / tail by the
+    (lm_score, corpus_score) pair the funnel's lm stage already
+    computed (shared ``bigram_lm_verdict`` core — one CASE
+    projection, no new scan or shuffle), and each bucket downsamples
+    at its configured permille via the overflow-safe Lehmer pick.
+    The attrition report adds per-bucket candidate and kept rows
+    ({head,middle,tail}_{in,kept}) around the mixture total — 15
+    scalar rows. The planted funnel contract re-derives every stage
+    including the bucket split in pure Python
+    (tests/test_ann_contracts.py)."""
+    return _curation_capstone(spark, sf_dir, graded=True)
 
 
 # ---------------------------------------------------------------------------

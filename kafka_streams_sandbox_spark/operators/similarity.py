@@ -925,72 +925,27 @@ def pq_corpus_codes(spark: SparkSession, sf_dir: str):
     return codes_df, books, v
 
 
-@query("b104_pq_ann")  # rows-only: learned codebooks + float sums
-def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN: 8-bit product-quantize the unit-normalized corpus, then
-    answer every 10th vector's top-10 by asymmetric distance (exact
-    query subvectors x quantized corpus), never reading raw vectors in
-    the scan phase.
+def pq_adc_topk(
+    spark: SparkSession, codes_df: DataFrame, bc_books, qrows
+) -> DataFrame:
+    """b104's ADC search phase over ONE bounded query block — shared
+    with b114's full-set drain so the kernel cannot drift between the
+    single-batch and drained forms (r9, VERDICT r8 #6).
 
-    Build: codebooks train on a BOUNDED hash-chosen sample (<=2048
-    rows collected — the k-row driver idiom b92's seeds use; FAISS
-    trains exactly this way) with a deterministic driver Lloyd per
-    subspace (seeds = first k_eff sample rows, argmin ties to the
-    lowest codeword, empty cells keep their seed). The codebook
-    broadcast is M x K x 8 doubles (128 KB at K=256). 4-bit codes
-    (K=16) were measured first: recall@10-of-true-top-1 0.44 on this
-    near-random corpus vs 0.96 at 8 bits — the standard PQ
-    resolution/recall tradeoff, resolved the FAISS-default way.
-
-    Encode: one Arrow mapInPandas pass; each batch is an (n x K)
-    distance matrix per subspace — vectorized, no per-row Python. The
-    code column is array<int> here (driver-comparable plumbing); a
-    production sink would pack it to 8 bytes/vector binary.
-
-    Search (ADC): the query batch — the % 10 set BOUNDED to
-    _ANN_QBATCH rows by a hash-ordered limit (TakeOrderedAndProject;
-    r8, VERDICT r7 #2 — the uncapped set is TH(n) and was a driver
-    OOM at corpus scale) — broadcasts once as the RAW query matrix
-    (b44's broadcast-variable discipline; each kernel derives a
-    chunk's IP table on the fly); the kernel streams queries in
-    _PQ_QCHUNK blocks so the per-task transient is chunk x batch
-    doubles (~40 MB at the 100x corpus), emitting each block's
-    per-partition top-(k+1). The only shuffle is that bounded
-    candidate set (partitions x nq x (k+1) rows) into the global
-    rank<=k WindowGroupLimit — the same merge shape as b33, with the
-    n x nq sim matrix never materialized and the corpus pass reading
-    ONLY codes.
-
-    Rows-only at the driver: codebooks are learned and sims are float
-    sums — but tests pin a planted exact-duplicate contract (identical
-    vectors get identical codes, so the copy is rank 1 by the id
-    tiebreak) and a measured recall floor vs the exact b33 ranking.
-    """
+    The block broadcasts as the RAW query matrix, not precomputed IP
+    tables: the full tabs array is nq x M x K doubles — 32x the query
+    matrix (16 KB vs 512 B per query; ~320 MB at the 100x probe's 20k
+    queries). Each kernel derives a CHUNK's table on the fly (one
+    512 x M x K einsum, ~8M flops — noise next to the gather-sum).
+    Each verdict depends only on (query vector, frozen books, frozen
+    codes), so results are independent of how the query set is cut
+    into blocks — the chunk-invariance b114's contract test pins."""
     import numpy as np
     import pandas as pd
 
-    out_schema = "query_id long, neighbor_id long, approx_cos double, rnk bigint"
     sub = DIM // _PQ_M
-    built = pq_corpus_codes(spark, sf_dir)
-    if built is None:
-        return spark.createDataFrame([], out_schema)
-    codes_df, books, v = built
-    bc_books = spark.sparkContext.broadcast(books)  # for the ADC kernel
-
-    qrows = bounded_query_rows(
-        v.filter(F.col("vec_id") % 10 == 0), ["vec_id", "ue"], "b104_pq_ann"
-    )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
-    # = TakeOrderedAndProject): the % 10 query set is TH(n), so an
-    # uncapped collect is a driver OOM at corpus scale (VERDICT r7 #2)
-    if not qrows:
-        return spark.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["ue"] for r in qrows], dtype=np.float64)
-    # Broadcast the RAW query matrix, not precomputed IP tables: the
-    # full tabs array is nq x M x K doubles — 32x the query matrix
-    # (16 KB vs 512 B per query; ~320 MB at the 100x probe's 20k
-    # queries). Each kernel derives a CHUNK's table on the fly (one
-    # 512 x M x K einsum, ~8M flops — noise next to the gather-sum).
     bc_q = spark.sparkContext.broadcast((qids, qmat))
 
     def adc_search(batches):
@@ -1035,6 +990,158 @@ def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "approx_cos", F.col("rnk").cast("bigint"))
     )
+
+
+@query("b114_ann_drain")  # rows-only: learned codebooks + float sums
+def b114_ann_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ANN query-set drain (r9, VERDICT r8 #6): answer EVERY
+    % 10 query — not one bounded batch — by cursor-paginating the
+    query set in ``_ANN_QBATCH``-sized hash-ordered pages and running
+    b104's ADC kernel (shared ``pq_adc_topk``) once per page against
+    the ONCE-built, DISK_ONLY-persisted codes table.
+
+    This is the production pattern ``bounded_query_rows`` points at:
+    the TH(n) workload is drained across jobs with bounded driver
+    memory per job. Per-page driver state is <= _ANN_QBATCH vectors
+    (the same bound as b104); the build phase (codebook train +
+    corpus encode) runs ONCE and is reused by every page — the page
+    loop never re-scans raw vectors, only the 8-int codes.
+
+    Pagination is a strict (md5(vec_id), vec_id) cursor: each page is
+    one TakeOrderedAndProject over the persisted narrow query frame
+    filtered past the cursor, so pages are disjoint, exhaustive, and
+    deterministic regardless of partitioning. Page results land in a
+    per-page parquet subpath and the returned frame reads them back —
+    the a32 out_dir discipline, keeping the final plan flat instead
+    of a pages-deep union.
+
+    Chunk invariance (the a28 duality discipline applied to ANN):
+    every per-query verdict depends only on (query vector, frozen
+    books, frozen codes), so the result set is independent of page
+    boundaries — tests/test_ann_contracts.py forces a tiny cap and
+    pins bit-identical results vs the single-page run, plus equality
+    with b104 on the batch b104 answers.
+
+    Scale: at 100x this drains ~20k queries in ~5 pages; at a 100 TB
+    corpus the page count grows linearly but each page is a bounded
+    broadcast + one codes-table scan — no quadratic term beyond the
+    irreducible queries x corpus ADC work, and checkpointed pages
+    make the drain restartable between jobs."""
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    out_schema = (
+        "query_id long, neighbor_id long, approx_cos double, rnk bigint"
+    )
+    built = pq_corpus_codes(spark, sf_dir)
+    if built is None:
+        return spark.createDataFrame([], out_schema)
+    codes_df, books, v = built
+    bc_books = spark.sparkContext.broadcast(books)
+    codes_df = codes_df.persist(StorageLevel.DISK_ONLY)
+    q = (
+        v.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "ue"
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    out_dir = tempfile.mkdtemp(prefix="kss-b114-")
+    try:
+        codes_df.count()
+        cursor = None
+        page_no = 0
+        while True:
+            page_df = q
+            if cursor is not None:
+                ch, cid = cursor
+                page_df = page_df.filter(
+                    (F.col("h") > ch)
+                    | ((F.col("h") == ch) & (F.col("vec_id") > cid))
+                )
+            page = (
+                page_df.orderBy("h", "vec_id")
+                .limit(_ANN_QBATCH)
+                .collect()
+            )  # bounded: <= _ANN_QBATCH rows (TakeOrderedAndProject)
+            if not page:
+                break
+            pq_adc_topk(spark, codes_df, bc_books, page).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/page={page_no}")
+            cursor = (page[-1]["h"], page[-1]["vec_id"])
+            page_no += 1
+            if len(page) < _ANN_QBATCH:
+                break
+        if page_no == 0:
+            return spark.createDataFrame([], out_schema)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .select("query_id", "neighbor_id", "approx_cos", "rnk")
+        )
+    finally:
+        codes_df.unpersist()
+        q.unpersist()
+
+
+@query("b104_pq_ann")  # rows-only: learned codebooks + float sums
+def b104_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: 8-bit product-quantize the unit-normalized corpus, then
+    answer every 10th vector's top-10 by asymmetric distance (exact
+    query subvectors x quantized corpus), never reading raw vectors in
+    the scan phase.
+
+    Build: codebooks train on a BOUNDED hash-chosen sample (<=2048
+    rows collected — the k-row driver idiom b92's seeds use; FAISS
+    trains exactly this way) with a deterministic driver Lloyd per
+    subspace (seeds = first k_eff sample rows, argmin ties to the
+    lowest codeword, empty cells keep their seed). The codebook
+    broadcast is M x K x 8 doubles (128 KB at K=256). 4-bit codes
+    (K=16) were measured first: recall@10-of-true-top-1 0.44 on this
+    near-random corpus vs 0.96 at 8 bits — the standard PQ
+    resolution/recall tradeoff, resolved the FAISS-default way.
+
+    Encode: one Arrow mapInPandas pass; each batch is an (n x K)
+    distance matrix per subspace — vectorized, no per-row Python. The
+    code column is array<int> here (driver-comparable plumbing); a
+    production sink would pack it to 8 bytes/vector binary.
+
+    Search (ADC): the query batch — the % 10 set BOUNDED to
+    _ANN_QBATCH rows by a hash-ordered limit (TakeOrderedAndProject;
+    r8, VERDICT r7 #2 — the uncapped set is TH(n) and was a driver
+    OOM at corpus scale) — broadcasts once as the RAW query matrix
+    (b44's broadcast-variable discipline; each kernel derives a
+    chunk's IP table on the fly); the kernel streams queries in
+    _PQ_QCHUNK blocks so the per-task transient is chunk x batch
+    doubles (~40 MB at the 100x corpus), emitting each block's
+    per-partition top-(k+1). The only shuffle is that bounded
+    candidate set (partitions x nq x (k+1) rows) into the global
+    rank<=k WindowGroupLimit — the same merge shape as b33, with the
+    n x nq sim matrix never materialized and the corpus pass reading
+    ONLY codes.
+
+    Rows-only at the driver: codebooks are learned and sims are float
+    sums — but tests pin a planted exact-duplicate contract (identical
+    vectors get identical codes, so the copy is rank 1 by the id
+    tiebreak) and a measured recall floor vs the exact b33 ranking.
+    """
+    out_schema = "query_id long, neighbor_id long, approx_cos double, rnk bigint"
+    built = pq_corpus_codes(spark, sf_dir)
+    if built is None:
+        return spark.createDataFrame([], out_schema)
+    codes_df, books, v = built
+    bc_books = spark.sparkContext.broadcast(books)  # for the ADC kernel
+
+    qrows = bounded_query_rows(
+        v.filter(F.col("vec_id") % 10 == 0), ["vec_id", "ue"], "b104_pq_ann"
+    )  # BOUNDED query batch (<= _ANN_QBATCH rows, hash-ordered limit
+    # = TakeOrderedAndProject): the % 10 query set is TH(n), so an
+    # uncapped collect is a driver OOM at corpus scale (VERDICT r7 #2)
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    return pq_adc_topk(spark, codes_df, bc_books, qrows)
 
 
 # ---------------------------------------------------------------------------

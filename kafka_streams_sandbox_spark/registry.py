@@ -70,6 +70,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # rewrite (oracle-backed)
     "a34_stream_full_funnel",          # FULL ingest funnel: + frozen
                                        # lm gate, mixture, split
+    "b113_curation_graded_mixture",    # b100 with b111's LM-bucket
+                                       # rates + bucket attrition
+    "b114_ann_drain",                  # full query-set PQ-ADC drain
+                                       # in _ANN_QBATCH pages
     # --- changed in round 9: expression rewritten in code+oracle ---
     "b64_stratified_sample",           # Lehmer hash pre-reduced mod
                                        # 2^31-1 (ADVICE r8 overflow)

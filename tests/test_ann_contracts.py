@@ -990,6 +990,54 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     }
     assert got == expect
 
+    # ---- b113 (r9, VERDICT r8 #7): the graded-mixture twin on the
+    # same corpus — buckets re-derived from the SAME _py_b108 scores
+    # + corpus avg, keeps from the overflow-safe Lehmer rule ----
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B111_RATE_PERMILLE,
+        b113_curation_graded_mixture,
+    )
+
+    scores, avg = _py_b108(
+        [texts.get(i, "") for i in range(max(texts) + 1)], with_avg=True
+    )
+
+    def bkt(i):
+        sc = scores[i][1]
+        if sc >= avg:
+            return "head"
+        return "middle" if 2.0 * sc >= avg else "tail"
+
+    def lehmer_keep(i):
+        return ((i % 2147483647) * 48271 % 2147483647) % 1000 < (
+            _B111_RATE_PERMILLE[bkt(i)]
+        )
+
+    g_mix = {i for i in rw if lehmer_keep(i)}
+    g_train = {i for i in g_mix if bucket(i) < _SPLIT_BUCKETS_TRAIN}
+    g_expect = dict(expect)
+    for b in ("head", "middle", "tail"):
+        members_in = {i for i in rw if bkt(i) == b}
+        members_kept = {i for i in g_mix if bkt(i) == b}
+        g_expect[f"{b}_in"] = (
+            len(members_in), sum(kept[i] for i in members_in)
+        )
+        g_expect[f"{b}_kept"] = (
+            len(members_kept), sum(kept[i] for i in members_kept)
+        )
+    g_expect["mixture"] = (len(g_mix), sum(kept[i] for i in g_mix))
+    g_expect["train"] = (len(g_train), sum(kept[i] for i in g_train))
+    g_expect["holdout"] = (
+        len(g_mix - g_train), sum(kept[i] for i in g_mix - g_train)
+    )
+    g_got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in b113_curation_graded_mixture(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert g_got == g_expect
+
 
 def test_exact_substring_run_vs_window_semantics(spark, tmp_path):
     """b101 vs b97 (r7): the planted case where maximal-run keeper
@@ -1561,3 +1609,33 @@ def test_lsh_components_recover_oversized_bucket_membership(spark, tmp_path):
     assert all(
         c == 1000 or v not in mass_ids for v, c in clusters.items()
     )
+
+
+def test_ann_drain_chunk_invariance_and_b104_parity(spark, monkeypatch):
+    """b114 (r9, VERDICT r8 #6): the full-set drain must (a) answer
+    EVERY % 10 query, (b) produce results independent of how the
+    query set is cut into pages — forcing _ANN_QBATCH to 7 makes the
+    sf0.001 drain run ~8 pages, and the result set must be
+    bit-identical to the single-page run (the a28 duality discipline
+    applied to ANN), and (c) agree with b104 row-for-row on the batch
+    b104 answers (the shared pq_adc_topk kernel, frozen books/codes).
+    """
+    from kafka_streams_sandbox_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    n_queries = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("vec_id % 10 = 0")
+        .count()
+    )
+    full = {
+        tuple(r) for r in similarity.b114_ann_drain(spark, sf).collect()
+    }
+    assert len({q for q, *_ in full}) == n_queries
+    b104 = {tuple(r) for r in similarity.b104_pq_ann(spark, sf).collect()}
+    assert b104 == full  # sf0.001's 50 queries fit one b104 batch
+    monkeypatch.setattr(similarity, "_ANN_QBATCH", 7)
+    chunked = {
+        tuple(r) for r in similarity.b114_ann_drain(spark, sf).collect()
+    }
+    assert chunked == full

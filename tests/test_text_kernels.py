@@ -176,8 +176,10 @@ def test_gopher_repetition_matches_python_twin(spark, tmp_path):
     assert got[3]["passes_repetition"] and got[4]["passes_repetition"]
 
 
-def _py_b108(texts):
-    """Pure-Python twin of b108's scoring core (Counter form)."""
+def _py_b108(texts, with_avg=False):
+    """Pure-Python twin of b108's scoring core (Counter form).
+    ``with_avg=True`` also returns the corpus score (b111's bucket
+    threshold) as a second value."""
     from collections import Counter
 
     toks = {
@@ -201,10 +203,11 @@ def _py_b108(texts):
     g_hit = sum(h for _b, h, _ba in masses.values())
     g_den = sum(b + ba for b, _h, ba in masses.values())
     avg = g_hit / g_den
-    return {
+    out = {
         i: (b, h / (b + ba), 2.0 * (h / (b + ba)) >= avg)
         for i, (b, h, ba) in masses.items()
     }
+    return (out, avg) if with_avg else out
 
 
 def test_bigram_lm_gate_matches_python_twin_and_separates(spark, tmp_path):
