@@ -34,6 +34,7 @@ from kafka_streams_sandbox_spark.functions.vectors import (
     to_double_array,
 )
 from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import lazy_checkpoint
 
 _DIM = 64  # embeddings table dimension (TESTDATA.md)
 
@@ -188,7 +189,7 @@ def b79_stopword_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(lambda d: lazy_checkpoint(d, disk=False))
     )
     stop = (
         tf.groupBy("term")

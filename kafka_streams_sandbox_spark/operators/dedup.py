@@ -32,6 +32,7 @@ from kafka_streams_sandbox_spark.functions.tokens import (
     token_set_fingerprint,
 )
 from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import lazy_checkpoint
 
 # ---------------------------------------------------------------------------
 # B21: exact dedup (hash-groupBy)
@@ -457,10 +458,9 @@ def _minhash_lsh(
         # table (24 bytes/row — never the array-carrying ones)
         # computes it once; b55's loop uses the same discipline
         # (checkpoint() on a real cluster).
-        groups = (
+        groups = lazy_checkpoint(
             fp.groupBy("fp")
             .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz"))
-            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         # star edges inside exact-set groups: rep = min(doc_id) <
         # member, so doc_a < doc_b holds by construction; identical
@@ -926,9 +926,7 @@ def _semantic_keep(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFr
     # truncation each round re-runs the whole candidate/verify
     # pipeline (b94's all-pairs anchor measured 14 s at sf0.1 from
     # exactly that; the b55/b27 checkpoint discipline)
-    pairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
+    pairs = lazy_checkpoint(pairs.toDF("doc_a", "doc_b"))
     labels, _rounds = min_label_components(pairs)
     lab = v.join(
         labels.withColumnRenamed("node", "vec_id"), "vec_id", "left"
@@ -1755,7 +1753,7 @@ def incremental_neardup_verdicts(
         .join(index_guarded, ["band", "key"])
         .select("doc_new", "doc_ref")
         .distinct()  # a pair can collide in several bands
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .transform(lazy_checkpoint)
     )
     if release_into is not None:
         release_into.append(candidates)
@@ -1860,7 +1858,7 @@ def selfseed_ingest_round(
     written."""
     from pyspark import StorageLevel
 
-    probe = _minhash_band_keys(batch).localCheckpoint(
+    probe = _minhash_band_keys(batch).localCheckpoint(  # loop-fed
         eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     if release_into is not None:
@@ -2248,8 +2246,7 @@ def _gram4_duck() -> str:
         ELSE list_transform(range(1, len(th) - {_WIN_N - 2}), i -> {g}) END"""
 
 
-B105_ORACLE = f"""
-    WITH t AS (
+_B105_CTES = f"""t AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'),
                            x -> x != '') AS toks
@@ -2270,7 +2267,10 @@ B105_ORACLE = f"""
     ), live AS (
         SELECT pr FROM p GROUP BY pr
         HAVING COUNT(*) BETWEEN 2 AND {_WIN_DF_CAP}
-    )
+    )"""
+
+B105_ORACLE = f"""
+    WITH {_B105_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_prints
     FROM p a JOIN live USING (pr) JOIN p b USING (pr)
@@ -2280,24 +2280,16 @@ B105_ORACLE = f"""
 """
 
 
-@query("b105_winnowing_fingerprints", oracle=B105_ORACLE)
-def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed-fingerprint candidate pairs: docs sharing >= 2 selected
-    prints, where prints are the per-4-window minima over word-4-gram
-    poly hashes (see module comment for the guarantee and why the
-    arithmetic is engine-exact — this is the one near-dup candidate
-    generator in the family whose output the driver HASH-verifies).
+def _winnow_posting_live(spark: SparkSession, sf_dir: str):
+    """(posting, live) for the winnowing family — b105's selection +
+    df-guard lineage, shared with b115's capped coverage form (r9) so
+    the print arithmetic cannot drift.
 
-    Plan = b26's inverted index over the winnowed (compressed) posting
-    set: map-only print selection, explode, one uniform-hash groupBy
-    per print with the df guard (prints in > {_WIN_DF_CAP} docs are
-    boilerplate, not duplication evidence — identical cap in the
-    oracle, the b76 block-purge discipline), ordered pair emission
-    inside the <= cap-sized bucket, then the pair-count aggregate.
-    Scale: posting volume is ~2/(w+1) of b26's full shingle index and
-    Σ df² is capped by construction — the winnow-then-invert shape is
-    exactly how corpus-scale plagiarism/contamination checks run.
-    """
+    posting = the checkpointed (doc_id, pr) selected-print relation;
+    live = prints with 2 <= df <= {_WIN_DF_CAP} (boilerplate-guarded
+    duplication evidence)."""
+    from pyspark import StorageLevel
+
     docs = documents_wide(spark, sf_dir)
     th = (
         docs.filter(F.col("text").isNotNull())
@@ -2321,11 +2313,9 @@ def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INLINED into an interpreted per-row Filter (the b62 recompute
     # trap — measured as a >10-min hang at sf0.001 vs ~2 s). Prints
     # are never empty anyway (>= 1 token -> >= 1 gram -> >= 1 print).
-    from pyspark import StorageLevel
-
-    posting = prints.select(
-        "doc_id", F.explode_outer("prints").alias("pr")
-    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    posting = lazy_checkpoint(
+        prints.select("doc_id", F.explode_outer("prints").alias("pr"))
+    )
     # lazy DISK_ONLY checkpoint: the posting has TWO consumers (df
     # counts + bucket collect) and each would otherwise re-run the
     # whole token-hash -> gram-hash -> winnow lineage over the corpus
@@ -2340,6 +2330,28 @@ def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
         .select("pr")
     )
+    return posting, live
+
+
+@query("b105_winnowing_fingerprints", oracle=B105_ORACLE)
+def b105_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint candidate pairs: docs sharing >= 2 selected
+    prints, where prints are the per-4-window minima over word-4-gram
+    poly hashes (see module comment for the guarantee and why the
+    arithmetic is engine-exact — this is the one near-dup candidate
+    generator in the family whose output the driver HASH-verifies).
+
+    Plan = b26's inverted index over the winnowed (compressed) posting
+    set: map-only print selection, explode, one uniform-hash groupBy
+    per print with the df guard (prints in > {_WIN_DF_CAP} docs are
+    boilerplate, not duplication evidence — identical cap in the
+    oracle, the b76 block-purge discipline), ordered pair emission
+    inside the <= cap-sized bucket, then the pair-count aggregate.
+    Scale: posting volume is ~2/(w+1) of b26's full shingle index and
+    Σ df² is capped by construction — the winnow-then-invert shape is
+    exactly how corpus-scale plagiarism/contamination checks run.
+    """
+    posting, live = _winnow_posting_live(spark, sf_dir)
     bucket = (
         posting.join(live, ["pr"], "left_semi")
         .groupBy("pr")
@@ -2406,10 +2418,15 @@ def b109_winnowing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts and max/sum over the hash-verified pair counts stay
     integers end-to-end, so this is hash-verified too.
     """
-    pairs = b105_winnowing_fingerprints(spark, sf_dir)
-    # one-pass symmetric explode, not a two-branch union — a union
-    # would consume the pair aggregate lineage twice (the
-    # min_label_components r8 lesson)
+    return _pair_coverage(b105_winnowing_fingerprints(spark, sf_dir))
+
+
+def _pair_coverage(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared_prints) -> the per-doc coverage profile —
+    b109's aggregate, shared with b115's capped form (r9). One-pass
+    symmetric explode, not a two-branch union — a union would consume
+    the pair aggregate lineage twice (the min_label_components r8
+    lesson)."""
     sym = pairs.select(
         F.explode(
             F.array(
@@ -2429,6 +2446,90 @@ def b109_winnowing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("shared_prints").cast("bigint").alias("max_shared"),
         F.sum("shared_prints").cast("bigint").alias("shared_print_mass"),
     )
+
+
+_WIN_PARTNER_CAP = 16  # per-doc in-bucket evidence cap (b115; VERDICT
+# r8 #4): inside each live print's id-sorted bucket a doc emits pair
+# evidence only toward its next {16} higher-id bucket-mates, so bucket
+# emission is df x cap instead of df^2 / 2 and the downstream pair
+# groupBy is linear in posting volume. IDENTICAL rank rule in the
+# oracle. Documented approximation: a pair separated by > cap
+# positions in EVERY shared bucket contributes no evidence — at the
+# df cap of {_WIN_DF_CAP} this only prunes pairs living exclusively
+# inside near-boilerplate buckets, exactly the evidence the df guard
+# already distrusts.
+
+B115_ORACLE = f"""
+    WITH {_B105_CTES},
+    ranked AS (
+        SELECT p.pr, p.doc_id,
+               row_number() OVER (PARTITION BY p.pr
+                                  ORDER BY p.doc_id) AS rk
+        FROM p JOIN live USING (pr)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_prints
+        FROM ranked a JOIN ranked b
+          ON a.pr = b.pr AND b.rk > a.rk
+         AND b.rk <= a.rk + {_WIN_PARTNER_CAP}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ),
+    sym AS (
+        SELECT doc_a AS doc_id, shared_prints FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, shared_prints FROM pairs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_partners,
+           CAST(MAX(shared_prints) AS BIGINT) AS max_shared,
+           CAST(SUM(shared_prints) AS BIGINT) AS shared_print_mass
+    FROM sym GROUP BY doc_id
+"""
+
+
+@query("b115_winnowing_coverage_capped", oracle=B115_ORACLE)
+def b115_winnowing_coverage_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b109's coverage with the PER-DOC EVIDENCE CAP (r9, VERDICT r8
+    #4) — the documented scale mode: inside each live print's
+    id-sorted bucket, a doc pairs only with its next
+    {_WIN_PARTNER_CAP} higher-id bucket-mates (see _WIN_PARTNER_CAP
+    for the emission-volume arithmetic and what the approximation
+    prunes). Same winnowed postings, same df guard, same engine-exact
+    integer arithmetic — the oracle shares b105's CTE chain and
+    applies the identical rank rule, so this stays hash-verified.
+
+    The uncapped b105/b109 stay registered unchanged as the exact
+    anchors; contract test pins capped == uncapped on any corpus
+    whose buckets fit the cap (tests/test_sharding.py)."""
+    posting, live = _winnow_posting_live(spark, sf_dir)
+    bucket = (
+        posting.join(live, ["pr"], "left_semi")
+        .groupBy("pr")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    # id-sorted bucket + next-{_WIN_PARTNER_CAP} slice: emission is
+    # df x cap, and doc_a < doc_b holds by construction (sorted array)
+    pairs = (
+        bucket.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, size(ds)), i ->
+                        transform(slice(ds, i + 1, {_WIN_PARTNER_CAP}),
+                                  y -> struct(element_at(ds, i) AS doc_a,
+                                              y AS doc_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_prints"))
+        .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
+    )
+    return _pair_coverage(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -2547,7 +2648,7 @@ def b107_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collect); without truncation each re-runs the corpus-wide
         # tokenize+shingle lineage (the b27-multi-consumer lesson) —
         # narrow ~30 B rows, disk-backed
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .transform(lazy_checkpoint)
     )
     # df FIRST, collect SECOND (r7 100x lesson): filtering on
     # size(collect_list) materializes the HOT buckets' full lists

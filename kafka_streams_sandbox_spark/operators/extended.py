@@ -33,6 +33,7 @@ from kafka_streams_sandbox_spark.functions.numeric import (
 )
 from kafka_streams_sandbox_spark.functions.tokens import token_set_fingerprint
 from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import lazy_checkpoint
 
 # ---------------------------------------------------------------------------
 # B40: as-of join (click -> purchase attribution on the events table)
@@ -858,7 +859,7 @@ def min_label_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .transform(lazy_checkpoint)
     )
     # Smart init: label(node) = min(node, min direct neighbor) — the
     # result of the classic first propagation round, for the price of
@@ -878,7 +879,10 @@ def min_label_components(
         # JVM on exactly that. Disk blocks make the accumulation
         # benign (bounded by rounds x label-table size on local disk);
         # each checkpoint is read back once, by the next round's join.
-    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        # (The init checkpoint honors the plan-audit switch like the
+        # edge table; the PER-ROUND checkpoints below never do — see
+        # session.set_lazy_checkpoints_disabled.)
+    ).transform(lazy_checkpoint)
     converged = False
     rounds = 0
     # handle to the CHECKPOINTED frame backing `labels` — after round

@@ -28,6 +28,7 @@ from kafka_streams_sandbox_spark.functions.tokens import (
     token_set_fingerprint,
 )
 from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import lazy_checkpoint
 
 # ---------------------------------------------------------------------------
 # B57: deterministic train/holdout split (hash-bucketed sampling)
@@ -150,7 +151,7 @@ def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster; the corpus-sized data still crosses the wire exactly
     # once. tf is already one row per (doc, term), so per-term df is a
     # plain COUNT — no countDistinct expand.
-    tf = tf.localCheckpoint(eager=False)
+    tf = lazy_checkpoint(tf, disk=False)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
@@ -1200,9 +1201,7 @@ def bigram_lm_verdict(
     # b27/b105 multi-consumer lesson). Narrow rows: doc_id + 3 numbers.
     # Inner join here (self-scoring: every bigram is in its own
     # model), so _lm_doc_masses' coalesces are vacuous identities.
-    scored = _lm_doc_masses(occ.join(pn2, ["ph", "nh"])).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
+    scored = lazy_checkpoint(_lm_doc_masses(occ.join(pn2, ["ph", "nh"])))
     tot = scored.agg(
         (
             F.sum("hit_mass").cast("double")
@@ -2029,52 +2028,123 @@ def _curation_capstone(
         F.col("repetition_ratio") <= _B69_MAX_REPETITION
     )
     w_fp = Window.partitionBy("fingerprint")
-    # b108's gate verdict over the RAW corpus model (shared core);
-    # only the boolean crosses the join back into the decision frame —
-    # plus, in the graded form, the (lm_score, corpus_score) pair
-    # b111's bucket CASE reads (two doubles; the frame stays narrow)
-    lm = bigram_lm_verdict(
-        trig.select("doc_id", "toks").filter(F.size("toks") >= 2),
-        with_threshold=graded,
-    ).select(
-        "doc_id",
-        "passes_lm",
-        *(["lm_score", "corpus_score"] if graded else []),
-    )
-    # narrow per-doc decision frame: ~70 bytes/row, three consumers
-    base = (
-        trig.select(
+    if graded:
+        from kafka_streams_sandbox_spark.operators.dedup import (
+            paragraph_dedup_rewrite,
+        )
+
+        # CCNet order (Wenzek et al. 2019; r9 funnel integration,
+        # VERDICT r8 #3): paragraph dedup FIRST — b112's shared core
+        # over the quality survivors (funnel discipline: later stages
+        # contend among survivors) — then the LM gate and EVERY later
+        # stage read the paragraph-deduped text. The stage RE-GATES
+        # the rewritten token count against the b69 floor, the same
+        # rule the span-rewrite stage applies.
+        raw_q = trig.select(
             "doc_id",
             "source",
             F.size("toks").alias("n_tokens"),
-            token_set_fingerprint("toks").alias("fingerprint"),
             (
                 F.lit(1.0)
                 - F.size(F.array_distinct("tg")).cast("double")
                 / F.size("tg")
             ).alias("repetition_ratio"),
+        ).withColumn("q_pass", q_pass)
+        para = paragraph_dedup_rewrite(
+            docs.join(
+                raw_q.filter(F.col("q_pass")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).select("doc_id", "text")
         )
-        .join(lm, "doc_id", "left")
-        .withColumn("q_pass", q_pass)
-        .withColumn(
-            "lm_pass",
-            F.col("q_pass") & F.coalesce("passes_lm", F.lit(False)),
+        # The paragraph-deduped corpus feeds FOUR consumers (token
+        # stats, the lm model, near-dup banding, span rewrite), so it
+        # materializes once — DISK_ONLY, text-wide: the one deliberate
+        # wide checkpoint in the funnel, exactly what a production
+        # CCNet run does when it writes its dedup output before LM
+        # scoring. Everything joining back to `base` stays narrow.
+        srcdocs = lazy_checkpoint(
+            para.select("doc_id", F.col("new_text").alias("text"))
         )
-        .drop("passes_lm")
-        .withColumn(
-            "keep_id",
-            F.min(F.when(F.col("lm_pass"), F.col("doc_id"))).over(w_fp),
+        ptrig = srcdocs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        # the lm model self-trains on the paragraph-deduped corpus —
+        # the CCNet sequencing the graded form exists to express
+        lm = bigram_lm_verdict(
+            ptrig.filter(F.size("toks") >= 2), with_threshold=True
+        ).select("doc_id", "passes_lm", "lm_score", "corpus_score")
+        base = (
+            raw_q.join(
+                ptrig.select(
+                    "doc_id",
+                    F.size("toks").alias("p_tokens"),
+                    token_set_fingerprint("toks").alias("fingerprint"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .join(lm, "doc_id", "left")
+            .withColumn("p_tokens", F.coalesce("p_tokens", F.lit(0)))
+            .withColumn(
+                "para_pass",
+                F.col("q_pass") & (F.col("p_tokens") >= _B69_MIN_TOKENS),
+            )
+            .withColumn(
+                "lm_pass",
+                F.col("para_pass") & F.coalesce("passes_lm", F.lit(False)),
+            )
+            .drop("passes_lm")
+            .withColumn(
+                "keep_id",
+                F.min(F.when(F.col("lm_pass"), F.col("doc_id"))).over(w_fp),
+            )
+            .withColumn(
+                "ex_keep",
+                F.col("lm_pass") & (F.col("doc_id") == F.col("keep_id")),
+            )
+            .transform(lazy_checkpoint)
         )
-        .withColumn(
-            "ex_keep",
-            F.col("lm_pass") & (F.col("doc_id") == F.col("keep_id")),
+    else:
+        srcdocs = docs
+        # b108's gate verdict over the RAW corpus model (shared core);
+        # only the boolean crosses the join back into the frame
+        lm = bigram_lm_verdict(
+            trig.select("doc_id", "toks").filter(F.size("toks") >= 2)
+        ).select("doc_id", "passes_lm")
+        # narrow per-doc decision frame: ~70 bytes/row, three consumers
+        base = (
+            trig.select(
+                "doc_id",
+                "source",
+                F.size("toks").alias("n_tokens"),
+                token_set_fingerprint("toks").alias("fingerprint"),
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct("tg")).cast("double")
+                    / F.size("tg")
+                ).alias("repetition_ratio"),
+            )
+            .join(lm, "doc_id", "left")
+            .withColumn("q_pass", q_pass)
+            .withColumn(
+                "lm_pass",
+                F.col("q_pass") & F.coalesce("passes_lm", F.lit(False)),
+            )
+            .drop("passes_lm")
+            .withColumn(
+                "keep_id",
+                F.min(F.when(F.col("lm_pass"), F.col("doc_id"))).over(w_fp),
+            )
+            .withColumn(
+                "ex_keep",
+                F.col("lm_pass") & (F.col("doc_id") == F.col("keep_id")),
+            )
+            .transform(lazy_checkpoint)
         )
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
     ex_ids = base.filter(F.col("ex_keep")).select("doc_id")
     # near-dup canonicalization over the exact-dedup survivors only
+    # (graded: over the paragraph-deduped text — srcdocs)
     pairs = minhash_verified_pairs(
-        docs.join(ex_ids, "doc_id", "left_semi").filter(
+        srcdocs.join(ex_ids, "doc_id", "left_semi").filter(
             F.expr(f"size({TOKENS_EXPR}) > 0")
         )
     ).select("doc_a", "doc_b")
@@ -2083,7 +2153,7 @@ def _curation_capstone(
         labels.filter(F.col("label") != F.col("node"))
         .select(F.col("node").alias("doc_id"))
         .withColumn("near_dropped", F.lit(True))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .transform(lazy_checkpoint)
     )
     rw_ids = ex_ids.join(near_drop.select("doc_id"), "doc_id", "left_anti")
     # b97's rewrite over the DEDUPED corpus: duplicated spans are
@@ -2091,7 +2161,7 @@ def _curation_capstone(
     # was in a dropped duplicate is no longer "duplicated" — the
     # pipeline-order semantics Lee et al. prescribe)
     rewritten = span_removal_rewrite(
-        docs.join(rw_ids, "doc_id", "left_semi").select("doc_id", "text")
+        srcdocs.join(rw_ids, "doc_id", "left_semi").select("doc_id", "text")
     ).select("doc_id", "kept_tokens")
     split_bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
@@ -2161,12 +2231,17 @@ def _curation_capstone(
     )
     kept = F.coalesce("kept_tokens", F.lit(0)).cast("long")
     pre = F.col("n_tokens").cast("long")
+    # mid-funnel token currency: raw counts in the flat form; the
+    # paragraph-deduped counts from the para stage on in the graded
+    # form (the same switch the rewrite stage makes to kept_tokens)
+    mid = F.col("p_tokens").cast("long") if graded else pre
     stages = [
         ("raw", F.lit(True), pre),
         ("quality", F.col("q_pass"), pre),
-        ("lm_gate", F.col("lm_pass"), pre),
-        ("dedup_exact", F.col("ex_keep"), pre),
-        ("dedup_near", F.col("near_keep"), pre),
+        *([("dedup_para", F.col("para_pass"), mid)] if graded else []),
+        ("lm_gate", F.col("lm_pass"), mid),
+        ("dedup_exact", F.col("ex_keep"), mid),
+        ("dedup_near", F.col("near_keep"), mid),
         ("rewrite", F.col("rw_pass"), kept),
     ]
     if graded:
@@ -2222,17 +2297,29 @@ def b100_curation_capstone(  # banding-based (b27's engine-specific label)
 def b113_curation_graded_mixture(  # banding-based (b27's label)
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """b100's funnel with the mixture stage GRADED by b111's CCNet
-    LM buckets (r9, VERDICT r8 #7): instead of b67's flat per-source
-    rates, rewrite survivors split into head / middle / tail by the
-    (lm_score, corpus_score) pair the funnel's lm stage already
-    computed (shared ``bigram_lm_verdict`` core — one CASE
-    projection, no new scan or shuffle), and each bucket downsamples
-    at its configured permille via the overflow-safe Lehmer pick.
-    The attrition report adds per-bucket candidate and kept rows
-    ({head,middle,tail}_{in,kept}) around the mixture total — 15
-    scalar rows. The planted funnel contract re-derives every stage
-    including the bucket split in pure Python
+    """The CCNet-SHAPED funnel (r9, VERDICT r8 #3/#7): b100's chain
+    with the two CCNet-specific stages swapped in.
+
+    1. ``dedup_para`` (Wenzek et al. 2019 §3.1, b112's shared
+       ``paragraph_dedup_rewrite`` core) runs between quality and the
+       LM gate — corpus-wide keep-first at paragraph granularity —
+       and EVERY later stage (lm model + scoring, exact fingerprints,
+       near-dup banding, span rewrite) reads the paragraph-deduped
+       text, the literal CCNet sequencing.
+    2. The mixture stage is GRADED by b111's LM buckets instead of
+       b67's flat per-source rates: rewrite survivors split into
+       head / middle / tail by the (lm_score, corpus_score) pair the
+       funnel's lm stage already computed (shared
+       ``bigram_lm_verdict`` core — one CASE projection, no new scan
+       or shuffle), each bucket downsampling at its configured
+       permille via the overflow-safe Lehmer pick.
+
+    The attrition report adds the dedup_para row plus per-bucket
+    candidate and kept rows ({head,middle,tail}_{in,kept}) around the
+    mixture total — 16 scalar rows, with the token currency switching
+    to paragraph-kept counts from the para stage on. The planted
+    funnel contract re-derives every stage — paragraph ownership,
+    LM buckets, the lot — in pure Python
     (tests/test_ann_contracts.py)."""
     return _curation_capstone(spark, sf_dir, graded=True)
 

@@ -74,6 +74,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # rates + bucket attrition
     "b114_ann_drain",                  # full query-set PQ-ADC drain
                                        # in _ANN_QBATCH pages
+    "b115_winnowing_coverage_capped",  # b109 with the per-doc
+                                       # in-bucket evidence cap
     # --- changed in round 9: expression rewritten in code+oracle ---
     "b64_stratified_sample",           # Lehmer hash pre-reduced mod
                                        # 2^31-1 (ADVICE r8 overflow)
@@ -98,6 +100,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # stages/rules)
     "a33_stream_lm_gate",              # threshold derivation extracted
                                        # to frozen_lm_threshold
+    "b105_winnowing_fingerprints",     # posting/live build extracted
+                                       # to _winnow_posting_live
+    "b109_winnowing_coverage",         # coverage agg extracted to
+                                       # _pair_coverage
     # --- the last r5 row (VERDICT r8 'What's wrong' #1) ---
     "b94_semantic_dedup_exact",
     # --- r6 rows, oracle-backed first ---

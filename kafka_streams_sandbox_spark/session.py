@@ -103,6 +103,44 @@ def get_spark(
     return configure(builder.getOrCreate())
 
 
+_LAZY_CHECKPOINTS_DISABLED = False
+
+
+def set_lazy_checkpoints_disabled(disabled: bool) -> None:
+    """Plan-audit switch (r9, VERDICT r8 #5). Lazy localCheckpoints
+    truncate lineage, so ``explain`` on any frame downstream of one
+    prints an RDD scan where the real upstream stages are — the r8
+    plan audit under-reported exactly those jobs (b105, b107-b109,
+    b111, b27's collapse path, every min_label_components consumer).
+    With the switch on, ``lazy_checkpoint`` is an identity and the
+    audited plan covers the WHOLE job. Audit-only: iterative loops
+    keep their per-round checkpoints unconditionally (disabling those
+    re-derives every prior round into the plan — the exponential
+    iterative-DataFrame trap), which is correct for the audit too:
+    a loop round's full plan IS one round over its checkpointed
+    predecessor plus the (now-visible) shared inputs."""
+    global _LAZY_CHECKPOINTS_DISABLED
+    _LAZY_CHECKPOINTS_DISABLED = disabled
+
+
+def lazy_checkpoint(df, disk: bool = True):
+    """Lazy localCheckpoint for multi-consumer frames (lineage
+    truncation so N consumers don't re-run the shared upstream — the
+    b27-four-consumer lesson), honoring the plan-audit switch above.
+    ``disk=True`` pins DISK_ONLY (arrays / corpus-sized frames must
+    spill, never pin heap); ``disk=False`` keeps Spark's default
+    level for small frames."""
+    if _LAZY_CHECKPOINTS_DISABLED:
+        return df
+    if disk:
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
+    return df.localCheckpoint(eager=False)
+
+
 def release_local_checkpoint(df) -> None:
     """Free a ``localCheckpoint``'s persisted blocks NOW.
 

@@ -908,6 +908,22 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     t4 = words(40, "b")
     t5 = list(t4)
     t5[20] = "zzzzz"  # near-dup mutation
+    # 12/13: same token SET, every 20-token block different — one swap
+    # per block (the doc is H(7)+e(40), so blocks split at body
+    # indices 13 and 33) — invisible to b112's paragraph dedup,
+    # caught by the fingerprint stage on the REWRITTEN text (graded)
+    # and the raw text (flat)
+    e = words(40, "e")
+    e13 = list(e)
+    for a, b in ((0, 1), (13, 14), (33, 34)):
+        e13[a], e13[b] = e13[b], e13[a]
+    # 14/15: one-CHAR mutation inside each 20-token block — paragraph
+    # dedup keeps both whole (every block differs), char-5-gram
+    # jaccard stays >= 0.8, so the pair is the graded near-dup plant
+    f = words(40, "f")
+    f15 = list(f)
+    for bodypos in (5, 25, 35):
+        f15[bodypos] = f15[bodypos][:-1] + "X"
     texts = {
         1: " ".join(H + words(8, "s")),       # quality fail (15 < 16)
         2: " ".join(H + t2),
@@ -920,6 +936,10 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
         9: " ".join(H + R + words(5, "x")),   # loses hdr+R, re-gate drop
         10: " ".join(H + words(40, "y")),     # clean survivor
         11: " ".join(words(40, "g")),         # lm-gate fail (no header)
+        12: " ".join(H + e),                  # set-twin keeper
+        13: " ".join(H + e13),                # same set, drops at exact
+        14: " ".join(H + f),                  # near keeper (graded too)
+        15: " ".join(H + f15),                # char-level near dup of 14
     }
     table = pa.table(
         {
@@ -934,37 +954,67 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     )
     pq.write_table(table, str(tmp_path / "documents.parquet"))
 
-    # ---- pure-Python twin of every stage rule ----
+    # ---- pure-Python twin of every stage rule (flat b100 form) ----
+    def grams5(txt):
+        return {txt[k : k + 5] for k in range(len(txt) - 4)}
+
+    def near_drops(survivors, text_of):
+        """char-5-gram jaccard >= 0.8 pairs -> min-label components ->
+        every non-min member drops (b27 verify + b55/b60 rules)."""
+        import itertools
+
+        g = {i: grams5(text_of[i]) for i in survivors}
+        label = {i: i for i in survivors}
+        changed = True
+        while changed:
+            changed = False
+            for i, j in itertools.combinations(sorted(survivors), 2):
+                inter = len(g[i] & g[j])
+                union = len(g[i] | g[j])
+                if union and inter / union >= 0.8:
+                    m = min(label[i], label[j])
+                    if label[i] != m or label[j] != m:
+                        label[i] = label[j] = m
+                        changed = True
+        return {i for i in survivors if label[i] != i}
+
+    def span_kept(survivors, toks_of, n_of):
+        """b97 rule: 8-token windows seen in >= 2 docs elect keeper
+        min(doc_id); other docs remove the window positions."""
+        span_at = {}
+        for i in survivors:
+            ts = toks_of[i]
+            for p0 in range(len(ts) - 7):
+                span_at.setdefault(tuple(ts[p0 : p0 + 8]), []).append(
+                    (i, p0)
+                )
+        removed = {i: set() for i in survivors}
+        for occ in span_at.values():
+            docs_in = {i for i, _ in occ}
+            if len(docs_in) >= 2:
+                keeper = min(docs_in)
+                for i, p0 in occ:
+                    if i != keeper:
+                        removed[i].update(range(p0, p0 + 8))
+        return {i: n_of[i] - len(removed[i]) for i in survivors}
+
     ntok = {i: len(t.split()) for i, t in texts.items()}
+    toks_all = {i: texts[i].split() for i in texts}
     quality = {i for i in texts if ntok[i] >= _B69_MIN_TOKENS}
     assert quality == set(texts) - {1}  # trigram repetition is 0 here
     # b108's rule via its own Python twin (model over the RAW corpus)
     py108 = _py_b108([texts.get(i, "") for i in range(max(texts) + 1)])
     lm = {i for i in quality if py108[i][2]}
     assert lm == quality - {11}  # header mass passes, gibberish fails
-    ex = lm - {3}  # 3's sorted-distinct-token fingerprint == 2's
-    near = ex - {5}  # the only verified pair among ex survivors
-    # b97 rule over the near-SURVIVOR corpus: an 8-token window seen in
-    # >= 2 docs elects keeper min(doc_id); other docs remove the
-    # window's positions (interval union)
-    toks = {i: texts[i].split() for i in near}
-    span_at = {}
-    for i, ts in toks.items():
-        for p in range(len(ts) - 7):
-            span_at.setdefault(tuple(ts[p : p + 8]), []).append((i, p))
-    removed = {i: set() for i in near}
-    for occ in span_at.values():
-        docs_in = {i for i, _ in occ}
-        if len(docs_in) >= 2:
-            keeper = min(docs_in)
-            for i, p in occ:
-                if i != keeper:
-                    removed[i].update(range(p, p + 8))
-    kept = {i: ntok[i] - len(removed[i]) for i in near}
+    # 3's and 13's sorted-distinct-token fingerprints match 2's / 12's
+    ex = lm - {3, 13}
+    near = ex - near_drops(ex, texts)
+    assert near == ex - {5, 15}  # the two planted verified pairs
+    kept = span_kept(near, toks_all, ntok)
     assert kept[7] == 30 and kept[9] == 5  # planted span attrition
     rw = {i for i in near if kept[i] >= _B69_MIN_TOKENS}
     assert rw == near - {9}
-    mix = rw  # tier 0, w = 1.0: (id * 16807) % 1000 < 1000 always
+    mix = rw  # tier 0, w = 1.0: ((id % 1000) * 16807) % 1000 < 1000
 
     def bucket(i):
         return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
@@ -990,46 +1040,93 @@ def test_curation_capstone_funnel_contract(spark, tmp_path):
     }
     assert got == expect
 
-    # ---- b113 (r9, VERDICT r8 #7): the graded-mixture twin on the
-    # same corpus — buckets re-derived from the SAME _py_b108 scores
-    # + corpus avg, keeps from the overflow-safe Lehmer rule ----
+    # ---- b113 (r9, VERDICT r8 #3/#7): the CCNet-shaped twin —
+    # paragraph dedup first, every later stage over the rewritten
+    # text, graded mixture — all re-derived in pure Python ----
+    from kafka_streams_sandbox_spark.operators.dedup import _B112_P
     from kafka_streams_sandbox_spark.operators.pipeline import (
         _B111_RATE_PERMILLE,
         b113_curation_graded_mixture,
     )
 
-    scores, avg = _py_b108(
-        [texts.get(i, "") for i in range(max(texts) + 1)], with_avg=True
+    # b112's rule over quality survivors: keep-first by (doc_id, pos)
+    owner = {}
+    for i in sorted(quality):
+        ts = toks_all[i]
+        for p0 in range(0, len(ts), _B112_P):
+            owner.setdefault(tuple(ts[p0 : p0 + _B112_P]), (i, p0))
+    ptoks = {}
+    for i in sorted(quality):
+        ts = toks_all[i]
+        kept_b = []
+        for p0 in range(0, len(ts), _B112_P):
+            if owner[tuple(ts[p0 : p0 + _B112_P])] == (i, p0):
+                kept_b.extend(ts[p0 : p0 + _B112_P])
+        ptoks[i] = kept_b
+    ptext = {i: " ".join(ptoks[i]) for i in quality}
+    pn = {i: len(ptoks[i]) for i in quality}
+    para = {i for i in quality if pn[i] >= _B69_MIN_TOKENS}
+    # doc 3 fully owned by 2; doc 9's remnant is 12 tokens < 16
+    assert 3 not in para and 9 not in para and pn[3] == 0 and pn[9] == 12
+    # doc 5 keeps exactly its mutated middle block
+    assert pn[5] == 20
+    # the lm model self-trains on the paragraph-deduped corpus
+    g_scores, g_avg = _py_b108(
+        [ptext.get(i, "") for i in range(max(texts) + 1)], with_avg=True
     )
+    g_lm = {i for i in para if g_scores[i][2]}
+    assert 11 not in g_lm  # gibberish still lands at 0.0
+    # exact dedup over REWRITTEN-text fingerprints: 13's set == 12's
+    by_key = {}
+    for i in sorted(g_lm):
+        by_key.setdefault(tuple(sorted(set(ptoks[i]))), i)
+    g_ex = {i for i in g_lm if by_key[tuple(sorted(set(ptoks[i])))] == i}
+    assert 13 not in g_ex and 12 in g_ex
+    g_near = g_ex - near_drops(g_ex, ptext)
+    assert 15 not in g_near and 14 in g_near  # per-block char mutant
+    assert 5 in g_near  # para already stripped 5's duplicate mass
+    g_kept = span_kept(g_near, ptoks, pn)
+    g_rw = {i for i in g_near if g_kept[i] >= _B69_MIN_TOKENS}
 
     def bkt(i):
-        sc = scores[i][1]
-        if sc >= avg:
+        sc = g_scores[i][1]
+        if sc >= g_avg:
             return "head"
-        return "middle" if 2.0 * sc >= avg else "tail"
+        return "middle" if 2.0 * sc >= g_avg else "tail"
 
     def lehmer_keep(i):
         return ((i % 2147483647) * 48271 % 2147483647) % 1000 < (
             _B111_RATE_PERMILLE[bkt(i)]
         )
 
-    g_mix = {i for i in rw if lehmer_keep(i)}
+    g_mix = {i for i in g_rw if lehmer_keep(i)}
     g_train = {i for i in g_mix if bucket(i) < _SPLIT_BUCKETS_TRAIN}
-    g_expect = dict(expect)
+    g_expect = {
+        "raw": (len(texts), sum(ntok.values())),
+        "quality": (len(quality), sum(ntok[i] for i in quality)),
+        "dedup_para": (len(para), sum(pn[i] for i in para)),
+        "lm_gate": (len(g_lm), sum(pn[i] for i in g_lm)),
+        "dedup_exact": (len(g_ex), sum(pn[i] for i in g_ex)),
+        "dedup_near": (len(g_near), sum(pn[i] for i in g_near)),
+        "rewrite": (len(g_rw), sum(g_kept[i] for i in g_rw)),
+        "mixture": (len(g_mix), sum(g_kept[i] for i in g_mix)),
+        "train": (len(g_train), sum(g_kept[i] for i in g_train)),
+        "holdout": (
+            len(g_mix - g_train),
+            sum(g_kept[i] for i in g_mix - g_train),
+        ),
+    }
     for b in ("head", "middle", "tail"):
-        members_in = {i for i in rw if bkt(i) == b}
+        members_in = {i for i in g_rw if bkt(i) == b}
         members_kept = {i for i in g_mix if bkt(i) == b}
         g_expect[f"{b}_in"] = (
-            len(members_in), sum(kept[i] for i in members_in)
+            len(members_in),
+            sum(g_kept[i] for i in members_in),
         )
         g_expect[f"{b}_kept"] = (
-            len(members_kept), sum(kept[i] for i in members_kept)
+            len(members_kept),
+            sum(g_kept[i] for i in members_kept),
         )
-    g_expect["mixture"] = (len(g_mix), sum(kept[i] for i in g_mix))
-    g_expect["train"] = (len(g_train), sum(kept[i] for i in g_train))
-    g_expect["holdout"] = (
-        len(g_mix - g_train), sum(kept[i] for i in g_mix - g_train)
-    )
     g_got = {
         r["stage"]: (r["n_docs"], r["n_tokens"])
         for r in b113_curation_graded_mixture(

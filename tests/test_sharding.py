@@ -425,3 +425,69 @@ def test_b112_plan_shape(spark, sf_dir):
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert not uses_row_python_udf(df), plan
     assert "xxhash64" in plan
+
+
+def _identical_docs_dir(tmp_path, n):
+    text = " ".join(f"w{j}" for j in range(30))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(text)] * n, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_winnowing_capped_equals_uncapped_under_cap(spark, tmp_path):
+    """b115 (r9, VERDICT r8 #4): on any corpus whose live buckets fit
+    the partner cap (10 identical docs -> every print bucket has 10
+    members <= cap+1), the capped coverage equals b109's uncapped
+    coverage row-for-row."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        _WIN_PARTNER_CAP,
+        b109_winnowing_coverage,
+        b115_winnowing_coverage_capped,
+    )
+
+    assert _WIN_PARTNER_CAP >= 9  # the planted bucket fits the cap
+    d = _identical_docs_dir(tmp_path, 10)
+    capped = {tuple(r) for r in b115_winnowing_coverage_capped(spark, d).collect()}
+    full = {tuple(r) for r in b109_winnowing_coverage(spark, d).collect()}
+    assert capped == full and capped
+
+
+def test_winnowing_cap_bites_with_rank_rule(spark, tmp_path):
+    """When a bucket exceeds the cap (20 identical docs), each doc
+    keeps evidence only toward bucket-mates within _WIN_PARTNER_CAP
+    positions in id order: n_partners per doc matches the rank-rule
+    formula exactly, every surviving pair still carries the full
+    shared-print count (max_shared * n_partners == mass), and the
+    uncapped b109 keeps all 19 partners."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        _WIN_PARTNER_CAP as CAP,
+        b109_winnowing_coverage,
+        b115_winnowing_coverage_capped,
+    )
+
+    d = _identical_docs_dir(tmp_path, 20)
+    got = {
+        r["doc_id"]: r
+        for r in b115_winnowing_coverage_capped(spark, d).collect()
+    }
+    assert set(got) == set(range(1, 21))
+    for i in range(1, 21):
+        want_partners = min(20 - i, CAP) + min(i - 1, CAP)
+        r = got[i]
+        assert r["n_partners"] == want_partners, i
+        assert r["shared_print_mass"] == r["max_shared"] * want_partners
+    full = {
+        r["doc_id"]: r["n_partners"]
+        for r in b109_winnowing_coverage(spark, d).collect()
+    }
+    assert all(v == 19 for v in full.values())
