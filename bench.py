@@ -147,6 +147,18 @@ BENCH_QUERIES = [
     # round-8: CCNet bucketed mixture over the b108 score (oracle-
     # backed — same SQL body as b108 plus bucket/keep CASE rules)
     "b111_lm_bucket_mixture",
+    # round-9: CCNet paragraph-level keep-first dedup (oracle-backed —
+    # window-min + rebuild, cheap CTE twin)
+    "b112_paragraph_dedup",
+    # round-9: the CCNet-shaped funnel — paragraph stage + graded
+    # LM-bucket mixture (rows-only — banding stage; Spark-timed row)
+    "b113_curation_graded_mixture",
+    # round-9: full ANN query-set drain in _ANN_QBATCH pages
+    # (rows-only — learned codebooks; Spark-timed row)
+    "b114_ann_drain",
+    # round-9: evidence-capped winnowing coverage (oracle-backed —
+    # the rank-rule twin shares B105's CTE chain)
+    "b115_winnowing_coverage_capped",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

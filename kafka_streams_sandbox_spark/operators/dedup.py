@@ -2448,16 +2448,21 @@ def _pair_coverage(pairs: DataFrame) -> DataFrame:
     )
 
 
-_WIN_PARTNER_CAP = 16  # per-doc in-bucket evidence cap (b115; VERDICT
+_WIN_PARTNER_CAP = 4  # per-doc in-bucket evidence cap (b115; VERDICT
 # r8 #4): inside each live print's id-sorted bucket a doc emits pair
-# evidence only toward its next {16} higher-id bucket-mates, so bucket
+# evidence only toward its next CAP higher-id bucket-mates, so bucket
 # emission is df x cap instead of df^2 / 2 and the downstream pair
 # groupBy is linear in posting volume. IDENTICAL rank rule in the
 # oracle. Documented approximation: a pair separated by > cap
-# positions in EVERY shared bucket contributes no evidence — at the
-# df cap of {_WIN_DF_CAP} this only prunes pairs living exclusively
-# inside near-boilerplate buckets, exactly the evidence the df guard
-# already distrusts.
+# positions in EVERY shared bucket contributes no evidence — for a
+# drop/review decision one surviving partner suffices; the profile's
+# partner/mass counts thin as cap shrinks. The value is a measured
+# tradeoff on the 100x Zipf corpus, whose LIVE buckets average df ~17
+# (9.8M postings / 580k live prints): cap 16 barely binds there
+# (93M pair rows, 106 s — within noise of uncapped b109's 126 s),
+# cap 4 cuts the pair shuffle to ~25M rows and runs 37-50 s
+# (BASELINE.md round-9 table). The worst case is bounded at ANY cap;
+# the knob trades profile completeness for the pair-stage constant.
 
 B115_ORACLE = f"""
     WITH {_B105_CTES},
@@ -2784,27 +2789,7 @@ def paragraph_dedup_rewrite(docs: DataFrame) -> DataFrame:
       argument); a collision would only merge two distinct paragraphs
       into one keep-first group.
     """
-    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-    n_paras = F.ceil(F.size("toks") / F.lit(float(_B112_P)))
-    base = toks.select("doc_id", n_paras.cast("bigint").alias("n_paras"))
-    paras = (
-        toks.filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.posexplode_outer(  # outer + post-filter: the b105
-                # constraint-inference trap (a plain explode re-infers
-                # the whole slice chain into the scan filter)
-                F.expr(
-                    f"""transform(
-                        sequence(0, cast(ceil(size(toks) / {_B112_P}.0)
-                                         as int) - 1),
-                        i -> concat_ws(' ',
-                                 slice(toks, i * {_B112_P} + 1, {_B112_P})))"""
-                )
-            ).alias("pos", "para"),
-        )
-        .filter(F.col("para").isNotNull())
-    )
+    base, paras = doc_paragraphs(docs)
     w = Window.partitionBy(F.xxhash64("para"))
     kept = (
         paras.withColumn(
@@ -2816,6 +2801,47 @@ def paragraph_dedup_rewrite(docs: DataFrame) -> DataFrame:
         )
         .drop("first")
     )
+    return rebuild_from_paragraphs(base, kept)
+
+
+def doc_paragraphs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc base counts, exploded paragraph rows) for any
+    ``(doc_id, text)`` relation — b112's map-only block build,
+    extracted (r9) so the ingest twin (a35) slices paragraphs with
+    the SAME rule. base = (doc_id, n_paras); paras = (doc_id, pos,
+    para). The build has NO token-level explode (transform over a
+    sequence slices the token array, _B112_P x fewer generated
+    rows), and the explode is posexplode_OUTER + post-filter — the
+    b105 constraint-inference trap (a plain explode re-infers the
+    whole slice chain into the scan filter)."""
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    n_paras = F.ceil(F.size("toks") / F.lit(float(_B112_P)))
+    base = toks.select("doc_id", n_paras.cast("bigint").alias("n_paras"))
+    paras = (
+        toks.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode_outer(
+                F.expr(
+                    f"""transform(
+                        sequence(0, cast(ceil(size(toks) / {_B112_P}.0)
+                                         as int) - 1),
+                        i -> concat_ws(' ',
+                                 slice(toks, i * {_B112_P} + 1, {_B112_P})))"""
+                )
+            ).alias("pos", "para"),
+        )
+        .filter(F.col("para").isNotNull())
+    )
+    return base, paras
+
+
+def rebuild_from_paragraphs(base: DataFrame, kept: DataFrame) -> DataFrame:
+    """(doc_id, n_paras) x surviving (doc_id, pos, para) rows ->
+    b112's output shape (doc_id, n_paras, kept_paras, new_text) —
+    extracted (r9) for the ingest twin. The collect_list is bounded
+    by paragraphs-per-doc (docs are bounded; a 1 MB doc is ~2.5k
+    paras)."""
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(

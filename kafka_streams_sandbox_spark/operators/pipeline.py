@@ -2040,16 +2040,27 @@ def _curation_capstone(
         # stage read the paragraph-deduped text. The stage RE-GATES
         # the rewritten token count against the b69 floor, the same
         # rule the span-rewrite stage applies.
-        raw_q = trig.select(
-            "doc_id",
-            "source",
-            F.size("toks").alias("n_tokens"),
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct("tg")).cast("double")
-                / F.size("tg")
-            ).alias("repetition_ratio"),
-        ).withColumn("q_pass", q_pass)
+        # lazy checkpoint is ESSENTIAL here, not just multi-consumer
+        # hygiene (measured at 100x, r9): `raw_q.filter(q_pass)` below
+        # lets CollapseProject inline the whole tokenize+trigram chain
+        # into one interpreted per-row Filter in which `split(trim(
+        # text))` appears ~8x and each trigram element_at re-evaluates
+        # it — the b62/b105 trap in filter form; the para stage alone
+        # ran > 10 min vs ~15 s with the barrier. raw_q is narrow
+        # (5 scalar cols) and has two consumers (the para input's
+        # semi join + the decision-frame join).
+        raw_q = lazy_checkpoint(
+            trig.select(
+                "doc_id",
+                "source",
+                F.size("toks").alias("n_tokens"),
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct("tg")).cast("double")
+                    / F.size("tg")
+                ).alias("repetition_ratio"),
+            ).withColumn("q_pass", q_pass)
+        )
         para = paragraph_dedup_rewrite(
             docs.join(
                 raw_q.filter(F.col("q_pass")).select("doc_id"),

@@ -76,6 +76,8 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # in _ANN_QBATCH pages
     "b115_winnowing_coverage_capped",  # b109 with the per-doc
                                        # in-bucket evidence cap
+    "a35_stream_paragraph_dedup",      # b112 at ingest: frozen set +
+                                       # committed paragraph state
     # --- changed in round 9: expression rewritten in code+oracle ---
     "b64_stratified_sample",           # Lehmer hash pre-reduced mod
                                        # 2^31-1 (ADVICE r8 overflow)

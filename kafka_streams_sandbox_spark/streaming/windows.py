@@ -992,6 +992,31 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("codes").alias("pos", "code"))
 
 
+def stage_seq_files(docs: DataFrame, label: str) -> str:
+    """Stage the arriving slice as ONE parquet file per seq
+    (seq = doc_id % 10 in {8, 9}), mtime-ordered so
+    maxFilesPerTrigger=1 replays micro-batch N == seq N — a29's
+    ingest decomposition, extracted (r9) for the funnel and the
+    paragraph-dedup ingest twin."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    src_dir = tempfile.mkdtemp(prefix=f"kss-{label}-src-")
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    for seq in (8, 9):
+        stage = tempfile.mkdtemp(prefix=f"kss-{label}-w{seq}-")
+        docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        dst = f"{src_dir}/seq-{seq:02d}.parquet"
+        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
+    return src_dir
+
+
 def _ingest_funnel(
     spark: SparkSession, sf_dir: str, *, full: bool, label: str
 ) -> DataFrame:
@@ -1050,10 +1075,6 @@ def _ingest_funnel(
     stage. Returned shape is the b100-style attrition report
     (stage, n_docs, n_tokens): 5 scalar rows (a32) / 9 (a34),
     canonicalizer-safe."""
-    import glob
-    import os
-    import shutil
-
     from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
 
@@ -1220,16 +1241,7 @@ def _ingest_funnel(
         return out.select("fingerprint", *dec_cols), handles
 
     # ---- stream side: one staged file per seq, a29's replay shape ----
-    src_dir = tempfile.mkdtemp(prefix=f"kss-{label}-src-")
-    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
-    for seq in (8, 9):
-        stage = tempfile.mkdtemp(prefix=f"kss-{label}-w{seq}-")
-        docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        dst = f"{src_dir}/seq-{seq:02d}.parquet"
-        shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
+    src_dir = stage_seq_files(docs, label)
 
     state_dir = tempfile.mkdtemp(prefix=f"kss-{label}-fps-")
     out_dir = tempfile.mkdtemp(prefix=f"kss-{label}-out-")
@@ -1366,6 +1378,148 @@ def a34_stream_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_funnel(
         spark, sf_dir, full=True, label="a34_stream_full_funnel"
     )
+
+
+@query("a35_stream_paragraph_dedup")  # rows-only: streaming sink
+def a35_stream_paragraph_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b112's CCNet paragraph dedup at INGEST (r9): the arriving 20%
+    streams against the frozen 80%, and each arriving doc is
+    rewritten to the paragraphs it is the FIRST owner of —
+    corpus-wide: a paragraph is dropped if the frozen corpus contains
+    it (the corpus always wins: every frozen paragraph predates every
+    arrival), if an earlier micro-batch's kept output contains it
+    (parquet-committed hash state via ``committed_state`` — the a26
+    first-wins discipline at paragraph granularity), or if an earlier
+    (doc_id, pos) occurrence in the SAME batch owns it (the in-batch
+    window rule).
+
+    One keeper rule valid on both sides — keeper = min (seq, doc_id,
+    pos) among state-free occurrences — so the batch twin replaces
+    the per-batch state with the replay-order window over all
+    arrivals, exactly a32's (seq, doc_id)-min composition extended by
+    the position tiebreak b112 already defines. The in-query duality
+    assert compares the FULL rewritten output (doc_id, n_paras,
+    kept_paras, new_text): bit-identical strings, so a non-error run
+    certifies the rewrite, not just the counts.
+
+    Shares b112's block build and rebuild verbatim
+    (``doc_paragraphs`` / ``rebuild_from_paragraphs``); the frozen
+    corpus's distinct paragraph hashes persist DISK_ONLY before the
+    stream starts (a28's standing-artifact discipline) — at scale
+    this is the sharded hash set CCNet actually maintains, here an
+    int64 column joined hash-to-hash (never paragraph strings)."""
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        doc_paragraphs,
+        rebuild_from_paragraphs,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    out_schema = (
+        "doc_id bigint, n_paras bigint, kept_paras bigint, new_text string"
+    )
+    cols = ["doc_id", "n_paras", "kept_paras", "new_text"]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    _, corpus_paras = doc_paragraphs(
+        docs.filter(~is_new).select("doc_id", "text")
+    )
+    corpus_set = (
+        corpus_paras.select(F.xxhash64("para").alias("ph"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    corpus_set.count()  # materialize once, before the stream starts
+
+    def decisions(bdf: DataFrame, standing: DataFrame) -> DataFrame:
+        base, paras = doc_paragraphs(bdf.select("doc_id", "text"))
+        p = (
+            paras.withColumn("ph", F.xxhash64("para"))
+            .join(corpus_set, "ph", "left")
+            .join(standing, "ph", "left")
+            .withColumn(
+                "free",
+                F.col("in_corpus").isNull() & F.col("in_state").isNull(),
+            )
+        )
+        w = Window.partitionBy("ph")
+        kept = (
+            p.withColumn(
+                "first",
+                F.min(
+                    F.when(
+                        F.col("free"),
+                        F.struct(
+                            (F.col("doc_id") % 10).alias("s"),
+                            F.col("doc_id").alias("d"),
+                            F.col("pos").alias("p"),
+                        ),
+                    )
+                ).over(w),
+            )
+            .filter(
+                F.col("free")
+                & (F.col("doc_id") == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+            .select("doc_id", "pos", "para", "ph")
+        )
+        return rebuild_from_paragraphs(base, kept), kept
+
+    state_dir = tempfile.mkdtemp(prefix="kss-a35-phs-")
+    out_dir = tempfile.mkdtemp(prefix="kss-a35-out-")
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        standing = committed_state(
+            spark, state_dir, "ph bigint", int(batch_id), seed=False
+        ).select("ph", F.lit(True).alias("in_state"))
+        dec, kept = decisions(bdf, standing)
+        dec.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        # state delta = the KEPT paragraph hashes, derived from the
+        # same kept frame the written output rebuilt from (one run
+        # per batch; retries regenerate identical subpaths)
+        kept.select("ph").distinct().write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(stage_seq_files(docs, "a35_stream_paragraph_dedup"))
+            .writeStream.foreachBatch(ingest_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            out = spark.read.option("recursiveFileLookup", "true").parquet(
+                out_dir
+            ).select(*cols)
+        except AnalysisException:  # zero batches -> no footer to infer
+            out = spark.createDataFrame([], out_schema)
+        twin, _ = decisions(
+            docs.filter(is_new),
+            spark.createDataFrame([], "ph bigint").withColumn(
+                "in_state", F.lit(True)
+            ),
+        )
+        assert_stream_batch_duality(
+            out, twin, cols, "a35_stream_paragraph_dedup"
+        )
+    finally:
+        corpus_set.unpersist()
+    return out
 
 
 @query("a33_stream_lm_gate")  # rows-only: streaming sink

@@ -455,8 +455,8 @@ def test_winnowing_capped_equals_uncapped_under_cap(spark, tmp_path):
         b115_winnowing_coverage_capped,
     )
 
-    assert _WIN_PARTNER_CAP >= 9  # the planted bucket fits the cap
-    d = _identical_docs_dir(tmp_path, 10)
+    assert _WIN_PARTNER_CAP >= 4  # the planted bucket fits the cap
+    d = _identical_docs_dir(tmp_path, _WIN_PARTNER_CAP + 1)
     capped = {tuple(r) for r in b115_winnowing_coverage_capped(spark, d).collect()}
     full = {tuple(r) for r in b109_winnowing_coverage(spark, d).collect()}
     assert capped == full and capped

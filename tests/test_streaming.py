@@ -1349,3 +1349,65 @@ def test_stream_full_funnel_planted_every_stage(spark, tmp_path):
         s: (len(members), sum(toks[i] for i in members))
         for s, members in want.items()
     }
+
+
+def test_stream_paragraph_dedup_planted_ownership(spark, tmp_path):
+    """a35 (r9): CCNet paragraph dedup at ingest — each ownership rule
+    planted and asserted on the full rewritten output:
+      * corpus wins: arrival 18 loses paragraph A to the frozen doc 0
+      * in-batch first-wins: arrival 28 (seq 8) loses B to 18 (seq 8)
+      * cross-batch seq order beats doc_id: arrival 19 (seq 9) loses D
+        to 28 (seq 8) although 19 < 28
+      * intra-doc repeat: arrival 29 keeps only its first H copy
+      * short tail blocks are paragraphs too (arrival 38, 7 tokens)
+    The in-query duality assert (stream == min-(seq,doc,pos) twin over
+    bit-identical new_text strings) ran by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a35_stream_paragraph_dedup,
+    )
+
+    def block(tag):
+        return " ".join(f"{tag}{j}" for j in range(20))
+
+    A, B, D, G, H = (block(t) for t in "abdgh")
+    E5 = "e0 e1 e2 e3 e4"
+    I7 = "i0 i1 i2 i3 i4 i5 i6"
+    texts = {
+        0: f"{A} c0 c1 c2 c3 c4",  # frozen: owns A (and its tail)
+        18: f"{B} {A} {E5}",       # loses A to the corpus
+        28: f"{B} {D}",            # loses B to 18 (same batch)
+        19: f"{D} {G}",            # loses D to 28 (earlier seq wins)
+        29: f"{H} {H}",            # intra-doc repeat
+        38: I7,                    # single short paragraph
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in a35_stream_paragraph_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {18, 19, 28, 29, 38}
+    want = {
+        18: (3, 2, f"{B} {E5}"),
+        28: (2, 1, D),
+        19: (2, 1, G),
+        29: (2, 1, H),
+        38: (1, 1, I7),
+    }
+    for i, (n, k, t) in want.items():
+        r = got[i]
+        assert (r["n_paras"], r["kept_paras"], r["new_text"]) == (n, k, t), i
