@@ -122,12 +122,31 @@ _QUERIES = [
     b103_temperature_mixture,  # r7: zero sources -> default cap, empty out
     b108_bigram_lm_gate,  # r8: no bigrams -> no scored docs
     b111_lm_bucket_mixture,  # r8: empty scored set -> empty buckets
+    dedup.b112_paragraph_dedup,  # r9: no docs -> no paragraphs
+    similarity.b114_ann_drain,  # r9: zero pages -> typed empty frame
+    dedup.b115_winnowing_coverage_capped,  # r9: empty posting -> empty
 ]
 
 
 @pytest.mark.parametrize("fn", _QUERIES, ids=lambda f: f.__name__)
 def test_query_on_empty_input_returns_empty(spark, empty_dir, fn):
     assert fn(spark, empty_dir).count() == 0
+
+
+def test_graded_capstone_on_empty_input_reports_zero_attrition(
+    spark, empty_dir
+):
+    """b113 (r9): same always-emit contract as b100 — 16 stage rows
+    (incl. dedup_para and the per-bucket {in,kept} rows) of zeros on
+    an empty corpus, never an empty frame."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b113_curation_graded_mixture,
+    )
+
+    rows = b113_curation_graded_mixture(spark, empty_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["n_docs"] == 0 and r["n_tokens"] == 0, r
 
 
 def test_capstone_on_empty_input_reports_zero_attrition(spark, empty_dir):

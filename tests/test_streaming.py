@@ -1411,3 +1411,35 @@ def test_stream_paragraph_dedup_planted_ownership(spark, tmp_path):
     for i, (n, k, t) in want.items():
         r = got[i]
         assert (r["n_paras"], r["kept_paras"], r["new_text"]) == (n, k, t), i
+
+
+def test_ingest_twins_on_empty_corpus(spark, tmp_path):
+    """r9: the ingest-time composites must survive a zero-doc corpus —
+    an empty ingest window is routine at deployment. a34 reports its
+    9 stage rows of zeros (the b100/b113 always-emit contract); a35
+    returns an empty rewritten set. Both duality asserts ran on the
+    empty replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a34_stream_full_funnel,
+        a35_stream_paragraph_dedup,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = a34_stream_full_funnel(spark, str(tmp_path)).collect()
+    assert len(rows) == 9
+    assert all(r["n_docs"] == 0 and r["n_tokens"] == 0 for r in rows)
+    assert a35_stream_paragraph_dedup(spark, str(tmp_path)).count() == 0
