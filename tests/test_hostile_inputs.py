@@ -250,3 +250,35 @@ def test_bigram_lm_gate_on_hostile_docs(spark, hostile_dir):
         assert 0.0 <= r["lm_score"] < 1.0
     assert got[8]["passes_lm"] and got[9]["passes_lm"]
     assert got[8]["lm_score"] == got[9]["lm_score"]
+
+
+def test_paragraph_dedup_on_hostile_docs(spark, hostile_dir):
+    """b112 (r9): NULL text yields (NULL n_paras, 0 kept, '') — the
+    NULL token array propagates through size()/ceil() identically in
+    both engines (verified against the oracle on this corpus); empty
+    and whitespace-only docs yield (0, 0, ''); every doc yields
+    exactly one row and no degenerate doc contributes paragraphs
+    another doc could lose to."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        b112_paragraph_dedup,
+    )
+
+    out = {
+        r["doc_id"]: r for r in b112_paragraph_dedup(spark, hostile_dir).collect()
+    }
+    assert len(out) == len(_DOCS)
+    for i, txt in _DOCS:
+        r = out[i]
+        if txt is None:
+            assert (r["n_paras"], r["kept_paras"], r["new_text"]) == (
+                None, 0, "",
+            ), i
+        elif not txt.strip():
+            assert (r["n_paras"], r["kept_paras"], r["new_text"]) == (
+                0, 0, "",
+            ), i
+    # the planted exact-dup pair 8/9: identical texts, so every one of
+    # 9's paragraphs is owned by 8 -> 9 rewrites to ''
+    assert out[8]["kept_paras"] == out[8]["n_paras"] > 0
+    assert (out[9]["kept_paras"], out[9]["new_text"]) == (0, "")
+    assert out[9]["n_paras"] == out[8]["n_paras"]
