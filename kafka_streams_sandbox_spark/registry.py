@@ -63,8 +63,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # rows must refresh), then behavior-identical code touches, then
     # b94 (the last r5 row) and ALL 39 r6-aged rows, oracle-backed
     # before rows-only so any window cutoff lands on the weakest rows.
-    # Head = 4-ish new + 3 + 7 + 40 ≈ 54: a 50-row window drops only
-    # tail rows-only streams already covered by local two-SF logs.
+    # Head = 6 new + 5 expr-changed + 15 code-touched + 40 stale = 66:
+    # a ~50-row window drops the r6 tail (streams + the last few
+    # oracle rows), all re-verified locally at BOTH SFs this round
+    # (VERIFY_LOCAL_r09{,_sf0001}.txt) — round 10 rotates the rest.
     # --- NEW in round 9 (no driver row exists yet) ---
     "b112_paragraph_dedup",            # CCNet paragraph keep-first
                                        # rewrite (oracle-backed)
@@ -106,6 +108,13 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # to _winnow_posting_live
     "b109_winnowing_coverage",         # coverage agg extracted to
                                        # _pair_coverage
+    # lazy-checkpoint sites routed through session.lazy_checkpoint
+    # (identical behavior; the plan-audit switch is the point)
+    "b27_minhash_lsh_dedup",
+    "b58_tfidf_top_terms",
+    "b79_stopword_prune",
+    "b98_incremental_neardup",
+    "a28_stream_incremental_neardup",
     # --- the last r5 row (VERDICT r8 'What's wrong' #1) ---
     "b94_semantic_dedup_exact",
     # --- r6 rows, oracle-backed first ---
@@ -134,7 +143,6 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b54_merge_upsert",
     "b60_canonical_assignment",
     "b73_retention_cohorts",
-    "b79_stopword_prune",
     "b80_context_length_cdf",
     "b84_salted_join",
     "b85_novel_bigram_ratio",
