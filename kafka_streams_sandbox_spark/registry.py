@@ -56,99 +56,14 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-9 ordering (VERDICT r8 #2): NEW queries first, then
-    # queries whose RESULTS changed this round (the Lehmer pre-reduce
-    # fix rewrote code AND oracle identically — values are the same
-    # for every in-range doc_id, but the expression changed so the
-    # rows must refresh), then behavior-identical code touches, then
-    # b94 (the last r5 row) and ALL 39 r6-aged rows, oracle-backed
-    # before rows-only so any window cutoff lands on the weakest rows.
-    # Head = 6 new + 5 expr-changed + 15 code-touched + 40 stale = 66:
-    # a ~50-row window drops the r6 tail (streams + the last few
-    # oracle rows), all re-verified locally at BOTH SFs this round
-    # (VERIFY_LOCAL_r09{,_sf0001}.txt) — round 10 rotates the rest.
-    # --- NEW in round 9 (no driver row exists yet) ---
-    "b112_paragraph_dedup",            # CCNet paragraph keep-first
-                                       # rewrite (oracle-backed)
-    "a34_stream_full_funnel",          # FULL ingest funnel: + frozen
-                                       # lm gate, mixture, split
-    "b113_curation_graded_mixture",    # b100 with b111's LM-bucket
-                                       # rates + bucket attrition
-    "b114_ann_drain",                  # full query-set PQ-ADC drain
-                                       # in _ANN_QBATCH pages
-    "b115_winnowing_coverage_capped",  # b109 with the per-doc
-                                       # in-bucket evidence cap
-    "a35_stream_paragraph_dedup",      # b112 at ingest: frozen set +
-                                       # committed paragraph state
-    # --- changed in round 9: expression rewritten in code+oracle ---
-    "b64_stratified_sample",           # Lehmer hash pre-reduced mod
-                                       # 2^31-1 (ADVICE r8 overflow)
-    "b103_temperature_mixture",        # same pre-reduce, same fix
-    "b111_lm_bucket_mixture",          # same pre-reduce, same fix
-    "b67_mixture_sample",              # 16807 twin of the same fix
-                                       # (pre-reduce mod 1000, exact)
-    "b71_corpus_curation",             # same 16807 pre-reduce
-    # --- changed in round 9: behavior-identical code touches ---
-    "b44_cosine_topk_arrow",           # bounded_query_rows helper +
-                                       # truncation audit (ADVICE r8)
-    "b104_pq_ann",                     # same helper swap
-    "b106_ivfpq_ann",                  # same helper swap
-    "b55_dedup_clusters",              # min_label_components now frees
-                                       # per-round checkpoint blocks
-    "b93_semantic_dedup",              # same shared-loop change
-    "b110_lsh_neardup_components",     # same shared-loop change
-    "b100_curation_capstone",          # same shared-loop change +
-                                       # 16807 pre-reduce
-    "a32_stream_curation_funnel",      # body moved into the shared
-                                       # _ingest_funnel (identical
-                                       # stages/rules)
-    "a33_stream_lm_gate",              # threshold derivation extracted
-                                       # to frozen_lm_threshold
-    "b105_winnowing_fingerprints",     # posting/live build extracted
-                                       # to _winnow_posting_live
-    "b109_winnowing_coverage",         # coverage agg extracted to
-                                       # _pair_coverage
-    # lazy-checkpoint sites routed through session.lazy_checkpoint
-    # (identical behavior; the plan-audit switch is the point)
-    "b27_minhash_lsh_dedup",
-    "b58_tfidf_top_terms",
-    "b79_stopword_prune",
-    "b98_incremental_neardup",
-    "a28_stream_incremental_neardup",
-    # --- the last r5 row (VERDICT r8 'What's wrong' #1) ---
-    "b94_semantic_dedup_exact",
-    # --- r6 rows, oracle-backed first ---
-    "b15_scalar_functions",
-    "b17_latest_per_user",
-    "b18_table_filter_key_eq_value",
-    "b19_tumbling_window_agg",
-    "b20_sessionization",
-    "b21_exact_dedup",
-    "b23_text_stats",
-    "b26_ngram_jaccard_pairs",
-    "b28_simhash_dedup",
-    "b29_language_id",
-    "b30_quality_score",
-    "b31_token_count",
-    "b32_fingerprint",
-    "b33_cosine_topk",
-    "b34_ann_ivf_label",
-    "b36_multimodal_metadata",
-    "b39_embedding_neardup",
-    "b39_lsh_embedding_neardup",
-    "b48_hybrid_search",
-    "b50_salted_agg",
-    "b51_sliding_window_agg",
-    "b53_rolling_hash",
-    "b54_merge_upsert",
-    "b60_canonical_assignment",
-    "b73_retention_cohorts",
-    "b80_context_length_cdf",
-    "b84_salted_join",
-    "b85_novel_bigram_ratio",
-    "b95_fuzzy_match_minhash_blocked",
-    # --- r6 rows, rows-only (streams + env-gated stub) ---
-    "b37_image_decode_stub",
+    # --- round-10 ordering (VERDICT r9 #1): the 16 r6-aged rows head
+    # the window FIRST this round — "zero rows older than r7" is a
+    # two-round-old promise and the judge asked for exactly this
+    # ordering (the cutoff note below carried since r9). New + changed
+    # queries follow (the window is ~50; 16 + new + changed fits with
+    # room), then the OLDEST r7 rows fill the remainder so the
+    # rotation keeps draining the tail into round 11.
+    # --- the 16 r6-aged rows (VERDICT r9 'What's wrong' #1) ---
     "a01_stream_passthrough",
     "a02_stream_table_latest",
     "a03_stream_peek",
@@ -157,6 +72,45 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a19_stream_tumbling_window",
     "a20_stream_session_window",
     "a27_stream_sliding_window",
+    "b37_image_decode_stub",
+    "b54_merge_upsert",
+    "b60_canonical_assignment",
+    "b73_retention_cohorts",
+    "b80_context_length_cdf",
+    "b84_salted_join",
+    "b85_novel_bigram_ratio",
+    "b95_fuzzy_match_minhash_blocked",
+    # --- NEW in round 10 (no driver row exists yet) ---
+    # (appended as the round lands them)
+    # --- changed in round 10 ---
+    # (appended as the round touches them)
+    # --- r7 rotation filler: oldest remaining rows up to the ~50-row
+    # window; the rest of the 37 r7 rows rotate in round 11 ---
+    "b01_scan_filter_project",
+    "b02_tpch_q1_agg",
+    "b03_join_orders_customer",
+    "b04_multiway_join_agg",
+    "b05_broadcast_join_agg",
+    "b06_left_outer_join",
+    "b07_left_semi_join",
+    "b08_left_anti_join",
+    "b09_window_functions",
+    "b10_topk_per_group",
+    "b11_global_sort_limit",
+    "b12_distinct_count",
+    "b13_set_operations",
+    "b40_asof_join",
+    "b41_pivot_event_counts",
+    "b75_table_profile",
+    "b78_keep_best_in_cluster",
+    "b81_lang_centroid_outliers",
+    "b82_context_packing",
+    "b83_pii_mask",
+    "b87_duplicated_spans",
+    "b97_span_removal_rewrite",
+    "b101_exact_substring_runs",
+    "b102_gopher_repetition",
+    "b107_containment_pairs",
 )
 
 
