@@ -1464,12 +1464,17 @@ B97_ORACLE = f"""
 """
 
 
-def span_removal_rewrite(docs: DataFrame) -> DataFrame:
+def span_removal_rewrite(docs: DataFrame, tokens: bool = False) -> DataFrame:
     """Core of b97 over any (doc_id, text) relation — exposed (like
     ``duplicated_spans``) so property tests can drive arbitrary
-    planted corpora through the exact production lineage."""
+    planted corpora through the exact production lineage.
+    ``tokens=True`` takes a pre-tokenized (doc_id, toks) relation
+    instead (r10, VERDICT r9 #2a): the graded funnel checkpoints the
+    paragraph-rewritten token array ONCE and this stage must not
+    re-tokenize the corpus it already has as arrays."""
     toks = docs.select(
-        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+        "doc_id",
+        (F.col("toks") if tokens else F.expr(TOKENS_EXPR)).alias("toks"),
     ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
     posting = (
         toks.filter(F.col("n_tokens") >= B87_SPAN)
@@ -2760,48 +2765,111 @@ B112_ORACLE = f"""
 """
 
 
-def paragraph_dedup_rewrite(docs: DataFrame) -> DataFrame:
+def paragraph_dedup_rewrite(
+    docs: DataFrame, with_tokens: bool = False
+) -> DataFrame:
     """Core of b112 over any ``(doc_id, text)`` relation — exposed so
     the curation funnel (b100/a32) can run the CCNet paragraph step
     ahead of the LM gate with the SAME code as the registered query.
 
     Returns ``(doc_id, n_paras, kept_paras, new_text)`` — one row per
     input doc; ``new_text = ''`` when every paragraph was already seen
-    (a fully-duplicated doc).
+    (a fully-duplicated doc). ``with_tokens=True`` adds ``new_toks``
+    (the rewritten text's token array — identical to re-tokenizing
+    ``new_text``, since paragraphs are single-space joins of token
+    blocks) so the graded funnel (b113) can checkpoint ONE token
+    array and feed its lm / fingerprint / banding / rewrite stages
+    without re-tokenizing the rewritten corpus per stage (r10,
+    VERDICT r9 #2a).
 
     Scale shape (reference: CCNet's sharded hash set, re-expressed as
-    relational keep-first):
-    - Paragraph build is map-only: ``transform(sequence(...))`` slices
-      the token array into blocks with NO token-level explode
-      (_B112_P x fewer generated rows than a per-token posting).
-    - Keep-first is ONE shuffle keyed by the 64-bit paragraph hash
+    relational keep-first). r10 redesign (VERDICT r9 #2): paragraph
+    TEXT never crosses an exchange — the r9 form shuffled paragraph
+    strings three times (window, rebuild groupBy, final join); now
+    every shuffled row is (hash, doc_id, pos) / (doc_id, pos-array):
+    - Paragraph-HASH postings are map-only: ``transform(sequence())``
+      slices the token array into {_B112_P}-token blocks and hashes
+      each block scan-side (xxhash64 of the joined block — int64
+      shuffle keys, the b102 discipline; the oracle partitions by the
+      paragraph STRING, identical keep-sets absent a 64-bit collision,
+      the b26 odds argument). The paragraph string itself dies in the
+      same projection that hashes it.
+    - Keep-first is ONE narrow shuffle keyed by the 64-bit hash
       (uniform — no skew), evaluated as min(struct(doc_id, pos)) over
       a hash-partitioned window; WindowExec buffers SPILL, so a
       boilerplate paragraph shared by 10M docs at 100 TB degrades to
-      disk, never OOM (the b55 window-min discipline).
-    - Rebuild is one groupBy(doc_id) whose collect_list is bounded by
-      paragraphs-per-doc (docs are bounded; a 1 MB doc is ~50k tokens
-      = 2.5k paras), then a broadcast-free doc-keyed join back to the
-      base. 2 shuffles + 1 join total.
-    - Spark groups by ``xxhash64(para)`` (int64 shuffle keys — the
-      b102 discipline); the oracle partitions by the paragraph STRING.
-      Identical keep-sets absent a 64-bit collision (the b26 odds
-      argument); a collision would only merge two distinct paragraphs
-      into one keep-first group.
+      disk, never OOM (the b55 window-min discipline) — and the
+      buffered rows are now 20 bytes, not paragraph text.
+    - Rebuild is scan-side: kept block POSITIONS aggregate to one
+      sorted int array per doc (bounded by paragraphs-per-doc; a
+      1 MB doc is ~2.5k paras), join back to the tokenized docs (the
+      single exchange that carries token arrays), and ``new_text``
+      is rebuilt in the projection as the ordered concat of kept
+      block slices — the b97 array_except discipline applied to
+      block granularity.
     """
-    base, paras = doc_paragraphs(docs)
-    w = Window.partitionBy(F.xxhash64("para"))
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    # hash postings: (doc_id, pos, h) — map-only, text dies scan-side.
+    # posexplode_OUTER + post-filter: a plain posexplode lets
+    # constraint inference push the whole slice+hash chain into an
+    # interpreted per-row scan Filter (the b105 trap).
+    ph = (
+        toks.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode_outer(
+                F.expr(
+                    f"""transform(
+                        sequence(0, cast(ceil(size(toks) / {_B112_P}.0)
+                                         as int) - 1),
+                        i -> xxhash64(concat_ws(' ',
+                                 slice(toks, i * {_B112_P} + 1, {_B112_P}))))"""
+                )
+            ).alias("pos", "h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    w = Window.partitionBy("h")
     kept = (
-        paras.withColumn(
+        ph.withColumn(
             "first", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w)
         )
         .filter(
             (F.col("doc_id") == F.col("first.doc_id"))
             & (F.col("pos") == F.col("first.pos"))
         )
-        .drop("first")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
     )
-    return rebuild_from_paragraphs(base, kept)
+    # toks enters the join as a JOIN-OUTPUT ATTRIBUTE (computed in the
+    # join input's projection), so the rebuild's references below
+    # cannot be CollapseProject-inlined into N re-tokenizations (the
+    # b26/b113 attribute discipline).
+    new_toks = F.coalesce(
+        F.flatten(
+            F.transform(
+                F.col("kp"),
+                lambda p: F.slice(
+                    F.col("toks"), p * _B112_P + 1, _B112_P
+                ),
+            )
+        ),
+        F.expr("array()"),
+    )
+    # with_tokens returns new_toks INSTEAD of new_text (one reference
+    # to the rebuild expression per row either way — aliasing both in
+    # one projection would evaluate the flatten twice); callers derive
+    # text as concat_ws(' ', new_toks) where a string is needed.
+    return toks.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.ceil(F.size("toks") / F.lit(float(_B112_P)))
+        .cast("bigint")
+        .alias("n_paras"),
+        F.coalesce(F.size("kp"), F.lit(0)).cast("bigint").alias("kept_paras"),
+        new_toks.alias("new_toks")
+        if with_tokens
+        else F.concat_ws(" ", new_toks).alias("new_text"),
+    )
 
 
 def doc_paragraphs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

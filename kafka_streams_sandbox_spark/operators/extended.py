@@ -859,7 +859,10 @@ def min_label_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .transform(lazy_checkpoint)
+        # keep_in_audit: edges feed the construction-time label loop,
+        # not the returned frame's plan (ADVICE r9 #3 — see
+        # session.lazy_checkpoint)
+        .transform(lambda d: lazy_checkpoint(d, keep_in_audit=True))
     )
     # Smart init: label(node) = min(node, min direct neighbor) — the
     # result of the classic first propagation round, for the price of
@@ -879,10 +882,11 @@ def min_label_components(
         # JVM on exactly that. Disk blocks make the accumulation
         # benign (bounded by rounds x label-table size on local disk);
         # each checkpoint is read back once, by the next round's join.
-        # (The init checkpoint honors the plan-audit switch like the
-        # edge table; the PER-ROUND checkpoints below never do — see
-        # session.set_lazy_checkpoints_disabled.)
-    ).transform(lazy_checkpoint)
+        # (The init checkpoint, like the edge table, stays LIVE in
+        # plan-audit mode (keep_in_audit, ADVICE r9 #3): both feed the
+        # construction-time loop, never the returned frame's audited
+        # plan — the PER-ROUND direct checkpoints below bound that.)
+    ).transform(lambda d: lazy_checkpoint(d, keep_in_audit=True))
     converged = False
     rounds = 0
     # handle to the CHECKPOINTED frame backing `labels` — after round

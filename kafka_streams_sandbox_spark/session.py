@@ -103,6 +103,35 @@ def get_spark(
     return configure(builder.getOrCreate())
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory under ONE per-process root that is
+    removed at interpreter exit (r10, ADVICE r9 #4): the streaming
+    ops and b114's drain each stage per-invocation parquet/state
+    dirs, and raw ``tempfile.mkdtemp`` leaked one directory per call
+    for the host's lifetime — repeated drains in a long session
+    accumulate disk. Everything here is derived scratch (staging,
+    per-batch state, out_dirs re-read by the returned frame), so
+    end-of-process is the correct lifetime: the frames that read
+    these paths never outlive the session.
+
+    NOT used for the interactive-query store (A8/A9): that endpoint
+    is contractually durable across sessions (streaming/ktable.py),
+    the one path whose lifetime is the user's, not the process's.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="kss-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 _LAZY_CHECKPOINTS_DISABLED = False
 
 
@@ -123,14 +152,24 @@ def set_lazy_checkpoints_disabled(disabled: bool) -> None:
     _LAZY_CHECKPOINTS_DISABLED = disabled
 
 
-def lazy_checkpoint(df, disk: bool = True):
+def lazy_checkpoint(df, disk: bool = True, keep_in_audit: bool = False):
     """Lazy localCheckpoint for multi-consumer frames (lineage
     truncation so N consumers don't re-run the shared upstream — the
     b27-four-consumer lesson), honoring the plan-audit switch above.
     ``disk=True`` pins DISK_ONLY (arrays / corpus-sized frames must
     spill, never pin heap); ``disk=False`` keeps Spark's default
-    level for small frames."""
-    if _LAZY_CHECKPOINTS_DISABLED:
+    level for small frames.
+
+    ``keep_in_audit=True`` (r10, ADVICE r9 #3) opts a site OUT of the
+    plan-audit identity switch. Use it ONLY for checkpoints consumed
+    by a driver-executed loop DURING query construction (the
+    min_label_components edge/init tables): those never appear in the
+    returned frame's audited plan anyway (the loop's direct per-round
+    checkpoints bound it), so disabling them buys the audit nothing —
+    it only makes every loop round re-derive the full un-checkpointed
+    pair lineage, the same recompute shape the b113 filter-collapse
+    fix documents (>10-min hangs as the audit SF grows)."""
+    if _LAZY_CHECKPOINTS_DISABLED and not keep_in_audit:
         return df
     if disk:
         from pyspark import StorageLevel

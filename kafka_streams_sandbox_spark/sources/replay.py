@@ -12,7 +12,6 @@ downstream operator is source-agnostic, and swapping in the real
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +27,10 @@ from pyspark.sql.types import (
 )
 
 from kafka_streams_sandbox_spark.catalog import normalize_event_ts
-from kafka_streams_sandbox_spark.session import configure
+from kafka_streams_sandbox_spark.session import (
+    scratch_dir,
+    configure,
+)
 
 # events.parquet physical schema, ts excepted: the driver has shipped
 # ts as both TIMESTAMP(NANOS) (reads as int64 under the nanosAsLong
@@ -76,7 +78,7 @@ def _staged_table_dir(sf_dir: str, name: str) -> str:
     key = (sf_dir, name)
     stage = _STAGE_CACHE.get(key)
     if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix=f"kss-{name}-src-")
+        stage = scratch_dir(f"kss-{name}-src-")
         # abspath: a relative sf_dir would otherwise be stored
         # verbatim in the link and resolve against the STAGE dir —
         # a dangling symlink the stream reader hits at runtime

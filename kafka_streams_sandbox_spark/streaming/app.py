@@ -30,7 +30,6 @@ sources/kafka.py when a broker + connector jar exist.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -47,6 +46,8 @@ from kafka_streams_sandbox_spark.streaming.ktable import (
 )
 
 
+from kafka_streams_sandbox_spark.session import scratch_dir
+
 @dataclass
 class AppConfig:
     """The dev.properties analog (reference keys at
@@ -57,7 +58,7 @@ class AppConfig:
     filtered_store: str = "filtered-table-where-key-eq-value"
     passthrough_sink: str = "streams-output"
     state_dir: str = field(
-        default_factory=lambda: tempfile.mkdtemp(prefix="kss-app-")
+        default_factory=lambda: scratch_dir("kss-app-")
     )
     peek: bool = False  # A3 console tap
     # test hook: where peek lines go (None = stdout, like the

@@ -23,12 +23,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_streams_sandbox_spark.registry import query
+
+from kafka_streams_sandbox_spark.session import scratch_dir
 
 _MANIFEST = "_topic.json"
 
@@ -55,7 +56,7 @@ class TopicAdmin:
     """AdminClient analog over a managed root directory."""
 
     def __init__(self, root: str | None = None):
-        self.root = root or tempfile.mkdtemp(prefix="kss-topics-")
+        self.root = root or scratch_dir("kss-topics-")
         os.makedirs(self.root, exist_ok=True)
 
     def _manifest_path(self, name: str) -> str:

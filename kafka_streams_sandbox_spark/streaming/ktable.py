@@ -39,7 +39,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import time
 import uuid
 from collections.abc import Callable
@@ -52,6 +51,8 @@ from kafka_streams_sandbox_spark.sources.replay import (
     events_as_kafka_records,
     events_stream,
 )
+
+from kafka_streams_sandbox_spark.session import scratch_dir
 
 EVENT_COLS = ("event_id", "ts", "event_type", "value")
 
@@ -143,7 +144,7 @@ def peek(
         .foreachBatch(_show)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="kss-peek-ckpt-"),
+            checkpoint or scratch_dir("kss-peek-ckpt-"),
         )
     )
     if available_now:
@@ -402,7 +403,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> str:
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -414,12 +415,12 @@ def _run_to_memory(df: DataFrame, mode: str) -> str:
 def a01_stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 source -> A6 raw sink: replay events as Kafka-shaped records
     through a file stream into an append parquet sink, read back."""
-    out = tempfile.mkdtemp(prefix="kss-passthrough-")
+    out = scratch_dir("kss-passthrough-")
     records = events_as_kafka_records(spark, sf_dir).drop("event_id")
     q = (
         records.writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -524,12 +525,12 @@ def a08_stream_tombstone_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = latest_by_key_stream(events_stream(spark, sf_dir))
     changelog = tbl.withColumn("is_delete", F.col("event_type") == "error")
     store = ParquetKTableStore(
-        spark, tempfile.mkdtemp(prefix="kss-store-") + "/store"
+        spark, scratch_dir("kss-store-") + "/store"
     )
     q = (
         changelog.writeStream.foreachBatch(store.foreach_batch())
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )

@@ -18,7 +18,6 @@ changes.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -38,7 +37,10 @@ from pyspark.sql.types import (
 from kafka_streams_sandbox_spark.functions.numeric import dsum
 from kafka_streams_sandbox_spark.functions.tokens import token_set_fingerprint
 from kafka_streams_sandbox_spark.registry import query
-from kafka_streams_sandbox_spark.session import release_local_checkpoint
+from kafka_streams_sandbox_spark.session import (
+    scratch_dir,
+    release_local_checkpoint,
+)
 from kafka_streams_sandbox_spark.sources.replay import events_stream
 
 
@@ -103,7 +105,7 @@ def run_to_memory(df: DataFrame, mode: str) -> str:
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -567,7 +569,6 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     (bit-identical rows incl. the float jaccard: same expression
     lineage, no aggregation reordering).
     """
-    import tempfile
 
     from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
@@ -587,7 +588,7 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     corpus = tokened.filter(~is_new)
     index = guarded_band_index(corpus).persist(StorageLevel.DISK_ONLY)
     index.count()  # materialize once, before the stream starts
-    out_dir = tempfile.mkdtemp(prefix="kss-a28-")
+    out_dir = scratch_dir("kss-a28-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         b = bdf.filter(is_new)
@@ -618,7 +619,7 @@ def a28_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
             documents_stream(spark, sf_dir)
             .writeStream.foreachBatch(ingest_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+                "checkpointLocation", scratch_dir("kss-ckpt-")
             )
             .trigger(availableNow=True)
             .start()
@@ -676,7 +677,6 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from kafka_streams_sandbox_spark.catalog import documents_wide
     from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
@@ -698,10 +698,10 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage one file per seq, mtime-ordered so the file source
     # replays seq 8 then seq 9 (maxFilesPerTrigger=1 => one seq per
     # micro-batch — the decomposition the verdicts are defined over)
-    src_dir = tempfile.mkdtemp(prefix="kss-a29-src-")
+    src_dir = scratch_dir("kss-a29-src-")
     cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
     for seq in (8, 9):
-        stage = tempfile.mkdtemp(prefix=f"kss-a29-w{seq}-")
+        stage = scratch_dir(f"kss-a29-w{seq}-")
         docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
             1
         ).write.mode("overwrite").parquet(stage)
@@ -709,9 +709,9 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(glob.glob(f"{stage}/part-*.parquet")[0], dst)
         os.utime(dst, (1_000_000_000 + seq, 1_000_000_000 + seq))
 
-    index_dir = tempfile.mkdtemp(prefix="kss-a29-index-")
-    accepted_dir = tempfile.mkdtemp(prefix="kss-a29-acc-")
-    out_dir = tempfile.mkdtemp(prefix="kss-a29-out-")
+    index_dir = scratch_dir("kss-a29-index-")
+    accepted_dir = scratch_dir("kss-a29-acc-")
+    out_dir = scratch_dir("kss-a29-out-")
     guarded_band_index(corpus).write.parquet(f"{index_dir}/seed")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -762,7 +762,7 @@ def a29_stream_selfseed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
         .writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -853,7 +853,6 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically (every metric is one integer division; no
     aggregation-order float drift exists to leak).
     """
-    import tempfile
 
     from pyspark.errors import AnalysisException
 
@@ -863,7 +862,7 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_streams_sandbox_spark.sources.replay import documents_stream
 
-    out_dir = tempfile.mkdtemp(prefix="kss-a30-")
+    out_dir = scratch_dir("kss-a30-")
     out_schema = (
         "doc_id bigint, n_tokens int, top2_frac double, top3_frac double, "
         "dup5_cov double, dup10_cov double, passes_repetition boolean"
@@ -877,7 +876,7 @@ def a30_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         documents_stream(spark, sf_dir)
         .writeStream.foreachBatch(score_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -943,7 +942,6 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORRECTNESS_r07). The exploded form is also the production
     posting-table layout for a code column.
     """
-    import tempfile
 
     from pyspark.errors import AnalysisException
 
@@ -961,7 +959,7 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], empty_out)
     batch_codes, books, _ = built
     bc_books = spark.sparkContext.broadcast(books)
-    out_dir = tempfile.mkdtemp(prefix="kss-a31-")
+    out_dir = scratch_dir("kss-a31-")
 
     def encode_batch(bdf: DataFrame, batch_id: int) -> None:
         v = guarded_unit_vectors(bdf)
@@ -972,7 +970,7 @@ def a31_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         embeddings_stream(spark, sf_dir)
         .writeStream.foreachBatch(encode_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-"))
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1004,10 +1002,10 @@ def stage_seq_files(docs: DataFrame, label: str) -> str:
 
     from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
 
-    src_dir = tempfile.mkdtemp(prefix=f"kss-{label}-src-")
+    src_dir = scratch_dir(f"kss-{label}-src-")
     cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
     for seq in (8, 9):
-        stage = tempfile.mkdtemp(prefix=f"kss-{label}-w{seq}-")
+        stage = scratch_dir(f"kss-{label}-w{seq}-")
         docs.filter((F.col("doc_id") % 10) == seq).select(*cols).coalesce(
             1
         ).write.mode("overwrite").parquet(stage)
@@ -1243,8 +1241,8 @@ def _ingest_funnel(
     # ---- stream side: one staged file per seq, a29's replay shape ----
     src_dir = stage_seq_files(docs, label)
 
-    state_dir = tempfile.mkdtemp(prefix=f"kss-{label}-fps-")
-    out_dir = tempfile.mkdtemp(prefix=f"kss-{label}-out-")
+    state_dir = scratch_dir(f"kss-{label}-fps-")
+    out_dir = scratch_dir(f"kss-{label}-out-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         standing = committed_state(
@@ -1269,7 +1267,7 @@ def _ingest_funnel(
             .load(src_dir)
             .writeStream.foreachBatch(ingest_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+                "checkpointLocation", scratch_dir("kss-ckpt-")
             )
             .trigger(availableNow=True)
             .start()
@@ -1472,8 +1470,8 @@ def a35_stream_paragraph_dedup(
         )
         return rebuild_from_paragraphs(base, kept), kept
 
-    state_dir = tempfile.mkdtemp(prefix="kss-a35-phs-")
-    out_dir = tempfile.mkdtemp(prefix="kss-a35-out-")
+    state_dir = scratch_dir("kss-a35-phs-")
+    out_dir = scratch_dir("kss-a35-out-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         standing = committed_state(
@@ -1496,7 +1494,7 @@ def a35_stream_paragraph_dedup(
             .load(stage_seq_files(docs, "a35_stream_paragraph_dedup"))
             .writeStream.foreachBatch(ingest_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+                "checkpointLocation", scratch_dir("kss-ckpt-")
             )
             .trigger(availableNow=True)
             .start()
@@ -1547,7 +1545,6 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin scored over the whole arriving slice in one pass
     (bit-identical: per-doc integer sums + one division, no
     aggregation-order drift)."""
-    import tempfile
 
     from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
@@ -1577,7 +1574,7 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_toks = toks_of(docs.filter(~is_new))
     model = bigram_lm_counts(corpus_toks).persist(StorageLevel.DISK_ONLY)
     model.count()  # materialize once, before the stream starts
-    out_dir = tempfile.mkdtemp(prefix="kss-a33-")
+    out_dir = scratch_dir("kss-a33-")
     try:
         # frozen threshold from ONE scan of the distinct-bigram-sized
         # model table, fail-closed on degenerate corpora — the shared
@@ -1594,7 +1591,7 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             documents_stream(spark, sf_dir)
             .writeStream.foreachBatch(score_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="kss-ckpt-")
+                "checkpointLocation", scratch_dir("kss-ckpt-")
             )
             .trigger(availableNow=True)
             .start()

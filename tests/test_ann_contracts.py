@@ -1736,3 +1736,45 @@ def test_ann_drain_chunk_invariance_and_b104_parity(spark, monkeypatch):
         tuple(r) for r in similarity.b114_ann_drain(spark, sf).collect()
     }
     assert chunked == full
+
+
+def test_ann_drain_kill_and_resume(spark, monkeypatch, tmp_path):
+    """b114 restartability contract (r10, VERDICT r9 #6): run the
+    drain's first 2 pages against an external out_dir, DROP the loop
+    (max_pages kill switch — the caller process dying between jobs),
+    then re-invoke against the same directory. The resume must (a)
+    recover its cursor from the committed page subpaths alone (no
+    in-memory state survives), (b) not re-answer drained queries
+    (page numbering continues), and (c) finish with results
+    bit-identical to a single-shot drain. Also pins the recovery
+    rule's _SUCCESS discipline: a torn page (marker removed) is
+    invisible to recovery and gets re-run."""
+    import os
+    import shutil
+
+    from kafka_streams_sandbox_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(similarity, "_ANN_QBATCH", 7)  # ~8 pages
+    full = {
+        tuple(r) for r in similarity.pq_ann_drain(spark, sf).collect()
+    }
+    out = str(tmp_path / "drain")
+    first = similarity.pq_ann_drain(spark, sf, out_dir=out, max_pages=2)
+    first.collect()  # pages 0-1 committed, loop dropped
+    committed = sorted(os.listdir(out))
+    assert committed == ["page=0", "page=1"]
+    # torn third page: data present, no _SUCCESS — must be invisible
+    shutil.copytree(f"{out}/page=1", f"{out}/page=2")
+    os.remove(f"{out}/page=2/_SUCCESS")
+    page_no, cursor = similarity._drain_recover_cursor(out)
+    assert page_no == 2 and cursor is not None
+    resumed_rows = similarity.pq_ann_drain(spark, sf, out_dir=out).collect()
+    assert {tuple(r) for r in resumed_rows} == full
+    # resumed pages continued the numbering; the torn page was re-run
+    # in place (overwritten with a _SUCCESS marker this time)
+    assert os.path.exists(f"{out}/page=2/_SUCCESS")
+    # no query answered twice across the union of committed pages:
+    # row COUNT (not set) equals queries x topk — a re-answered page
+    # would duplicate rows that a set comparison silently absorbs
+    assert len(resumed_rows) == len({q for q, *_ in full}) * similarity._PQ_TOPK
