@@ -1443,3 +1443,42 @@ def test_ingest_twins_on_empty_corpus(spark, tmp_path):
     assert len(rows) == 9
     assert all(r["n_docs"] == 0 and r["n_tokens"] == 0 for r in rows)
     assert a35_stream_paragraph_dedup(spark, str(tmp_path)).count() == 0
+
+
+def test_span_compaction_cadence_retroactive_flip(spark):
+    """a36 planted cadence (r10, VERDICT r9 #3): >= 2 compaction
+    rounds over a corpus where round 1's ARRIVAL (doc 8 — ids are
+    seq-keyed mod 10, so an arrival can hold a smaller id than a
+    standing doc) is the min-id keeper of an 8-token span standing
+    doc 17 held uniquely until then. The compactor must rewrite the
+    already-stored doc 17 IN PLACE (the retroactive flip no ingest
+    gate can express) and report it; every round's in-query
+    invariance assert (store == batch b97 over the same union) runs
+    as part of the call."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        span_compaction_rounds,
+    )
+
+    S = "s1 s2 s3 s4 s5 s6 s7 s8"  # the contested 8-token span
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),      # standing, clean
+            (17, f"q1 q2 {S} q3 q4"),                # standing holder
+            (8, f"r1 r2 {S} r3 r4"),                 # seq-08 arrival
+            (19, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # seq-09 arrival
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["round"]: r for r in span_compaction_rounds(spark, docs).collect()
+    }
+    assert rows[0]["corpus_docs"] == 2 and rows[0]["removed_tokens"] == 0
+    # round 1: doc 8 arrives, becomes keeper of S (8 < 17) -> the
+    # STORED doc 17 is rewritten: 8 tokens removed, 1 changed doc
+    assert rows[1]["arrived_docs"] == 1
+    assert rows[1]["changed_docs"] == 1
+    assert rows[1]["removed_tokens"] == 8
+    # round 2: a clean arrival — the flip persists, nothing re-changes
+    assert rows[2]["changed_docs"] == 0
+    assert rows[2]["removed_tokens"] == 8
+    assert rows[2]["corpus_docs"] == 4
