@@ -38,8 +38,9 @@ from kafka_streams_sandbox_spark.functions.numeric import dsum
 from kafka_streams_sandbox_spark.functions.tokens import token_set_fingerprint
 from kafka_streams_sandbox_spark.registry import query
 from kafka_streams_sandbox_spark.session import (
-    scratch_dir,
+    lazy_checkpoint,
     release_local_checkpoint,
+    scratch_dir,
 )
 from kafka_streams_sandbox_spark.sources.replay import events_stream
 
@@ -1016,7 +1017,12 @@ def stage_seq_files(docs: DataFrame, label: str) -> str:
 
 
 def _ingest_funnel(
-    spark: SparkSession, sf_dir: str, *, full: bool, label: str
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    full: bool,
+    label: str,
+    graded: bool = False,
 ) -> DataFrame:
     """ONE implementation of the ingest-time curation funnel, shared
     by a32 (``full=False``) and a34 (``full=True``) so the stage rules
@@ -1071,8 +1077,31 @@ def _ingest_funnel(
     the (seq, doc_id)-min window rule — bit-identical booleans, so a
     non-error run certifies the whole composed funnel, not just each
     stage. Returned shape is the b100-style attrition report
-    (stage, n_docs, n_tokens): 5 scalar rows (a32) / 9 (a34),
-    canonicalizer-safe."""
+    (stage, n_docs, n_tokens): 5 scalar rows (a32) / 9 (a34) / 16
+    (a37), canonicalizer-safe.
+
+    ``graded=True`` (r10, VERDICT r9 #4 — a37, b113's ingest twin; it
+    implies ``full``) swaps in the two CCNet-specific stages exactly
+    where b113 puts them:
+    * paragraph dedup between repetition and the LM gate — a35's
+      committed-state composition verbatim (frozen-corpus paragraph
+      hashes + parquet-committed kept-paragraph state + the in-batch
+      min (seq, doc_id, pos) window), run over the (q & rep)-passing
+      contenders (funnel discipline: later stages contend among
+      survivors, and paragraph ownership is consumed by every
+      quality survivor, as in b113) — and EVERY later stage (lm
+      score, exact fingerprint, near-dup) reads the paragraph-
+      REWRITTEN text;
+    * the mixture stage applies b111's graded bucket rates: bucket =
+      head/middle/tail from (lm_score, frozen threshold) — the
+      frozen-form analog of b113's (lm_score, corpus_score), since
+      ``frozen_lm_threshold`` IS the training corpus's self-score —
+      each bucket downsampling at its configured permille.
+    The duality assert extends to the FULL graded decision frame:
+    9 flags + the bucket decision + p_tokens (VERDICT r9 #4's
+    "7 -> 9-flag" ask), so a non-error run certifies paragraph
+    ownership, the rewritten-text re-derivations, and the bucket
+    assignment against the batch twin bit-for-bit."""
     from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
 
@@ -1125,13 +1154,247 @@ def _ingest_funnel(
         threshold = frozen_lm_threshold(model)
         tiers = spark.createDataFrame(_B67_TIERS, "tier int, w double")
 
-    flags = (
-        ["q_pass", "rep_pass", "lm_pass", "ex_keep", "near_keep",
-         "mix_keep", "is_train"]
-        if full
-        else ["q_pass", "rep_pass", "ex_keep", "near_keep"]
-    )
-    dec_cols = ["doc_id", "n_tokens", *flags]
+    corpus_pset = None
+    if graded:
+        assert full, "graded composes the FULL funnel (b113's shape)"
+        from kafka_streams_sandbox_spark.operators.dedup import (
+            doc_paragraphs,
+            rebuild_from_paragraphs,
+        )
+        from kafka_streams_sandbox_spark.operators.pipeline import (
+            _B69_MIN_TOKENS,
+            _B111_RATE_PERMILLE,
+        )
+
+        # frozen paragraph-hash set (a35's standing artifact): the
+        # corpus always wins paragraph ownership — every frozen
+        # paragraph predates every arrival
+        _, corpus_paras = doc_paragraphs(
+            docs.filter(~is_new).select("doc_id", "text")
+        )
+        corpus_pset = (
+            corpus_paras.select(F.xxhash64("para").alias("ph"))
+            .distinct()
+            .withColumn("in_pcorpus", F.lit(True))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        corpus_pset.count()
+
+    if graded:
+        flags = ["q_pass", "rep_pass", "para_pass", "lm_pass", "ex_keep",
+                 "near_keep", "mix_keep", "is_train"]
+        dec_cols = ["doc_id", "n_tokens", "p_tokens", "bucket", *flags]
+    else:
+        flags = (
+            ["q_pass", "rep_pass", "lm_pass", "ex_keep", "near_keep",
+             "mix_keep", "is_train"]
+            if full
+            else ["q_pass", "rep_pass", "ex_keep", "near_keep"]
+        )
+        dec_cols = ["doc_id", "n_tokens", *flags]
+
+    split_bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+
+    def exact_keep(out: DataFrame) -> DataFrame:
+        """keeper = min (seq, doc_id) among gate-passing fp-free
+        holders of the fingerprint — ONE rule shared by the plain and
+        graded forms (and valid on both the stream and twin sides; see
+        the block comment below)."""
+        w_fp = Window.partitionBy("fingerprint")
+        return out.withColumn(
+            "keep_id",
+            F.min(
+                F.when(
+                    F.col("gate") & F.col("fp_free"),
+                    F.struct(
+                        (F.col("doc_id") % 10).alias("s"),
+                        F.col("doc_id").alias("d"),
+                    ),
+                )
+            ).over(w_fp),
+        ).withColumn(
+            "ex_keep",
+            F.col("gate")
+            & F.col("fp_free")
+            & (F.col("doc_id") == F.col("keep_id").getField("d")),
+        )
+
+    def graded_decisions(
+        bdf: DataFrame, standing_fps: DataFrame, standing_phs: DataFrame
+    ) -> tuple[DataFrame, list, DataFrame]:
+        """a37's decision frame: b113's stage sequence with a35's
+        committed paragraph state and a33's frozen (model, threshold).
+        Returns (decisions, checkpoint handles, kept paragraph hashes
+        for the state delta)."""
+        q = quality_verdict(bdf).select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("verdict") == "pass").alias("q_pass"),
+        )
+        rep = repetition_metrics(bdf).select(
+            "doc_id", F.col("passes_repetition").alias("rep_pass")
+        )
+        handles: list = []
+        qr = q.join(rep, "doc_id").withColumn(
+            "qr_pass", F.col("q_pass") & F.col("rep_pass")
+        )
+        # paragraph stage over the (q & rep)-passing contenders —
+        # a35's keep-first composition verbatim: frozen corpus set,
+        # committed state, in-batch min (seq, doc_id, pos) window
+        base_p, paras = doc_paragraphs(
+            bdf.join(
+                qr.filter(F.col("qr_pass")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).select("doc_id", "text")
+        )
+        p = (
+            paras.withColumn("ph", F.xxhash64("para"))
+            .join(corpus_pset, "ph", "left")
+            .join(standing_phs, "ph", "left")
+            .withColumn(
+                "free",
+                F.col("in_pcorpus").isNull() & F.col("in_pstate").isNull(),
+            )
+        )
+        w_ph = Window.partitionBy("ph")
+        kept_b = lazy_checkpoint(
+            p.withColumn(
+                "first",
+                F.min(
+                    F.when(
+                        F.col("free"),
+                        F.struct(
+                            (F.col("doc_id") % 10).alias("s"),
+                            F.col("doc_id").alias("d"),
+                            F.col("pos").alias("p"),
+                        ),
+                    )
+                ).over(w_ph),
+            )
+            .filter(
+                F.col("free")
+                & (F.col("doc_id") == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+            .select("doc_id", "pos", "para", "ph")
+        )
+        handles.append(kept_b)
+        # rewritten tokens derived ONCE (b113's checkpoint-the-arrays
+        # discipline at batch scale); lm, fingerprint, and near-dup
+        # all read THESE — the literal CCNet sequencing
+        rw = lazy_checkpoint(
+            rebuild_from_paragraphs(
+                base_p, kept_b.select("doc_id", "pos", "para")
+            ).select(
+                "doc_id",
+                # new_text is single-space-joined kept paragraphs, so
+                # the shared tokenizer over it == split on the join
+                F.expr(TOKENS_EXPR.replace("text", "new_text")).alias(
+                    "toks"
+                ),
+                "new_text",
+            )
+        )
+        handles.append(rw)
+        ptok = rw.select(
+            "doc_id",
+            F.size("toks").alias("p_tokens"),
+            token_set_fingerprint("toks").alias("fingerprint"),
+        )
+        lm = bigram_lm_frozen_score(
+            rw.select("doc_id", "toks"), model, threshold
+        ).select("doc_id", "lm_score", "passes_lm")
+        near = incremental_neardup_verdicts(
+            batch=rw.filter(F.size("toks") > 0).select(
+                "doc_id", F.col("new_text").alias("text")
+            ),
+            batch_all_ids=bdf.select("doc_id"),
+            corpus=corpus,
+            index_guarded=index,
+            release_into=handles,
+        ).select("doc_id", (F.col("status") == "unique").alias("near_ok"))
+        out = (
+            qr.join(ptok, "doc_id", "left")
+            .join(lm, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .withColumn("p_tokens", F.coalesce("p_tokens", F.lit(0)))
+            # per-doc sentinel for docs the paragraph stage never saw
+            # (q/rep failures): NULL fingerprints would single-
+            # partition the keeper window (the b113 ADVICE fix) and a
+            # sentinel can never match corpus/committed state
+            .withColumn(
+                "fingerprint",
+                F.coalesce(
+                    F.col("fingerprint"),
+                    F.concat(F.lit("miss:"), F.col("doc_id").cast("string")),
+                ),
+            )
+            .join(corpus_fps, "fingerprint", "left")
+            .join(standing_fps, "fingerprint", "left")
+            .withColumn(
+                "para_pass",
+                F.col("qr_pass") & (F.col("p_tokens") >= _B69_MIN_TOKENS),
+            )
+            .withColumn(
+                "lm_pass",
+                F.col("para_pass") & F.coalesce("passes_lm", F.lit(False)),
+            )
+            # b111's buckets from (lm_score, frozen threshold) — the
+            # frozen-form analog of b113's (lm_score, corpus_score);
+            # un-scored docs fall to 'tail' (they are gated out by
+            # lm_pass anyway, but the column must be deterministic on
+            # both duality sides)
+            .withColumn(
+                "bucket",
+                F.when(F.col("lm_score") >= F.lit(threshold), "head")
+                .when(
+                    F.lit(2.0) * F.col("lm_score") >= F.lit(threshold),
+                    "middle",
+                )
+                .otherwise("tail"),
+            )
+            .withColumn("gate", F.col("lm_pass"))
+            .withColumn(
+                "fp_free",
+                F.col("in_corpus").isNull() & F.col("in_state").isNull(),
+            )
+        )
+        out = (
+            exact_keep(out)
+            .withColumn(
+                "near_keep",
+                F.col("ex_keep") & F.coalesce("near_ok", F.lit(False)),
+            )
+            .withColumn(
+                "mix_keep",
+                F.col("near_keep")
+                & (
+                    (((F.col("doc_id") % 2147483647) * 48271) % 2147483647)
+                    % 1000
+                    < F.when(
+                        F.col("bucket") == "head",
+                        _B111_RATE_PERMILLE["head"],
+                    )
+                    .when(
+                        F.col("bucket") == "middle",
+                        _B111_RATE_PERMILLE["middle"],
+                    )
+                    .otherwise(_B111_RATE_PERMILLE["tail"])
+                ),
+            )
+            .withColumn(
+                "is_train",
+                F.col("mix_keep") & (split_bucket < _SPLIT_BUCKETS_TRAIN),
+            )
+        )
+        return (
+            out.select("fingerprint", *dec_cols),
+            handles,
+            kept_b.select("ph"),
+        )
 
     def decisions(
         bdf: DataFrame, standing_fps: DataFrame
@@ -1184,38 +1447,18 @@ def _ingest_funnel(
             F.col("in_corpus").isNull() & F.col("in_state").isNull(),
         )
         # keeper = min (seq, doc_id) among gate-passing fp-free
-        # holders — ONE rule valid on both sides: in a stream batch
-        # all docs share a seq, so this reduces to the batch's
-        # first-wins min doc_id; in the batch twin it encodes the
-        # seq-ordered replay (earlier seq wins even over a smaller
+        # holders (exact_keep) — ONE rule valid on both sides: in a
+        # stream batch all docs share a seq, so this reduces to the
+        # batch's first-wins min doc_id; in the batch twin it encodes
+        # the seq-ordered replay (earlier seq wins even over a smaller
         # doc_id arriving later).
-        w_fp = Window.partitionBy("fingerprint")
-        out = out.withColumn(
-            "keep_id",
-            F.min(
-                F.when(
-                    F.col("gate") & F.col("fp_free"),
-                    F.struct(
-                        (F.col("doc_id") % 10).alias("s"),
-                        F.col("doc_id").alias("d"),
-                    ),
-                )
-            ).over(w_fp),
-        ).withColumn(
-            "ex_keep",
-            F.col("gate")
-            & F.col("fp_free")
-            & (F.col("doc_id") == F.col("keep_id").getField("d")),
-        ).withColumn("near_keep", F.col("ex_keep") & F.col("near_ok"))
+        out = exact_keep(out).withColumn(
+            "near_keep", F.col("ex_keep") & F.col("near_ok")
+        )
         if full:
             # b67's mixture rule + b57's split rule — pure map columns
             # over (doc_id, source); the overflow-safe pre-reduced
             # Lehmer spelling (see operators/pipeline.py at b67)
-            bucket = F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
-                16,
-                10,
-            ).cast("int")
             out = (
                 out.join(bdf.select("doc_id", "source"), "doc_id")
                 .withColumn(
@@ -1233,7 +1476,7 @@ def _ingest_funnel(
                 )
                 .withColumn(
                     "is_train",
-                    F.col("mix_keep") & (bucket < _SPLIT_BUCKETS_TRAIN),
+                    F.col("mix_keep") & (split_bucket < _SPLIT_BUCKETS_TRAIN),
                 )
             )
         return out.select("fingerprint", *dec_cols), handles
@@ -1242,13 +1485,23 @@ def _ingest_funnel(
     src_dir = stage_seq_files(docs, label)
 
     state_dir = scratch_dir(f"kss-{label}-fps-")
+    para_state_dir = scratch_dir(f"kss-{label}-phs-")
     out_dir = scratch_dir(f"kss-{label}-out-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
         standing = committed_state(
             spark, state_dir, "fingerprint string", int(batch_id), seed=False
         ).select("fingerprint", F.lit(True).alias("in_state"))
-        dec, handles = decisions(bdf, standing)
+        if graded:
+            standing_phs = committed_state(
+                spark, para_state_dir, "ph bigint", int(batch_id), seed=False
+            ).select("ph", F.lit(True).alias("in_pstate"))
+            dec, handles, kept_phs = graded_decisions(
+                bdf, standing, standing_phs
+            )
+        else:
+            dec, handles = decisions(bdf, standing)
+            kept_phs = None
         vpath = f"{out_dir}/batch_id={batch_id}"
         dec.write.mode("overwrite").parquet(vpath)
         # state delta derives from the WRITTEN decisions (one run per
@@ -1256,6 +1509,13 @@ def _ingest_funnel(
         spark.read.parquet(vpath).filter(F.col("ex_keep")).select(
             "fingerprint"
         ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+        if kept_phs is not None:
+            # paragraph-state delta: the hashes this batch's keep-first
+            # kept (a35's rule) — from the checkpointed kept frame, so
+            # the write re-reads blocks, never the window lineage
+            kept_phs.distinct().write.mode("overwrite").parquet(
+                f"{para_state_dir}/batch_id={batch_id}"
+            )
         for h in handles:
             release_local_checkpoint(h)
 
@@ -1273,8 +1533,10 @@ def _ingest_funnel(
             .start()
         )
         q.awaitTermination()
-        dec_schema = "doc_id bigint, n_tokens bigint, " + ", ".join(
-            f"{c} boolean" for c in flags
+        dec_schema = (
+            "doc_id bigint, n_tokens bigint, "
+            + ("p_tokens bigint, bucket string, " if graded else "")
+            + ", ".join(f"{c} boolean" for c in flags)
         )
         try:
             stream_dec = spark.read.option(
@@ -1285,12 +1547,19 @@ def _ingest_funnel(
                 *dec_cols
             )
         # ---- batch twin: same shared cores, (seq, doc_id)-min rule ----
-        twin, twin_handles = decisions(
-            docs.filter(is_new),
-            spark.createDataFrame([], "fingerprint string").withColumn(
-                "in_state", F.lit(True)
-            ),
-        )
+        empty_fps = spark.createDataFrame(
+            [], "fingerprint string"
+        ).withColumn("in_state", F.lit(True))
+        if graded:
+            twin, twin_handles, _twin_phs = graded_decisions(
+                docs.filter(is_new),
+                empty_fps,
+                spark.createDataFrame([], "ph bigint").withColumn(
+                    "in_pstate", F.lit(True)
+                ),
+            )
+        else:
+            twin, twin_handles = decisions(docs.filter(is_new), empty_fps)
         # replace the per-batch first-wins with the replay-order rule:
         # keeper = min (seq, doc_id) among gate-passing fp-free holders
         # — identical to first-wins under seq-ordered micro-batches.
@@ -1310,39 +1579,60 @@ def _ingest_funnel(
         corpus_fps.unpersist()
         if model is not None:
             model.unpersist()
-    kept = F.col("n_tokens").cast("long")
+    pre = F.col("n_tokens").cast("long")
+    # graded: token currency switches to paragraph-kept counts from
+    # the para stage on (b113's report rule)
+    mid = F.col("p_tokens").cast("long") if graded else pre
     stages = [
-        ("arrived", F.lit(True)),
-        ("quality", F.col("q_pass")),
-        ("repetition", F.col("q_pass") & F.col("rep_pass")),
+        ("arrived", F.lit(True), pre),
+        ("quality", F.col("q_pass"), pre),
+        ("repetition", F.col("q_pass") & F.col("rep_pass"), pre),
     ]
+    if graded:
+        stages.append(("dedup_para", F.col("para_pass"), mid))
     if full:
         stages.append(
-            ("lm_gate", F.col("q_pass") & F.col("rep_pass") & F.col("lm_pass"))
+            (
+                "lm_gate",
+                F.col("q_pass") & F.col("rep_pass") & F.col("lm_pass")
+                if not graded
+                else F.col("lm_pass"),
+                mid,
+            )
         )
     stages += [
-        ("dedup_exact", F.col("ex_keep")),
-        ("dedup_near", F.col("near_keep")),
+        ("dedup_exact", F.col("ex_keep"), mid),
+        ("dedup_near", F.col("near_keep"), mid),
     ]
+    if graded:
+        # per-bucket candidates (near-dedup survivors entering the
+        # graded mixture) and kept docs — b113's report shape
+        stages += [
+            (f"{b}_in", F.col("near_keep") & (F.col("bucket") == b), mid)
+            for b in ("head", "middle", "tail")
+        ] + [
+            (f"{b}_kept", F.col("mix_keep") & (F.col("bucket") == b), mid)
+            for b in ("head", "middle", "tail")
+        ]
     if full:
         stages += [
-            ("mixture", F.col("mix_keep")),
-            ("train", F.col("is_train")),
-            ("holdout", F.col("mix_keep") & ~F.col("is_train")),
+            ("mixture", F.col("mix_keep"), mid),
+            ("train", F.col("is_train"), mid),
+            ("holdout", F.col("mix_keep") & ~F.col("is_train"), mid),
         ]
     one = stream_dec.agg(
         *[
             a
-            for stage, cond in stages
+            for stage, cond, tok in stages
             for a in (
                 F.sum(cond.cast("int")).cast("bigint").alias(f"{stage}_d"),
-                F.sum(F.when(cond, kept)).cast("bigint").alias(f"{stage}_t"),
+                F.sum(F.when(cond, tok)).cast("bigint").alias(f"{stage}_t"),
             )
         ]
     )
     stack = ", ".join(
         f"'{stage}', coalesce({stage}_d, 0), coalesce({stage}_t, 0)"
-        for stage, _ in stages
+        for stage, _, _ in stages
     )
     return one.select(
         F.expr(f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)")
@@ -1375,6 +1665,39 @@ def a34_stream_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction rather than an ingest gate (see ``_ingest_funnel``)."""
     return _ingest_funnel(
         spark, sf_dir, full=True, label="a34_stream_full_funnel"
+    )
+
+
+@query("a37_stream_graded_funnel")  # rows-only: streaming sink
+def a37_stream_graded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b113's CCNet-SHAPED funnel at INGEST (r10, VERDICT r9 #4): a34
+    with the two CCNet-specific stages swapped in, exactly where b113
+    puts them — paragraph dedup between the repetition gate and the
+    frozen-LM gate (a35's committed-state composition: frozen corpus
+    paragraph hashes + parquet-committed kept-paragraph state + the
+    in-batch min (seq, doc_id, pos) window), with every later stage
+    (LM score, exact fingerprint, near-dup verdict) reading the
+    paragraph-REWRITTEN text, and b111's graded bucket mixture (head /
+    middle / tail from (lm_score, frozen threshold), per-bucket
+    permille rates) in place of b67's flat tiers.
+
+    16 attrition rows (b113's report shape: dedup_para + per-bucket
+    {head,middle,tail}_{in,kept} around the mixture total, token
+    currency switching to paragraph-kept counts from the para stage
+    on). The in-query duality assert covers the FULL graded decision
+    frame — 9 flags + the bucket decision + p_tokens — against the
+    batch twin built from the same shared cores with the replay-order
+    window rules, so a non-error run certifies paragraph ownership,
+    every rewritten-text re-derivation, and the bucket assignment
+    bit-for-bit. b97's span rewrite remains the one absent stage —
+    corpus-global and retroactive, it is a36's at-rest compaction,
+    not an ingest gate."""
+    return _ingest_funnel(
+        spark,
+        sf_dir,
+        full=True,
+        label="a37_stream_graded_funnel",
+        graded=True,
     )
 
 

@@ -1482,3 +1482,59 @@ def test_span_compaction_cadence_retroactive_flip(spark):
     assert rows[2]["changed_docs"] == 0
     assert rows[2]["removed_tokens"] == 8
     assert rows[2]["corpus_docs"] == 4
+
+
+def test_stream_graded_funnel_shape(spark):
+    """a37 (r10, VERDICT r9 #4): the graded ingest funnel emits b113's
+    16-row report; the in-query duality assert over the 9-flag +
+    bucket + p_tokens decision frame ran by construction. Pins the
+    graded algebra the flat funnel doesn't have: the three bucket _in
+    rows partition the near-dedup survivors, each bucket keeps a
+    subset of its candidates, and mixture == the kept buckets' sum —
+    in BOTH currencies."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a37_stream_graded_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in a37_stream_graded_funnel(spark, sf).collect()
+    }
+    order = [
+        "arrived", "quality", "repetition", "dedup_para", "lm_gate",
+        "dedup_exact", "dedup_near", "mixture", "train",
+    ]
+    buckets = ("head", "middle", "tail")
+    assert set(rows) == {
+        *order, "holdout",
+        *(f"{b}_in" for b in buckets), *(f"{b}_kept" for b in buckets),
+    }
+    n_arriving = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id % 10 >= 8")
+        .count()
+    )
+    assert rows["arrived"][0] == n_arriving
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0], (a, b)
+        assert rows[a][1] >= rows[b][1], (a, b)
+    for cur in (0, 1):
+        assert rows["dedup_near"][cur] == sum(
+            rows[f"{b}_in"][cur] for b in buckets
+        )
+        assert rows["mixture"][cur] == sum(
+            rows[f"{b}_kept"][cur] for b in buckets
+        )
+        assert all(
+            rows[f"{b}_kept"][cur] <= rows[f"{b}_in"][cur] for b in buckets
+        )
+        assert (
+            rows["holdout"][cur]
+            == rows["mixture"][cur] - rows["train"][cur]
+        )
+    # the CCNet stages bite on the driver corpus: the paragraph stage
+    # drops docs/tokens (cross-slice duplicate paragraphs exist) and
+    # the graded mixture downsamples below the near-dedup survivors
+    assert rows["dedup_para"][1] < rows["repetition"][1]
+    assert rows["mixture"][0] < rows["dedup_near"][0]
