@@ -81,11 +81,33 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b85_novel_bigram_ratio",
     "b95_fuzzy_match_minhash_blocked",
     # --- NEW in round 10 (no driver row exists yet) ---
-    # (appended as the round lands them)
-    # --- changed in round 10 ---
-    # (appended as the round touches them)
+    "a36_span_compaction",             # at-rest b97 compaction on a
+                                       # cadence over the A8 store
+    "a37_stream_graded_funnel",        # b113's ingest twin: paragraph
+                                       # state + frozen lm + buckets
+    # --- changed in round 10: results identical by contract, code
+    # rewritten (the r2 stale-row rule: every touched query re-rows) ---
+    "b112_paragraph_dedup",            # narrow-shuffle keep-first core
+    "b113_curation_graded_mixture",    # token-array checkpoint + the
+                                       # NULL-fingerprint sentinel
+    "b114_ann_drain",                  # resumable pq_ann_drain + per-
+                                       # page broadcast destroy
+    "b104_pq_ann",                     # pq_adc_topk returns (df, bc)
+    "b97_span_removal_rewrite",        # tokens= param (default path
+                                       # byte-identical)
+    "b87_duplicated_spans",            # same file region (no-op); rows
+                                       # with the r7 filler anyway
+    "a32_stream_curation_funnel",      # exact_keep factored out of
+                                       # decisions (same rule)
+    "a34_stream_full_funnel",          # same refactor + hoisted split
+    "a35_stream_paragraph_dedup",      # scratch_dir staging swap
+    "b55_dedup_clusters",              # min_label_components edge/init
+    "b93_semantic_dedup",              # checkpoints keep_in_audit
+    "b110_lsh_neardup_components",     # (audit-only; same loop)
+    "b100_curation_capstone",          # shared _curation_capstone file
+                                       # touched (flat path unchanged)
     # --- r7 rotation filler: oldest remaining rows up to the ~50-row
-    # window; the rest of the 37 r7 rows rotate in round 11 ---
+    # window (oracle-backed first); the rest rotate in round 11 ---
     "b01_scan_filter_project",
     "b02_tpch_q1_agg",
     "b03_join_orders_customer",
@@ -106,8 +128,6 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b81_lang_centroid_outliers",
     "b82_context_packing",
     "b83_pii_mask",
-    "b87_duplicated_spans",
-    "b97_span_removal_rewrite",
     "b101_exact_substring_runs",
     "b102_gopher_repetition",
     "b107_containment_pairs",

@@ -1016,6 +1016,11 @@ def stage_seq_files(docs: DataFrame, label: str) -> str:
     return src_dir
 
 
+# per-micro-batch wall seconds appended by _ingest_funnel's
+# foreachBatch (cadence-flatness probe hook; cleared by the probe)
+INGEST_BATCH_SECONDS: list[float] = []
+
+
 def _ingest_funnel(
     spark: SparkSession,
     sf_dir: str,
@@ -1489,6 +1494,9 @@ def _ingest_funnel(
     out_dir = scratch_dir(f"kss-{label}-out-")
 
     def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         standing = committed_state(
             spark, state_dir, "fingerprint string", int(batch_id), seed=False
         ).select("fingerprint", F.lit(True).alias("in_state"))
@@ -1518,6 +1526,12 @@ def _ingest_funnel(
             )
         for h in handles:
             release_local_checkpoint(h)
+        # probe hook (r10): per-batch wall for the cadence-flatness
+        # check (scripts/probe_r10.py cadence) — appended, never read,
+        # on the production path
+        INGEST_BATCH_SECONDS.append(
+            round(_time.perf_counter() - _t0, 1)
+        )
 
     try:
         q = (
