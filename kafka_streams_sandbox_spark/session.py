@@ -29,13 +29,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Respect the target partition size instead of maximizing
-    # parallelism when coalescing (the Spark-docs-recommended
-    # production setting): small shuffles collapse to a handful of
-    # tasks instead of 32 near-empty ones — measured 0.05-0.3 s per
-    # query off the fixed job cost at sf0.1, and fewer tiny tasks to
-    # schedule at any scale.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst=TRUE (Spark's default), restored in r10: the
+    # r-earlier "false" setting (respect minPartitionSize over
+    # parallelism) saved 0.05-0.3 s of fixed job cost per tiny sf0.1
+    # query — but at the 100x probe it coalesced the shuffle BELOW
+    # CPU-heavy post-exchange stages to ~3 tasks (a 58 MB text
+    # shuffle -> 3 x 8m partitions) and serialized them on a 32-core
+    # host: b113's banding stage measured 56 s vs 14 s and its lm
+    # stage 43 s vs 21 s under the two settings; b113 end-to-end
+    # 173.7 -> 102.9 s on the flip alone. Shuffle-size-first
+    # coalescing optimizes bytes-per-task for I/O-bound stages, but
+    # this engine's post-shuffle stages are compute-bound (shingle
+    # hashing, bigram scoring, window keepers) — partition count IS
+    # the throughput. At real scale both settings agree (partitions
+    # >> cores either way).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
