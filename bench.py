@@ -159,6 +159,14 @@ BENCH_QUERIES = [
     # round-9: evidence-capped winnowing coverage (oracle-backed —
     # the rank-rule twin shares B105's CTE chain)
     "b115_winnowing_coverage_capped",
+    # round-10: DSIR hashed importance selection (oracle-backed —
+    # integer cross-multiplied votes; the DuckDB twin is a hist join)
+    "b116_dsir_selection",
+    # round-10: distributed BPE merge training + its corpus-wide
+    # application (both oracle-backed — unrolled MATERIALIZED-CTE
+    # twins deriving the same argmax merge sequence)
+    "b117_bpe_merge_train",
+    "b118_bpe_apply",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -1,0 +1,451 @@
+"""Training-data selection & tokenizer-preparation operators
+(b116–b118): DSIR-style hashed importance selection and distributed
+BPE merge training / application.
+
+Layer-B extensions (BASELINE.json "north_star": LLM-pipeline operators
+at 100 TB scale). No reference analog — `KStreamsToKTable.java` has no
+selection or tokenizer surface; these follow the repo's Layer-B
+conventions (exact-integer outputs, bounded collects, map-only scoring
+passes).
+
+Scale design, shared by all three:
+
+- The only corpus-wide passes are token scans (map-only explode +
+  partial-agg groupBy on a SMALL key domain: 256 hash buckets for
+  b116, the distinct-word vocabulary for b117/b118). Everything
+  iterative (BPE merge rounds) runs on the VOCABULARY table weighted
+  by word counts — the standard scalable BPE formulation (Sennrich et
+  al. 2016 operate on word-frequency dicts, not raw text; so do the
+  Hugging Face / SentencePiece trainers). At 100 TB the vocab is
+  ~1e7–1e8 rows; each merge round is one vocab scan + a ONE-ROW
+  bounded collect (the b72 idiom), never a corpus pass.
+- b116's per-document scoring pass is map-only: the two 256-bucket
+  hashed-token distributions are collected (bounded, 512 rows) and
+  inlined as literal arrays, so selection is a single scan with zero
+  per-token shuffle — the shape that survives 1000 executors.
+- All outputs are exact integers (counts, votes); the one place real
+  DSIR uses log-ratios is replaced by an exact cross-multiplied
+  integer comparison per token (see b116's docstring) so the result is
+  bit-identical across engines — the b58 ranking-not-logs discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_sandbox_spark.catalog import table
+from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+from kafka_streams_sandbox_spark.registry import query
+from kafka_streams_sandbox_spark.session import lazy_checkpoint
+
+# ---------------------------------------------------------------------------
+# B116: DSIR-style hashed importance selection
+# ---------------------------------------------------------------------------
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): estimate target vs raw token distributions over HASHED
+# n-gram buckets, weight each raw document by how much its tokens look
+# like the target, select the top mass. This implementation keeps the
+# structure (hashed unigram buckets, Laplace-smoothed target/raw
+# distributions, per-document aggregation, threshold selection) and
+# replaces the per-token log(p_t/p_r) with its exact SIGN via integer
+# cross-multiplication:
+#
+#     log((c_t[b]+1)/(T+D)) - log((c_r[b]+1)/(R+D)) > 0
+#   ⟺ (c_t[b]+1) * (R+D)  >  (c_r[b]+1) * (T+D)        (all integers)
+#
+# A document is selected when a strict majority of its token
+# occurrences vote target-leaning. Exactness is the point: summed
+# float logs are not bit-stable across libm implementations (the b58
+# lesson), while the vote is integer arithmetic — so the oracle gate
+# is hash-exact. The cross-products reach ~(1e13)^2 at 100 TB token
+# counts, past BIGINT: both engines compute them in wide exact types
+# (Spark DECIMAL(38,0), DuckDB HUGEINT).
+#
+# "Target" here is a curated-sources stand-in (src0–src3, ~20% of the
+# synthetic corpus); in production it is the Wikipedia/books slice
+# DSIR targets. 256 buckets = first two hex chars of md5(token) — the
+# b57 engine-portable hash idiom. Real DSIR uses ~1e4 buckets of
+# hashed bigrams; the bucket count is a constant, not a scale knob
+# (the distribution tables stay driver-bounded either way).
+
+_DSIR_D = 256
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+_BUCKET_HEX = "0123456789abcdef"
+
+
+def _duck_bucket(expr: str) -> str:
+    """DuckDB: first-2-hex-chars-of-md5 → 0..255 (b57 idiom)."""
+    return (
+        f"16 * (strpos('{_BUCKET_HEX}', substring(md5({expr}), 1, 1)) - 1)"
+        f" + (strpos('{_BUCKET_HEX}', substring(md5({expr}), 2, 1)) - 1)"
+    )
+
+
+B116_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               source IN ('src0','src1','src2','src3') AS is_target,
+               unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t != '')) AS w
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, is_target, {_duck_bucket('w')} AS bucket
+        FROM tok
+    ),
+    hist AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_t,
+               CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_r
+        FROM bucketed GROUP BY bucket
+    ),
+    totals AS (
+        SELECT CAST(SUM(c_t) AS BIGINT) AS t_tot,
+               CAST(SUM(c_r) AS BIGINT) AS r_tot
+        FROM hist
+    ),
+    votes AS (
+        SELECT b.doc_id, b.lang,
+               CASE WHEN CAST(COALESCE(h.c_t, 0) + 1 AS HUGEINT)
+                         * CAST(t.r_tot + {_DSIR_D} AS HUGEINT)
+                       > CAST(COALESCE(h.c_r, 0) + 1 AS HUGEINT)
+                         * CAST(t.t_tot + {_DSIR_D} AS HUGEINT)
+                    THEN 1 ELSE 0 END AS vote
+        FROM bucketed b
+        LEFT JOIN hist h USING (bucket)
+        CROSS JOIN totals t
+        WHERE NOT b.is_target
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(SUM(vote) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM votes GROUP BY doc_id, lang
+    )
+    SELECT lang, 2 * n_pos > n_tok AS selected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pos) AS BIGINT) AS sum_pos_votes,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM per_doc
+    GROUP BY 1, 2
+"""
+
+
+def dsir_histograms(
+    docs: DataFrame,
+) -> tuple[list[int], list[int], int, int]:
+    """One 256-key partial-agg token pass over `docs` (which must
+    carry an `is_target` boolean) → (c_t, c_r, t_tot, r_tot), the
+    driver-bounded frozen artifact (≤512 collected rows). Shared by
+    b116 (self-corpus histograms) and a38 (standing-corpus frozen
+    histograms)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 2), 16, 10).cast("int")
+    )
+    hist_rows = (
+        docs.select(
+            "is_target", F.explode(F.expr(TOKENS_EXPR)).alias("w")
+        )
+        .select("is_target", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+        )
+        .collect()  # bounded: ≤ _DSIR_D rows
+    )
+    c_t = [0] * _DSIR_D
+    c_r = [0] * _DSIR_D
+    for row in hist_rows:
+        c_t[row["bucket"]] = row["c_t"]
+        c_r[row["bucket"]] = row["c_r"]
+    return c_t, c_r, sum(c_t), sum(c_r)
+
+
+def dsir_score(
+    docs: DataFrame,
+    c_t: list[int],
+    c_r: list[int],
+    t_tot: int,
+    r_tot: int,
+) -> DataFrame:
+    """Map-only DSIR vote scoring of `docs` against the (c_t, c_r)
+    distributions: (doc_id, lang, n_pos, n_tok, selected). The
+    distributions are inlined as literal arrays so the pass has zero
+    per-token shuffle; votes are exact integer cross-products in
+    DECIMAL(38,0) (module header)."""
+    ct_arr = "array(" + ",".join(str(x) for x in c_t) + ")"
+    cr_arr = "array(" + ",".join(str(x) for x in c_r) + ")"
+    vote = (
+        f"size(filter({TOKENS_EXPR}, t -> "
+        f"CAST(element_at({ct_arr},"
+        f" CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT) + 1) + 1"
+        f" AS DECIMAL(38,0)) * {r_tot + _DSIR_D} > "
+        f"CAST(element_at({cr_arr},"
+        f" CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT) + 1) + 1"
+        f" AS DECIMAL(38,0)) * {t_tot + _DSIR_D}))"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(vote).cast("long").alias("n_pos"),
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tok"),
+    ).withColumn("selected", 2 * F.col("n_pos") > F.col("n_tok"))
+
+
+@query("b116_dsir_selection", oracle=B116_ORACLE)
+def b116_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style selection of raw documents toward a curated target
+    distribution (see module header for the exact-vote formulation).
+
+    Plan shape (the 100 TB story):
+      pass 1: token → bucket explode, groupBy(bucket, is_target) —
+              256-key partial-agg-dominated shuffle, then a BOUNDED
+              collect of ≤512 rows inlined as two literal arrays.
+      pass 2: map-only scoring — per doc, votes counted inside one
+              higher-order filter over the token array (md5 + integer
+              compare per token, all JVM built-ins), then a
+              (lang, selected) groupBy over ~10 keys.
+    Zero per-token shuffle in pass 2; no Python anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+
+    c_t, c_r, t_tot, r_tot = dsir_histograms(
+        docs.withColumn("is_target", is_target)
+    )
+    return (
+        dsir_score(docs.filter(~is_target), c_t, c_r, t_tot, r_tot)
+        .groupBy("lang", "selected")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("sum_pos_votes"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B117: distributed BPE merge training (vocabulary-weighted)
+# ---------------------------------------------------------------------------
+# Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+# Subword Units"): iteratively merge the most frequent adjacent symbol
+# pair. The scalable formulation counts pairs over the DISTINCT-word
+# vocabulary weighted by word frequency — one corpus pass builds the
+# (word, count) table, after which every merge round touches only the
+# vocab. Symbols are kept as a space-joined string with sentinel
+# spaces (' h e l l o ') so a merge is one boundary-safe
+# replace(' a b ' → ' ab '); left-to-right non-overlapping replace
+# semantics are identical in Spark (Java String.replace), DuckDB, and
+# Python str.replace — verified by tests/test_selection.py's
+# independent list-scan re-derivation.
+#
+# Tie-break: (pair_count DESC, lhs ASC, rhs ASC) — total order, so the
+# merge sequence is deterministic and the unrolled SQL oracle below
+# reproduces it exactly.
+
+_BPE_MERGES = 6
+
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+)
+
+
+def _b117_chain_sql(k: int) -> str:
+    """Unrolled v0→vk CTE chain: vocab with space-joined symbol
+    strings, one (pairs → argmax → replace) level per merge."""
+    parts = [
+        f"""tok AS MATERIALIZED (
+        SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w FROM documents
+    ),
+    wc AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT w, cnt,
+               ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
+                   || ' ' AS s
+        FROM wc
+    )"""
+    ]
+    for i in range(k):
+        parts.append(f"""p{i} AS MATERIALIZED (
+        SELECT u.p[1] AS lhs, u.p[2] AS rhs, SUM(cnt) AS pw
+        FROM (SELECT cnt, string_split(trim(s), ' ') AS l FROM v{i}) t,
+             UNNEST(list_zip(t.l, t.l[2:])) AS u(p)
+        WHERE u.p[2] IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT lhs, rhs, pw FROM p{i}
+        ORDER BY pw DESC, lhs ASC, rhs ASC LIMIT 1
+    ),
+    v{i + 1} AS MATERIALIZED (
+        SELECT w, cnt,
+               replace(s,
+                       ' ' || (SELECT lhs FROM m{i}) || ' '
+                           || (SELECT rhs FROM m{i}) || ' ',
+                       ' ' || (SELECT lhs || rhs FROM m{i}) || ' ') AS s
+        FROM v{i}
+    )""")
+    return ",\n    ".join(parts)
+
+
+B117_ORACLE = f"""
+    WITH {_b117_chain_sql(_BPE_MERGES)}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i + 1} AS step, lhs, rhs, lhs || rhs AS merged,"
+            f" CAST(pw AS BIGINT) AS pair_count FROM m{i}"
+            for i in range(_BPE_MERGES)
+        )}
+    )
+    ORDER BY step
+"""
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, s) vocabulary with initial char symbols; the one
+    corpus-wide pass, checkpointed so every merge round re-reads the
+    small vocab instead of re-tokenizing the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr("concat(' ', array_join(split(w, ''), ' '), ' ')")
+            .alias("s"),
+        )
+    )
+    return lazy_checkpoint(vocab)
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run k merge rounds over the vocab; return (merge rows, vocab DF
+    with the final symbol strings). Each round = one vocab scan + a
+    ONE-ROW bounded collect (argmax pair)."""
+    vocab = _bpe_vocab(spark, sf_dir)
+    syms = F.col("s")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, k + 1):
+        cur = vocab.select("w", "cnt", syms.alias("s"))
+        toks = F.expr("split(trim(s), ' ')")
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p")["0"].alias("lhs"),
+            F.col("p")["1"].alias("rhs"),
+            F.col("cnt"),
+        )
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("pw"))
+            .orderBy(F.desc("pw"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()  # bounded: exactly one row
+        )
+        if not top:  # degenerate corpus (all 1-char words): stop early
+            break
+        lhs, rhs, pw = top[0]["lhs"], top[0]["rhs"], top[0]["pw"]
+        merges.append((step, lhs, rhs, lhs + rhs, pw))
+        syms = F.replace(
+            syms,
+            F.lit(f" {lhs} {rhs} "),
+            F.lit(f" {lhs}{rhs} "),
+        )
+    return merges, vocab.select("w", "cnt", syms.alias("s"))
+
+
+@query("b117_bpe_merge_train", oracle=B117_ORACLE)
+def b117_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First `_BPE_MERGES` BPE merges over the corpus (see the section
+    header): the merge table (step, lhs, rhs, merged, pair_count) is
+    the distributed-computed, driver-bounded result."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (step, lhs, rhs, merged, int(pw))
+            for step, lhs, rhs, merged, pw in merges
+        ],
+        schema="step int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B118: BPE application / compression report
+# ---------------------------------------------------------------------------
+# Apply b117's learned merges corpus-wide and report the symbol-count
+# compression per language. The application is VOCAB-level (each
+# distinct word is segmented once; documents join their token counts
+# to the segmented vocab) — the same reason b117 trains on the vocab:
+# at 100 TB you never re-segment each occurrence.
+
+B118_ORACLE = f"""
+    WITH {_b117_chain_sql(_BPE_MERGES)},
+    seg AS MATERIALIZED (
+        SELECT w,
+               CAST(length(w) AS BIGINT) AS n_chr,
+               CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+        FROM v{_BPE_MERGES}
+    ),
+    tl AS MATERIALIZED (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, w
+    )
+    SELECT tl.lang,
+           CAST(SUM(tl.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(tl.cnt * seg.n_chr) AS BIGINT) AS total_chars,
+           CAST(SUM(tl.cnt * seg.n_sym) AS BIGINT) AS total_symbols
+    FROM tl JOIN seg USING (w)
+    GROUP BY tl.lang
+"""
+
+
+@query("b118_bpe_apply", oracle=B118_ORACLE)
+def b118_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment the corpus with b117's merges; per-language exact
+    (word, char, symbol) totals. total_chars/total_symbols is the
+    tokenizer's compression ratio — left as exact integers (the b58
+    no-floats discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w",
+        F.length("w").cast("long").alias("n_chr"),
+        F.expr("size(split(trim(s), ' '))").cast("long").alias("n_sym"),
+    )
+    tl = (
+        docs.select("lang", F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tl.join(seg, "w")  # vocab-sized at 100 TB (~1e8 rows): a
+        # shuffle join on w, NOT a broadcast — AQE may still elect BHJ
+        # at fixture scale where the vocab is tiny
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_chr")).alias("total_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("total_symbols"),
+        )
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.similarity",
     "kafka_streams_sandbox_spark.operators.extended",
     "kafka_streams_sandbox_spark.operators.dedup",
+    "kafka_streams_sandbox_spark.operators.selection",
 )
 
 # Queries that MUST land inside the driver's ~50-query verification
@@ -85,6 +86,10 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # cadence over the A8 store
     "a37_stream_graded_funnel",        # b113's ingest twin: paragraph
                                        # state + frozen lm + buckets
+    "b116_dsir_selection",             # DSIR hashed importance votes
+    "b117_bpe_merge_train",            # distributed BPE merge rounds
+    "b118_bpe_apply",                  # BPE segmentation compression
+    "a38_stream_dsir_gate",            # b116's frozen-histogram twin
     # --- changed in round 10: results identical by contract, code
     # rewritten (the r2 stale-row rule: every touched query re-rows) ---
     "b112_paragraph_dedup",            # narrow-shuffle keep-first core

@@ -1953,6 +1953,87 @@ def a33_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("a38_stream_dsir_gate")  # rows-only: streaming sink
+def a38_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b116's DSIR selection in its deployment shape — the
+    train/apply split (the a33 pattern, one gate family over): the
+    target/raw hashed-token histograms FREEZE on the standing corpus
+    (doc_id % 10 < 8; DSIR fits its importance estimator on a fixed
+    raw snapshot + the curated target set, not on the stream being
+    gated), and every ARRIVING doc is vote-scored against the frozen
+    distributions as it lands.
+
+    The frozen artifact is driver-bounded by construction (two
+    256-entry integer arrays + two totals — `dsir_histograms`'s ≤512
+    collected rows), so unlike a33's DISK_ONLY model table there is
+    nothing to persist executor-side: the arrays inline into the
+    scoring expression and each micro-batch is a MAP-ONLY pass
+    (`dsir_score`, shared with b116 so the vote rule lives once).
+
+    A doc's verdict depends only on (its own text, the frozen
+    arrays), so micro-batch boundaries cannot change it — the
+    in-query duality assert certifies stream == the batch twin scored
+    over the whole arriving slice in one pass (bit-identical: integer
+    votes, no aggregation-order drift). Out-of-distribution tokens
+    land in whatever bucket md5 assigns and vote on the STANDING
+    corpus's evidence for that bucket — smoothed (+1) on both sides,
+    the degenerate empty-corpus case gates on 1*(R+D) > 1*(T+D)."""
+
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _DSIR_TARGET,
+        dsir_histograms,
+        dsir_score,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_schema = (
+        "doc_id bigint, lang string, n_pos bigint, n_tok bigint, "
+        "selected boolean"
+    )
+    cols = ["doc_id", "lang", "n_pos", "n_tok", "selected"]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+
+    # frozen artifact: ONE bounded pass over the standing corpus
+    c_t, c_r, t_tot, r_tot = dsir_histograms(
+        docs.filter(~is_new).withColumn("is_target", is_target)
+    )
+    out_dir = scratch_dir("kss-a38-")
+
+    def score_batch(bdf: DataFrame, batch_id: int) -> None:
+        dsir_score(
+            bdf.filter(is_new & ~is_target), c_t, c_r, t_tot, r_tot
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select(*cols)
+    except AnalysisException:  # zero batches -> no footer to infer
+        out = spark.createDataFrame([], out_schema)
+    assert_stream_batch_duality(
+        out,
+        dsir_score(
+            docs.filter(is_new & ~is_target), c_t, c_r, t_tot, r_tot
+        ),
+        cols,
+        "a38_stream_dsir_gate",
+    )
+    return out
+
+
 @query("a36_span_compaction")  # rows-only: versioned-store cadence
 def a36_span_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-rest span-removal COMPACTION on a cadence (r10, VERDICT r9

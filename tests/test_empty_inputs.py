@@ -127,6 +127,14 @@ _QUERIES = [
     dedup.b115_winnowing_coverage_capped,  # r9: empty posting -> empty
 ]
 
+from kafka_streams_sandbox_spark.operators.selection import (  # noqa: E402
+    b116_dsir_selection,  # r10: empty hist -> zero-vote scoring pass
+    b117_bpe_merge_train,  # r10: no pairs -> zero merge rounds
+    b118_bpe_apply,  # r10: empty vocab join -> empty report
+)
+
+_QUERIES += [b116_dsir_selection, b117_bpe_merge_train, b118_bpe_apply]
+
 
 @pytest.mark.parametrize("fn", _QUERIES, ids=lambda f: f.__name__)
 def test_query_on_empty_input_returns_empty(spark, empty_dir, fn):

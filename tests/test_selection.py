@@ -1,0 +1,263 @@
+"""Contracts for the selection/tokenizer operators (b116–b118).
+
+The BPE tests re-derive the merge sequence with an INDEPENDENT pure-
+Python implementation (Counter + explicit list-scan merge, no string
+replace) so the Spark replace-chain and the unrolled SQL oracle are
+checked against a third formulation of the semantics. The DSIR test
+re-derives the vote arithmetic with hashlib.md5 directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_sandbox_spark.operators.selection import (
+    _BPE_MERGES,
+    _DSIR_D,
+    _DSIR_TARGET,
+    b116_dsir_selection,
+    b117_bpe_merge_train,
+    b118_bpe_apply,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# independent pure-Python BPE (list-scan merge, not string replace)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_counts: Counter, k: int):
+    """Return (merges, final_syms): merges = [(step, lhs, rhs, merged,
+    pair_count)], final_syms = {word: [symbols]}."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        pairs: Counter = Counter()
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        # max count, then lexicographic (lhs, rhs) — the b117 tiebreak
+        (lhs, rhs), pw = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, lhs + rhs, pw))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def _word_counts(texts) -> Counter:
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in t.split() if w)
+    return wc
+
+
+@pytest.fixture(scope="module")
+def docs_small():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    return (
+        t["doc_id"].to_pylist(),
+        t["text"].to_pylist(),
+        t["lang"].to_pylist(),
+        t["source"].to_pylist(),
+    )
+
+
+def test_b117_matches_pure_python_rederivation(spark, docs_small):
+    _, texts, _, _ = docs_small
+    expect, _ = _py_bpe(_word_counts(texts), _BPE_MERGES)
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in b117_bpe_merge_train(spark, SF).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
+def test_b118_matches_pure_python_rederivation(spark, docs_small):
+    _, texts, langs, _ = docs_small
+    wc = _word_counts(texts)
+    _, syms = _py_bpe(wc, _BPE_MERGES)
+    agg: dict[str, list[int]] = {}
+    for text, lang in zip(texts, langs):
+        a = agg.setdefault(lang, [0, 0, 0])
+        for w in text.split():
+            if not w:
+                continue
+            a[0] += 1
+            a[1] += len(w)
+            a[2] += len(syms[w])
+    got = {
+        r["lang"]: (r["n_words"], r["total_chars"], r["total_symbols"])
+        for r in b118_bpe_apply(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # segmentation never inflates symbol count past character count
+    for n_words, chars, syms_n in got.values():
+        assert n_words <= syms_n <= chars
+
+
+def test_b116_matches_pure_python_rederivation(spark, docs_small):
+    doc_ids, texts, langs, sources = docs_small
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+    c_t = [0] * _DSIR_D
+    c_r = [0] * _DSIR_D
+    for text, src in zip(texts, sources):
+        tgt = src in _DSIR_TARGET
+        for w in text.split():
+            if w:
+                (c_t if tgt else c_r)[bucket(w)] += 1
+    t_tot, r_tot = sum(c_t), sum(c_r)
+    agg: dict[tuple, list[int]] = {}
+    for doc_id, text, lang, src in zip(doc_ids, texts, langs, sources):
+        if src in _DSIR_TARGET:
+            continue
+        toks = [w for w in text.split() if w]
+        n_pos = sum(
+            1
+            for w in toks
+            if (c_t[bucket(w)] + 1) * (r_tot + _DSIR_D)
+            > (c_r[bucket(w)] + 1) * (t_tot + _DSIR_D)
+        )
+        key = (lang, 2 * n_pos > len(toks))
+        a = agg.setdefault(key, [0, 0, 0, doc_id])
+        a[0] += 1
+        a[1] += n_pos
+        a[2] += len(toks)
+        a[3] = min(a[3], doc_id)
+    got = {
+        (r["lang"], r["selected"]): (
+            r["n_docs"],
+            r["sum_pos_votes"],
+            r["sum_tokens"],
+            r["min_doc_id"],
+        )
+        for r in b116_dsir_selection(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_b116_strict_majority_planted(spark, tmp_path):
+    """A raw doc whose votes split exactly 50/50 is NOT selected
+    (strict majority), and a clearly target-shaped raw doc IS.
+
+    Planted corpus: target docs use only token 'alpha'; raw
+    background uses only 'omega' (hash buckets differ — asserted).
+    doc 100 is half 'alpha' half 'omega' (tie → not selected);
+    doc 101 is all 'alpha' (selected)."""
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+    assert bucket("alpha") != bucket("omega")
+    rows = [
+        (0, "alpha " * 50, "en", "src0"),
+        (1, "alpha " * 50, "en", "src1"),
+        (10, "omega " * 50, "en", "src9"),
+        (11, "omega " * 50, "en", "src9"),
+        (100, ("alpha " * 25) + ("omega " * 25), "en", "src9"),
+        (101, "alpha " * 40, "en", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1].strip() for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1].strip()) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r["selected"]): (r["n_docs"], r["min_doc_id"])
+        for r in b116_dsir_selection(spark, str(tmp_path)).collect()
+    }
+    # selected: only doc 101. not-selected: docs 10, 11 and the tie 100.
+    assert got[True] == (1, 101)
+    assert got[False] == (3, 10)
+
+
+def test_b117_merge_rows_are_ordered_and_typed(spark):
+    df = b117_bpe_merge_train(spark, SF)
+    assert [f.name for f in df.schema.fields] == [
+        "step",
+        "lhs",
+        "rhs",
+        "merged",
+        "pair_count",
+    ]
+    rows = df.orderBy("step").collect()
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
+    # merge counts are non-increasing ONLY per identical pair space —
+    # not globally monotonic; but every count is positive
+    assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_a38_frozen_histograms_differ_from_self_trained(spark, tmp_path):
+    """The gate's verdicts come from the STANDING corpus's histograms,
+    not the arriving slice's own: a token that dominates the arriving
+    raw docs but is absent from the standing corpus votes only on +1
+    smoothing — under a standing corpus whose raw side is heavy, the
+    unseen token leans TARGET ((0+1)(R+D) > (0+1)(T+D) iff R > T),
+    which self-trained b116 over the same union would not conclude.
+    Planted: standing raw docs are 'omega'-heavy (R >> T), standing
+    target docs 'alpha'; arriving raw docs are pure 'zzznovel' (unseen
+    bucket — asserted distinct) → every arriving doc is SELECTED by
+    the frozen gate."""
+    import hashlib
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a38_stream_dsir_gate,
+    )
+
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+    assert len({bucket("alpha"), bucket("omega"), bucket("zzznovel")}) == 3
+    rows = [
+        # standing (doc_id % 10 < 8): target 'alpha', raw 'omega'-heavy
+        (0, "alpha " * 10, "en", "src0"),
+        (1, "omega " * 50, "en", "src9"),
+        (2, "omega " * 50, "en", "src9"),
+        # arriving (doc_id % 10 >= 8): raw docs of an unseen token
+        (8, "zzznovel " * 5, "en", "src9"),
+        (18, "zzznovel " * 7, "en", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1].strip() for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1].strip()) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r["selected"]
+        for r in a38_stream_dsir_gate(spark, str(tmp_path)).collect()
+    }
+    assert got == {8: True, 18: True}
