@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     # twins deriving the same argmax merge sequence)
     "b117_bpe_merge_train",
     "b118_bpe_apply",
+    # round-10: GPT-3-style 13-gram benchmark decontamination rewrite
+    # (oracle-backed — shares b97's posting/interval-union CTE shape)
+    "b119_decontaminate_rewrite",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

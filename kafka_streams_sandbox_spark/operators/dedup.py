@@ -1508,6 +1508,18 @@ def span_removal_rewrite(docs: DataFrame, tokens: bool = False) -> DataFrame:
     marked = posting.join(dup, "sh").filter(
         F.col("doc_id") != F.col("keeper_doc")
     )
+    return rewrite_without_marked_spans(toks, marked)
+
+
+def rewrite_without_marked_spans(
+    toks: DataFrame, marked: DataFrame, span: int = B87_SPAN
+) -> DataFrame:
+    """Interval-union + linear rebuild shared by b97 (duplicated-span
+    marks, span=B87_SPAN) and b119 (benchmark-contaminated-span
+    marks, span=13): `marked` is any (doc_id, pos) relation of
+    `span`-token span starts to remove; `toks` the (doc_id, toks,
+    n_tokens) relation to rewrite. Emits (doc_id, n_tokens,
+    removed_tokens, kept_tokens, clean_text)."""
     # exact interval union per doc. The agg buffer holds DISTINCT span
     # STARTS (collect_set, <= n_spans <= doc length), never the
     # {B87_SPAN}x-expanded position lists — expanding inside the agg
@@ -1522,7 +1534,7 @@ def span_removal_rewrite(docs: DataFrame, tokens: bool = False) -> DataFrame:
             F.array_distinct(
                 F.flatten(
                     F.expr(
-                        f"transform(starts, p -> sequence(p, p + {B87_SPAN - 1}))"
+                        f"transform(starts, p -> sequence(p, p + {span - 1}))"
                     )
                 )
             ).alias("rm"),

@@ -407,6 +407,115 @@ def b62_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B119: benchmark decontamination as a corpus REWRITE
+# ---------------------------------------------------------------------------
+# b62 reports which corpus docs overlap the benchmark; production
+# pipelines REMOVE the overlap. Convention follows GPT-3's appendix-C
+# decontamination: any _B119_N-gram (13) of a training doc that
+# appears anywhere in the eval suite marks its token span for
+# removal; overlapping marks union exactly; the doc is rewritten
+# without the contaminated tokens (doc-level drop is the blunter
+# published variant — span removal keeps the doc's clean remainder).
+# Span machinery is b97's, shared via `rewrite_without_marked_spans`.
+
+_B119_N = 13
+
+B119_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, s.pos AS pos, s.sh AS sh
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {_B119_N - 2}),
+                          i -> {{'pos': i,
+                                 'sh': array_to_string(toks[i:i + {_B119_N - 1}], ' ')}})) AS s
+            FROM t
+            WHERE len(toks) >= {_B119_N}
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT sh FROM posting WHERE doc_id % 50 = 0
+    ),
+    rm AS (
+        SELECT p.doc_id,
+               list_distinct(flatten(list(range(p.pos, p.pos + {_B119_N}))))
+                   AS rm
+        FROM posting p JOIN bench b USING (sh)
+        WHERE p.doc_id % 50 != 0
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(r.rm), 0) AS BIGINT) AS removed_tokens,
+           CAST(COALESCE(len(t.toks), 0) - COALESCE(len(r.rm), 0) AS BIGINT)
+               AS kept_tokens,
+           COALESCE(array_to_string(
+               list_filter(
+                   list_transform(range(1, COALESCE(len(t.toks), 0) + 1),
+                                  i -> CASE WHEN NOT list_contains(
+                                                COALESCE(r.rm, []), i)
+                                            THEN t.toks[i] END),
+                   x -> x IS NOT NULL), ' '), '') AS clean_text
+    FROM t LEFT JOIN rm r ON t.doc_id = r.doc_id
+    WHERE t.doc_id % 50 != 0
+"""
+
+
+@query("b119_decontaminate_rewrite", oracle=B119_ORACLE)
+def b119_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a corpus rewrite (see section
+    header): remove every {_B119_N}-token span of a training doc whose
+    n-gram appears anywhere in the benchmark slice (doc_id % 50 == 0,
+    b62's rule), exact interval union, linear per-doc rebuild.
+
+    Plan (never all-pairs, one wide shuffle total): per-position
+    postings are map-only (xxhash64 span keys — hash-equality counts,
+    b62's argument); the benchmark's DISTINCT shingle set is
+    BROADCAST (an eval suite is KB-scale at 100 TB) so marking is a
+    map-side semi-join of the corpus posting; interval union groups
+    by doc_id holding only span STARTS (b97's spill argument); the
+    rebuild is the shared linear array_except kernel
+    (`rewrite_without_marked_spans`, dedup.py). Reference parity: the
+    sandbox has no corpus layer; mandated Layer-B surface.
+    """
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        rewrite_without_marked_spans,
+    )
+
+    docs = documents_wide(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
+    posting = (
+        toks.filter(F.col("n_tokens") >= _B119_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(toks) - {_B119_N - 1}),
+                        i -> struct(i AS pos,
+                                    xxhash64(concat_ws(' ', slice(toks, i, {_B119_N}))) AS sh))"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.sh")
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench_sh = posting.filter(is_bench).select("sh").distinct()
+    marked = posting.filter(~is_bench).join(
+        F.broadcast(bench_sh), "sh", "left_semi"
+    )
+    return rewrite_without_marked_spans(
+        toks.filter(~is_bench), marked, span=_B119_N
+    )
+
+
+# ---------------------------------------------------------------------------
 # B63: intra-document repetition (boilerplate / degenerate-text signal)
 # ---------------------------------------------------------------------------
 B63_ORACLE = f"""

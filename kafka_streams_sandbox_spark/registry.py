@@ -90,6 +90,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b117_bpe_merge_train",            # distributed BPE merge rounds
     "b118_bpe_apply",                  # BPE segmentation compression
     "a38_stream_dsir_gate",            # b116's frozen-histogram twin
+    "b119_decontaminate_rewrite",      # 13-gram benchmark decontam
     # --- changed in round 10: results identical by contract, code
     # rewritten (the r2 stale-row rule: every touched query re-rows) ---
     "b112_paragraph_dedup",            # narrow-shuffle keep-first core

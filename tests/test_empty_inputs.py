@@ -133,7 +133,16 @@ from kafka_streams_sandbox_spark.operators.selection import (  # noqa: E402
     b118_bpe_apply,  # r10: empty vocab join -> empty report
 )
 
-_QUERIES += [b116_dsir_selection, b117_bpe_merge_train, b118_bpe_apply]
+from kafka_streams_sandbox_spark.operators.pipeline import (  # noqa: E402
+    b119_decontaminate_rewrite,  # r10: empty posting -> no marks
+)
+
+_QUERIES += [
+    b116_dsir_selection,
+    b117_bpe_merge_train,
+    b118_bpe_apply,
+    b119_decontaminate_rewrite,
+]
 
 
 @pytest.mark.parametrize("fn", _QUERIES, ids=lambda f: f.__name__)
