@@ -311,11 +311,19 @@ B117_ORACLE = f"""
 """
 
 
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_vocab(
+    spark: SparkSession, sf_dir: str, docs_override: DataFrame | None = None
+) -> DataFrame:
     """(word, cnt, s) vocabulary with initial char symbols; the one
     corpus-wide pass, checkpointed so every merge round re-reads the
-    small vocab instead of re-tokenizing the corpus."""
-    docs = table(spark, sf_dir, "documents")
+    small vocab instead of re-tokenizing the corpus. `docs_override`
+    trains on a different slice (a39 freezes merges on the standing
+    corpus only)."""
+    docs = (
+        docs_override
+        if docs_override is not None
+        else table(spark, sf_dir, "documents")
+    )
     vocab = (
         docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
         .groupBy("w")
@@ -331,12 +339,15 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _BPE_MERGES,
+    docs_override: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run k merge rounds over the vocab; return (merge rows, vocab DF
     with the final symbol strings). Each round = one vocab scan + a
     ONE-ROW bounded collect (argmax pair)."""
-    vocab = _bpe_vocab(spark, sf_dir)
+    vocab = _bpe_vocab(spark, sf_dir, docs_override)
     syms = F.col("s")
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, k + 1):

@@ -2034,6 +2034,98 @@ def a38_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("a39_stream_bpe_segment")  # rows-only: streaming sink
+def a39_stream_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b117/b118's tokenizer in its deployment shape — train once,
+    segment at ingest (a31's PQ-encode pattern for the text side):
+    the BPE merge table trains ONCE on the standing corpus
+    (doc_id % 10 < 8, `_bpe_train` shared with b117), freezes as a
+    driver-bounded artifact (K (lhs, rhs) tuples), and every ARRIVING
+    doc is segmented as it lands.
+
+    Unlike b118's vocab-join plan (segment each DISTINCT word once —
+    right for a corpus-wide rewrite), ingest segmentation is
+    PER-OCCURRENCE and map-only: a micro-batch is small, carries
+    out-of-vocabulary words the standing vocab has never seen (they
+    segment on-the-fly through the same frozen replace chain — BPE's
+    whole point), and a standing-vocab join per batch would shuffle
+    the batch for no reason. The replace chain inlines into one
+    higher-order aggregate over the token array: zero shuffle, zero
+    Python, per-batch cost linear in batch text.
+
+    Output (doc_id, lang, n_words, n_syms); duality assert == batch
+    twin over the whole arriving slice (bit-identical integer sums).
+    """
+
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.selection import _bpe_train
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_schema = "doc_id bigint, lang string, n_words bigint, n_syms bigint"
+    cols = ["doc_id", "lang", "n_words", "n_syms"]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+
+    # frozen artifact: K merge tuples from the standing corpus
+    merges, _ = _bpe_train(
+        spark,
+        sf_dir,
+        docs_override=docs.filter(~is_new),
+    )
+
+    def seg_count(w):
+        s = F.concat(
+            F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" ")
+        )
+        for _step, lhs, rhs, _m, _pw in merges:
+            s = F.replace(
+                s, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        return F.size(F.split(F.trim(s), F.lit(" "))).cast("long")
+
+    def segment(frame: DataFrame) -> DataFrame:
+        toks = F.expr(TOKENS_EXPR)
+        return frame.select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_words"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + seg_count(w),
+            ).alias("n_syms"),
+        )
+
+    out_dir = scratch_dir("kss-a39-")
+
+    def seg_batch(bdf: DataFrame, batch_id: int) -> None:
+        segment(bdf.filter(is_new)).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(seg_batch)
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select(*cols)
+    except AnalysisException:  # zero batches -> no footer to infer
+        out = spark.createDataFrame([], out_schema)
+    assert_stream_batch_duality(
+        out, segment(docs.filter(is_new)), cols, "a39_stream_bpe_segment"
+    )
+    return out
+
+
 @query("a36_span_compaction")  # rows-only: versioned-store cadence
 def a36_span_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-rest span-removal COMPACTION on a cadence (r10, VERDICT r9

@@ -261,3 +261,60 @@ def test_a38_frozen_histograms_differ_from_self_trained(spark, tmp_path):
         for r in a38_stream_dsir_gate(spark, str(tmp_path)).collect()
     }
     assert got == {8: True, 18: True}
+
+
+def test_a39_oov_words_segment_through_frozen_merges(spark, tmp_path):
+    """Arriving words the standing vocab never saw still segment
+    through the frozen merge chain (BPE's point): standing corpus is
+    'ab'-heavy so the first merges include (a,b)->ab (then (ab,ab));
+    the arriving doc's OOV word 'ababab' (6 chars) must compress to
+    fewer symbols than characters via those frozen merges, and a pure
+    consonant string sharing no merge pair stays at one symbol per
+    char."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a39_stream_bpe_segment,
+    )
+
+    rows = [
+        # standing (doc_id % 10 < 8): words made of 'ab' units
+        (0, "abab abab ab abab", "en", "src0"),
+        (1, "ab abab ababab ab", "en", "src1"),
+        # arriving: OOV 'ababab' + merge-free 'xyz'
+        (8, "ababab xyz", "en", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = a39_stream_bpe_segment(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 8
+    assert out[0]["n_words"] == 2
+    # 'ababab' compresses below its 6 chars; 'xyz' stays 3 — and the
+    # exact total must match an independent re-derivation
+    wc = Counter()
+    for t in (rows[0][1], rows[1][1]):
+        wc.update(t.split())
+    merges, _ = _py_bpe(wc, _BPE_MERGES)
+    syms = {"ababab": list("ababab"), "xyz": list("xyz")}
+    for _step, lhs, rhs, _m, _pw in merges:
+        for w, s in syms.items():
+            o, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    o.append(lhs + rhs)
+                    i += 2
+                else:
+                    o.append(s[i])
+                    i += 1
+            syms[w] = o
+    expect = len(syms["ababab"]) + len(syms["xyz"])
+    assert out[0]["n_syms"] == expect
+    assert len(syms["ababab"]) < 6 and len(syms["xyz"]) == 3
