@@ -453,3 +453,27 @@ def test_exact_substring_runs_plan_shape(queries, spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count(") Window") == 2, plan  # run chaining + keeper election
+
+
+def test_dsir_scoring_pass_is_join_free(queries, spark, sf_dir):
+    """b116's scoring pass inlines the 256-bucket distributions as
+    literal arrays, so the only plan operators after the scan are a
+    projection and the final ~10-key aggregate: NO join anywhere (a
+    histogram join per token is the shape that does NOT survive
+    100 TB), and exactly one exchange (the final groupBy)."""
+    df = queries["b116_dsir_selection"](spark, sf_dir)
+    p = plan_string(df)
+    assert not has_operator(df, "Join"), p
+    assert count_shuffles(df) == 1, p
+    assert not uses_row_python_udf(df), p
+
+
+def test_decontaminate_marks_via_broadcast_semi_join(queries, spark, sf_dir):
+    """b119's benchmark shingle set must broadcast (an eval suite is
+    KB-scale at 100 TB): the mark join is a BroadcastHashJoin
+    LeftSemi, and the plan carries no nested-loop join."""
+    df = queries["b119_decontaminate_rewrite"](spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert not uses_row_python_udf(df), p
