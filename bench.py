@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     # round-10: GPT-3-style 13-gram benchmark decontamination rewrite
     # (oracle-backed — shares b97's posting/interval-union CTE shape)
     "b119_decontaminate_rewrite",
+    # round-10: hashed logistic quality classifier (rows-only —
+    # iterative float GD; Spark-timed row, shared membership untouched)
+    "b120_quality_classifier",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -92,6 +92,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "a38_stream_dsir_gate",            # b116's frozen-histogram twin
     "b119_decontaminate_rewrite",      # 13-gram benchmark decontam
     "a39_stream_bpe_segment",          # frozen-merge BPE at ingest
+    "b120_quality_classifier",         # hashed logistic quality model
     # --- changed in round 10: results identical by contract, code
     # rewritten (the r2 stale-row rule: every touched query re-rows) ---
     "b112_paragraph_dedup",            # narrow-shuffle keep-first core

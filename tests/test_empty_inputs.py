@@ -136,12 +136,16 @@ from kafka_streams_sandbox_spark.operators.selection import (  # noqa: E402
 from kafka_streams_sandbox_spark.operators.pipeline import (  # noqa: E402
     b119_decontaminate_rewrite,  # r10: empty posting -> no marks
 )
+from kafka_streams_sandbox_spark.operators.selection import (  # noqa: E402
+    b120_quality_classifier,  # r10: zero features -> zero GD rounds
+)
 
 _QUERIES += [
     b116_dsir_selection,
     b117_bpe_merge_train,
     b118_bpe_apply,
     b119_decontaminate_rewrite,
+    b120_quality_classifier,
 ]
 
 

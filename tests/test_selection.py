@@ -318,3 +318,105 @@ def test_a39_oov_words_segment_through_frozen_merges(spark, tmp_path):
     expect = len(syms["ababab"]) + len(syms["xyz"])
     assert out[0]["n_syms"] == expect
     assert len(syms["ababab"]) < 6 and len(syms["xyz"]) == 3
+
+
+def _write_planted(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_b120_planted_separation(spark, tmp_path):
+    """On a separable planted corpus ('alpha'-docs curated,
+    'omega'-docs raw) the 3-round GD must classify every doc
+    correctly; after round 1 the weights are already hand-derivable
+    (w[b_alpha] = +lr/4, w[b_omega] = -lr/4 with balanced classes and
+    zero init), so separation here is arithmetic, not luck."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        b120_quality_classifier,
+    )
+
+    rows = [
+        (0, "alpha alpha alpha", "en", "src0"),
+        (1, "alpha alpha", "en", "src1"),
+        (10, "omega omega omega", "en", "src9"),
+        (11, "omega omega", "en", "src9"),
+    ]
+    got = {
+        (r["y"], r["predicted"]): r["n_docs"]
+        for r in b120_quality_classifier(
+            spark, _write_planted(tmp_path, rows)
+        ).collect()
+    }
+    assert got == {(1, True): 2, (0, False): 2}
+
+
+def test_b120_matches_numpy_rederivation(spark, docs_small):
+    """Full numpy re-derivation of the 3-round GD on sf0.001: same
+    features, same update rule; final weights within float-summation
+    tolerance and identical confusion counts."""
+    import numpy as np
+
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _B120_ITERS,
+        _B120_LR,
+        b120_quality_classifier,
+        train_quality_classifier,
+    )
+    from kafka_streams_sandbox_spark.catalog import table
+
+    doc_ids, texts, langs, sources = docs_small
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+    feats = []
+    for text, lang, src in zip(texts, langs, sources):
+        toks = [w for w in text.split() if w]
+        if not toks:
+            continue
+        x = np.zeros(_DSIR_D)
+        for w in toks:
+            x[bucket(w)] += 1.0
+        feats.append((x / len(toks), 1.0 if src in _DSIR_TARGET else 0.0,
+                      lang))
+    X = np.array([f[0] for f in feats])
+    y = np.array([f[1] for f in feats])
+    n = len(feats)
+    w = np.zeros(_DSIR_D)
+    b = 0.0
+    for _ in range(_B120_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        err = p - y
+        w -= _B120_LR * (X.T @ err) / n
+        b -= _B120_LR * err.sum() / n
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "is_target",
+        __import__("pyspark.sql.functions", fromlist=["col"]).col(
+            "source"
+        ).isin("src0", "src1", "src2", "src3"),
+    )
+    got_w, got_b, _ = train_quality_classifier(docs)
+    assert abs(got_b - b) < 1e-9
+    assert np.max(np.abs(np.array(got_w) - w)) < 1e-9
+
+    expect = {}
+    for (x, yy, lang) in feats:
+        pred = (x @ w + b) > 0
+        k = (lang, int(yy), bool(pred))
+        expect[k] = expect.get(k, 0) + 1
+    got = {
+        (r["lang"], r["y"], bool(r["predicted"])): r["n_docs"]
+        for r in b120_quality_classifier(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
