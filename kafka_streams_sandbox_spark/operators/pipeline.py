@@ -466,6 +466,43 @@ B119_ORACLE = f"""
 """
 
 
+def span_posting(toks: DataFrame, span: int) -> DataFrame:
+    """Per-position span-hash posting (doc_id, pos, sh) over a
+    (doc_id, toks, n_tokens) relation — map-only. Shared by b119 and
+    its ingest twin a40 so the marking key cannot drift."""
+    return (
+        toks.filter(F.col("n_tokens") >= span)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(toks) - {span - 1}),
+                        i -> struct(i AS pos,
+                                    xxhash64(concat_ws(' ', slice(toks, i, {span}))) AS sh))"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.sh")
+    )
+
+
+def decontaminate_against(
+    toks: DataFrame, bench_sh: DataFrame, span: int
+) -> DataFrame:
+    """Rewrite `toks` (doc_id, toks, n_tokens) without any span whose
+    hash appears in `bench_sh` (a (sh) relation, broadcast — an eval
+    suite is KB-scale): b119's marking + the shared interval-union
+    rebuild."""
+    from kafka_streams_sandbox_spark.operators.dedup import (
+        rewrite_without_marked_spans,
+    )
+
+    marked = span_posting(toks, span).join(
+        F.broadcast(bench_sh), "sh", "left_semi"
+    )
+    return rewrite_without_marked_spans(toks, marked, span=span)
+
+
 @query("b119_decontaminate_rewrite", oracle=B119_ORACLE)
 def b119_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination as a corpus rewrite (see section
@@ -483,35 +520,16 @@ def b119_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`rewrite_without_marked_spans`, dedup.py). Reference parity: the
     sandbox has no corpus layer; mandated Layer-B surface.
     """
-    from kafka_streams_sandbox_spark.operators.dedup import (
-        rewrite_without_marked_spans,
-    )
-
     docs = documents_wide(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.expr(TOKENS_EXPR).alias("toks")
     ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
-    posting = (
-        toks.filter(F.col("n_tokens") >= _B119_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(1, size(toks) - {_B119_N - 1}),
-                        i -> struct(i AS pos,
-                                    xxhash64(concat_ws(' ', slice(toks, i, {_B119_N}))) AS sh))"""
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.pos", "s.sh")
-    )
     is_bench = F.col("doc_id") % 50 == 0
-    bench_sh = posting.filter(is_bench).select("sh").distinct()
-    marked = posting.filter(~is_bench).join(
-        F.broadcast(bench_sh), "sh", "left_semi"
+    bench_sh = (
+        span_posting(toks.filter(is_bench), _B119_N).select("sh").distinct()
     )
-    return rewrite_without_marked_spans(
-        toks.filter(~is_bench), marked, span=_B119_N
+    return decontaminate_against(
+        toks.filter(~is_bench), bench_sh, span=_B119_N
     )
 
 

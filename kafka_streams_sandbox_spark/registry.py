@@ -93,6 +93,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "b119_decontaminate_rewrite",      # 13-gram benchmark decontam
     "a39_stream_bpe_segment",          # frozen-merge BPE at ingest
     "b120_quality_classifier",         # hashed logistic quality model
+    "a40_stream_decontaminate",        # b119's frozen-set ingest twin
     # --- changed in round 10: results identical by contract, code
     # rewritten (the r2 stale-row rule: every touched query re-rows) ---
     "b112_paragraph_dedup",            # narrow-shuffle keep-first core

@@ -2126,6 +2126,100 @@ def a39_stream_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("a40_stream_decontaminate")  # rows-only: streaming sink
+def a40_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b119's decontamination in its deployment shape: the benchmark
+    (eval-suite) 13-gram hash set FREEZES from the standing corpus's
+    benchmark docs (doc_id % 10 < 8 AND % 50 == 0 — eval suites exist
+    before training data arrives), persists DISK_ONLY (a33's
+    standing-artifact discipline), and every ARRIVING training doc is
+    span-rewritten against it as it lands — new data is decontaminated
+    BEFORE it joins the corpus, so the at-rest b119 pass never has to
+    chase it.
+
+    Per micro-batch: map-only posting (shared `span_posting`) →
+    broadcast left-semi mark against the frozen set (KB-scale at
+    100 TB) → the shared interval-union rebuild
+    (`decontaminate_against`, pipeline.py — b119's exact kernel, so
+    batch and ingest cannot drift). A doc's rewrite depends only on
+    (its own text, the frozen set), so micro-batch boundaries cannot
+    change it: the in-query duality assert pins stream == the batch
+    twin over the whole arriving slice, bit-identical clean_text."""
+
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        _B119_N,
+        decontaminate_against,
+        span_posting,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_schema = (
+        "doc_id bigint, n_tokens bigint, removed_tokens bigint, "
+        "kept_tokens bigint, clean_text string"
+    )
+    cols = [
+        "doc_id",
+        "n_tokens",
+        "removed_tokens",
+        "kept_tokens",
+        "clean_text",
+    ]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    is_bench = F.col("doc_id") % 50 == 0
+
+    def toks_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+        ).withColumn("n_tokens", F.coalesce(F.size("toks"), F.lit(0)))
+
+    bench_sh = (
+        span_posting(toks_of(docs.filter(~is_new & is_bench)), _B119_N)
+        .select("sh")
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    bench_sh.count()  # materialize once, before the stream starts
+    out_dir = scratch_dir("kss-a40-")
+    try:
+
+        def rewrite_batch(bdf: DataFrame, batch_id: int) -> None:
+            decontaminate_against(
+                toks_of(bdf.filter(is_new & ~is_bench)), bench_sh, _B119_N
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        q = (
+            documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(rewrite_batch)
+            .option("checkpointLocation", scratch_dir("kss-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            out = spark.read.option("recursiveFileLookup", "true").parquet(
+                out_dir
+            ).select(*cols)
+        except AnalysisException:  # zero batches -> no footer to infer
+            out = spark.createDataFrame([], out_schema)
+        assert_stream_batch_duality(
+            out,
+            decontaminate_against(
+                toks_of(docs.filter(is_new & ~is_bench)), bench_sh, _B119_N
+            ),
+            cols,
+            "a40_stream_decontaminate",
+        )
+    finally:
+        bench_sh.unpersist()
+    return out
+
+
 @query("a36_span_compaction")  # rows-only: versioned-store cadence
 def a36_span_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-rest span-removal COMPACTION on a cadence (r10, VERDICT r9

@@ -86,3 +86,36 @@ def test_b119_overlapping_occurrences_union_exactly(spark, tmp_path):
     assert r7["n_tokens"] == 2 + 2 * _B119_N
     assert r7["removed_tokens"] == 2 * _B119_N
     assert r7["clean_text"] == " ".join(head)
+
+
+def test_a40_arriving_doc_rewrites_against_standing_benchmark(
+    spark, tmp_path
+):
+    """The frozen set comes from the STANDING corpus's benchmark docs:
+    an arriving doc embedding a standing benchmark passage loses it;
+    an arriving doc of fresh tokens is untouched. (Under the %10/%50
+    id rules no arriving doc can itself be benchmark, so the frozen
+    set is complete by construction.)"""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a40_stream_decontaminate,
+    )
+
+    passage = [f"bench{i}" for i in range(_B119_N)]  # one 13-gram
+    head = ["h0", "h1"]
+    rows = [
+        (0, " ".join(passage)),  # standing benchmark (0 % 50 == 0)
+        (1, "just a standing training doc"),  # standing, non-bench
+        (8, " ".join(head + passage)),  # arriving, contaminated
+        (18, "fresh tokens only nothing shared"),  # arriving, clean
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in a40_stream_decontaminate(
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {8, 18}  # standing docs are not re-emitted
+    assert out[8]["removed_tokens"] == _B119_N
+    assert out[8]["clean_text"] == " ".join(head)
+    assert out[18]["removed_tokens"] == 0
+    assert out[18]["clean_text"] == "fresh tokens only nothing shared"
