@@ -192,12 +192,22 @@ def dsir_score(
         f" CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT) + 1) + 1"
         f" AS DECIMAL(38,0)) * {t_tot + _DSIR_D}))"
     )
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.expr(vote).cast("long").alias("n_pos"),
-        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tok"),
-    ).withColumn("selected", 2 * F.col("n_pos") > F.col("n_tok"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(vote).cast("long").alias("n_pos"),
+            F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tok"),
+        )
+        # token-free docs (NULL/empty/whitespace text) carry no DSIR
+        # evidence and are excluded — the same population the SQL
+        # oracle scores (unnest of an empty token list emits no rows),
+        # and the guard that keeps NULL text from surfacing NULL
+        # counts (size(split(NULL)) is NULL, found by the r10 hostile
+        # corpus)
+        .filter(F.col("n_tok") > 0)
+        .withColumn("selected", 2 * F.col("n_pos") > F.col("n_tok"))
+    )
 
 
 @query("b116_dsir_selection", oracle=B116_ORACLE)

@@ -282,3 +282,62 @@ def test_paragraph_dedup_on_hostile_docs(spark, hostile_dir):
     assert out[8]["kept_paras"] == out[8]["n_paras"] > 0
     assert (out[9]["kept_paras"], out[9]["new_text"]) == (0, "")
     assert out[9]["n_paras"] == out[8]["n_paras"]
+
+
+def test_selection_family_survives_hostile_docs(spark, hostile_dir):
+    """r10: the selection/tokenizer family on the hostile corpus. All
+    sources here are 'srcH' (raw), so b116 scores every doc; NULL and
+    token-free texts must flow through the vote/BPE/GD paths without
+    crashing, with sane degenerate outputs."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        b116_dsir_selection,
+        b117_bpe_merge_train,
+        b118_bpe_apply,
+        b120_quality_classifier,
+    )
+
+    # DSIR: token-free docs (NULL/empty/whitespace) are excluded —
+    # the population the SQL oracle scores; counts are never NULL
+    # (size(split(NULL)) is NULL — the guard this corpus found)
+    rows = b116_dsir_selection(spark, hostile_dir).collect()
+    assert rows, "aggregate must not be empty"
+    n_tokenful = sum(1 for _id, t in _DOCS if t is not None and t.split())
+    assert sum(r["n_docs"] for r in rows) == n_tokenful
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert r["sum_tokens"] > 0 and r["sum_pos_votes"] >= 0
+
+    merges = b117_bpe_merge_train(spark, hostile_dir).collect()
+    assert all(m["pair_count"] > 0 for m in merges)
+
+    seg = b118_bpe_apply(spark, hostile_dir).collect()
+    for r in seg:
+        assert r["n_words"] <= r["total_symbols"] <= r["total_chars"]
+
+    conf = b120_quality_classifier(spark, hostile_dir).collect()
+    # token-free docs (NULL/empty/whitespace) are excluded by the
+    # n_tok > 0 guard; the rest all classify
+    n_tokenful = sum(
+        1 for _id, t in _DOCS if t is not None and t.split()
+    )
+    assert sum(r["n_docs"] for r in conf) == n_tokenful
+
+
+def test_decontaminate_survives_hostile_docs(spark, hostile_dir):
+    """r10: b119 on the hostile corpus — doc 0 (NULL text) is the
+    benchmark slice (0 % 50 == 0), so the frozen set is empty and
+    every non-benchmark doc passes through untouched (clean_text ==
+    its token-normalized text, '' for NULL/whitespace)."""
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        b119_decontaminate_rewrite,
+    )
+
+    out = {r["doc_id"]: r for r in
+           b119_decontaminate_rewrite(spark, hostile_dir).collect()}
+    assert set(out) == {d[0] for d in _DOCS if d[0] % 50 != 0}
+    for r in out.values():
+        assert r["removed_tokens"] == 0
+        assert r["n_tokens"] >= 0
+    assert out[1]["clean_text"] == ""  # empty text
+    assert out[2]["clean_text"] == ""  # whitespace-only
+    assert out[11]["clean_text"] == ""  # NULL text

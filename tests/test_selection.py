@@ -132,6 +132,8 @@ def test_b116_matches_pure_python_rederivation(spark, docs_small):
         if src in _DSIR_TARGET:
             continue
         toks = [w for w in text.split() if w]
+        if not toks:  # token-free docs are excluded (oracle semantics)
+            continue
         n_pos = sum(
             1
             for w in toks
