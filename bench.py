@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     # round-10: hashed logistic quality classifier (rows-only —
     # iterative float GD; Spark-timed row, shared membership untouched)
     "b120_quality_classifier",
+    # round-11: DSIR at its published bigram unit (oracle-backed —
+    # b116's hist-join twin over zip-unnested pairs)
+    "b121_dsir_bigram_selection",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -75,6 +75,26 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
 
 _BUCKET_HEX = "0123456789abcdef"
 
+# gram-unit array exprs (r11, VERDICT r10 #5): published DSIR hashes
+# BIGRAMS, not unigrams — the bucket geometry (256 here vs DSIR's
+# ~1e4) stays a fixture constant either way, but the hashed UNIT is
+# parameterized so b121 registers the paper-faithful bigram form
+# while b116/a38 keep the unigram anchor. Adjacent-pair strings are
+# built from the token array scan-side (element_at over a sequence —
+# no explode until the histogram pass); docs with < 2 tokens carry no
+# bigram evidence and yield an empty array (excluded by the same
+# n > 0 rule that excludes token-free docs in the unigram form).
+_GRAMS_EXPR = {
+    "uni": TOKENS_EXPR,
+    "bi": (
+        f"CASE WHEN size({TOKENS_EXPR}) >= 2 THEN "
+        f"transform(sequence(1, size({TOKENS_EXPR}) - 1), "
+        f"i -> concat(element_at({TOKENS_EXPR}, i), ' ', "
+        f"element_at({TOKENS_EXPR}, i + 1))) "
+        f"ELSE cast(array() as array<string>) END"
+    ),
+}
+
 
 def _duck_bucket(expr: str) -> str:
     """DuckDB: first-2-hex-chars-of-md5 → 0..255 (b57 idiom)."""
@@ -84,16 +104,10 @@ def _duck_bucket(expr: str) -> str:
     )
 
 
-B116_ORACLE = f"""
-    WITH tok AS (
-        SELECT doc_id, lang,
-               source IN ('src0','src1','src2','src3') AS is_target,
-               unnest(list_filter(
-                   regexp_split_to_array(trim(text), '\\s+'),
-                   t -> t != '')) AS w
-        FROM documents
-    ),
-    bucketed AS (
+# everything downstream of the gram-unit rows is IDENTICAL between
+# the unigram (b116) and bigram (b121) forms — one shared SQL body,
+# two `tok` CTE heads
+_DSIR_ORACLE_BODY = f"""bucketed AS (
         SELECT doc_id, lang, is_target, {_duck_bucket('w')} AS bucket
         FROM tok
     ),
@@ -137,21 +151,34 @@ B116_ORACLE = f"""
     GROUP BY 1, 2
 """
 
+B116_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               source IN ('src0','src1','src2','src3') AS is_target,
+               unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t != '')) AS w
+        FROM documents
+    ),
+    {_DSIR_ORACLE_BODY}
+"""
+
 
 def dsir_histograms(
     docs: DataFrame,
+    gram: str = "uni",
 ) -> tuple[list[int], list[int], int, int]:
-    """One 256-key partial-agg token pass over `docs` (which must
+    """One 256-key partial-agg gram pass over `docs` (which must
     carry an `is_target` boolean) → (c_t, c_r, t_tot, r_tot), the
     driver-bounded frozen artifact (≤512 collected rows). Shared by
-    b116 (self-corpus histograms) and a38 (standing-corpus frozen
-    histograms)."""
+    b116 (self-corpus histograms), b121 (bigram units) and a38
+    (standing-corpus frozen histograms)."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("w")), 1, 2), 16, 10).cast("int")
     )
     hist_rows = (
         docs.select(
-            "is_target", F.explode(F.expr(TOKENS_EXPR)).alias("w")
+            "is_target", F.explode(F.expr(_GRAMS_EXPR[gram])).alias("w")
         )
         .select("is_target", bucket.alias("bucket"))
         .groupBy("bucket")
@@ -175,16 +202,19 @@ def dsir_score(
     c_r: list[int],
     t_tot: int,
     r_tot: int,
+    gram: str = "uni",
 ) -> DataFrame:
     """Map-only DSIR vote scoring of `docs` against the (c_t, c_r)
-    distributions: (doc_id, lang, n_pos, n_tok, selected). The
-    distributions are inlined as literal arrays so the pass has zero
-    per-token shuffle; votes are exact integer cross-products in
-    DECIMAL(38,0) (module header)."""
+    distributions: (doc_id, lang, n_pos, n_tok, selected) — n_tok is
+    the number of scored gram units (tokens for "uni", adjacent pairs
+    for "bi"). The distributions are inlined as literal arrays so the
+    pass has zero per-token shuffle; votes are exact integer
+    cross-products in DECIMAL(38,0) (module header)."""
+    grams = _GRAMS_EXPR[gram]
     ct_arr = "array(" + ",".join(str(x) for x in c_t) + ")"
     cr_arr = "array(" + ",".join(str(x) for x in c_r) + ")"
     vote = (
-        f"size(filter({TOKENS_EXPR}, t -> "
+        f"size(filter({grams}, t -> "
         f"CAST(element_at({ct_arr},"
         f" CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT) + 1) + 1"
         f" AS DECIMAL(38,0)) * {r_tot + _DSIR_D} > "
@@ -197,7 +227,7 @@ def dsir_score(
             "doc_id",
             "lang",
             F.expr(vote).cast("long").alias("n_pos"),
-            F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tok"),
+            F.expr(f"size({grams})").cast("long").alias("n_tok"),
         )
         # token-free docs (NULL/empty/whitespace text) carry no DSIR
         # evidence and are excluded — the same population the SQL
@@ -207,6 +237,29 @@ def dsir_score(
         # corpus)
         .filter(F.col("n_tok") > 0)
         .withColumn("selected", 2 * F.col("n_pos") > F.col("n_tok"))
+    )
+
+
+def _dsir_selection(
+    spark: SparkSession, sf_dir: str, gram: str
+) -> DataFrame:
+    """Shared b116/b121 body: histogram pass + map-only vote pass at
+    the given gram unit."""
+    docs = table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+
+    c_t, c_r, t_tot, r_tot = dsir_histograms(
+        docs.withColumn("is_target", is_target), gram
+    )
+    return (
+        dsir_score(docs.filter(~is_target), c_t, c_r, t_tot, r_tot, gram)
+        .groupBy("lang", "selected")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("sum_pos_votes"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
     )
 
 
@@ -225,22 +278,42 @@ def b116_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
               (lang, selected) groupBy over ~10 keys.
     Zero per-token shuffle in pass 2; no Python anywhere.
     """
-    docs = table(spark, sf_dir, "documents")
-    is_target = F.col("source").isin(*_DSIR_TARGET)
+    return _dsir_selection(spark, sf_dir, "uni")
 
-    c_t, c_r, t_tot, r_tot = dsir_histograms(
-        docs.withColumn("is_target", is_target)
-    )
-    return (
-        dsir_score(docs.filter(~is_target), c_t, c_r, t_tot, r_tot)
-        .groupBy("lang", "selected")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_pos").alias("sum_pos_votes"),
-            F.sum("n_tok").alias("sum_tokens"),
-            F.min("doc_id").alias("min_doc_id"),
-        )
-    )
+
+B121_ORACLE = f"""
+    WITH tokl AS (
+        SELECT doc_id, lang,
+               source IN ('src0','src1','src2','src3') AS is_target,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS l
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, lang, is_target, u.p[1] || ' ' || u.p[2] AS w
+        FROM tokl, UNNEST(list_zip(l, l[2:])) AS u(p)
+        WHERE u.p[2] IS NOT NULL
+    ),
+    {_DSIR_ORACLE_BODY}
+"""
+
+
+@query("b121_dsir_bigram_selection", oracle=B121_ORACLE)
+def b121_dsir_bigram_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b116 at the gram unit DSIR actually publishes (r11, VERDICT
+    r10 #5): Xie et al. 2023 hash BIGRAMS of adjacent tokens into
+    buckets; the vote arithmetic, smoothing, and strict-majority rule
+    are b116's verbatim (`_dsir_selection`), so the query stays
+    hash-exact — the cross-products are integer regardless of the
+    unit. Docs with < 2 tokens carry no bigram evidence and are
+    excluded by the same n > 0 rule that excludes token-free docs in
+    the unigram form (the oracle's zip-unnest emits no pair rows for
+    them). 256-bucket geometry is kept for the fixture (DSIR's ~1e4
+    is a constant, not a scale knob — the frozen artifact stays
+    driver-bounded either way)."""
+    return _dsir_selection(spark, sf_dir, "bi")
 
 
 # ---------------------------------------------------------------------------
@@ -252,11 +325,18 @@ def b116_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary weighted by word frequency — one corpus pass builds the
 # (word, count) table, after which every merge round touches only the
 # vocab. Symbols are kept as a space-joined string with sentinel
-# spaces (' h e l l o ') so a merge is one boundary-safe
-# replace(' a b ' → ' ab '); left-to-right non-overlapping replace
-# semantics are identical in Spark (Java String.replace), DuckDB, and
-# Python str.replace — verified by tests/test_selection.py's
-# independent list-scan re-derivation.
+# spaces (' h e l l o '); a merge round applies the CANONICAL
+# left-to-right single-pass scan (merge at i, continue at i+2 — the
+# exact semantics of Sennrich's `(?<!\S)lhs rhs(?!\S)` re.sub and of
+# tests/test_selection.py's `_py_bpe`), implemented as a fold over
+# the split symbol array (`_merge_symbols` below / a `list_reduce`
+# string fold in the DuckDB oracle). NOT a sentinel-space
+# `replace(' a b ' → ' ab ')`: replace CONSUMES the shared boundary
+# space, so consecutive occurrences (' a b a b ' → ' ab a b ') are
+# missed, the same pair can be re-elected in a later round, and the
+# merge table diverges from canonical BPE on any corpus with words
+# like 'abab' (ADVICE r10 #1 — caught by simulation; the planted
+# consecutive-pair test pins the fold against the list scan).
 #
 # Tie-break: (pair_count DESC, lhs ASC, rhs ASC) — total order, so the
 # merge sequence is deterministic and the unrolled SQL oracle below
@@ -269,9 +349,56 @@ _DUCK_TOKENS = (
 )
 
 
+def _merge_symbols(syms_col, lhs: str, rhs: str):
+    """One canonical BPE merge round over a sentinel-space symbol
+    string column: fold the split symbol array left-to-right, merging
+    (lhs, rhs) at non-overlapping sites exactly like the `_py_bpe`
+    while-loop (merged = lhs||rhs can never re-match lhs within the
+    same round — rhs is non-empty — so the fold's last-element check
+    reproduces the scan's i += 2 skip, including the lhs == rhs run
+    case ' a a a a a ' → 'aa aa a'). All comparisons go through
+    Column lambdas (F.lit on the Python strings), so corpus symbols
+    containing quotes or regex metachars need no escaping."""
+    merged = lhs + rhs
+    syms = F.split(F.trim(syms_col), " ")
+
+    def step(acc, x):
+        do = (
+            (F.get(acc, F.size(acc) - 1) == F.lit(lhs))
+            & (x == F.lit(rhs))
+        )
+        return F.when(
+            do,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    folded = F.aggregate(syms, F.array().cast("array<string>"), step)
+    return F.concat(F.lit(" "), F.array_join(folded, " "), F.lit(" "))
+
+
+# DuckDB twin of `_merge_symbols`: a list_reduce string fold (the
+# accumulator is the space-joined output-so-far; its last symbol is
+# checked via a suffix compare — right(), not LIKE, so '%'/'_' in
+# corpus symbols can't act as pattern metachars). list_reduce seeds
+# with the first element, which equals the scan's out=[sym0] start;
+# single-symbol words pass through unchanged.
+def _duck_merge_fold(lhs: str, rhs: str) -> str:
+    return f"""' ' || list_reduce(string_split(trim(s), ' '),
+        (acc, x) -> CASE
+            WHEN x = {rhs} AND (acc = {lhs}
+                 OR right(acc, length({lhs}) + 1) = ' ' || {lhs})
+            THEN CASE WHEN acc = {lhs} THEN {lhs} || {rhs}
+                 ELSE left(acc, length(acc) - length({lhs}))
+                      || {lhs} || {rhs} END
+            ELSE acc || ' ' || x END) || ' '"""
+
+
 def _b117_chain_sql(k: int) -> str:
     """Unrolled v0→vk CTE chain: vocab with space-joined symbol
-    strings, one (pairs → argmax → replace) level per merge."""
+    strings, one (pairs → argmax → canonical merge fold) level per
+    merge."""
     parts = [
         f"""tok AS MATERIALIZED (
         SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w FROM documents
@@ -300,11 +427,9 @@ def _b117_chain_sql(k: int) -> str:
     ),
     v{i + 1} AS MATERIALIZED (
         SELECT w, cnt,
-               replace(s,
-                       ' ' || (SELECT lhs FROM m{i}) || ' '
-                           || (SELECT rhs FROM m{i}) || ' ',
-                       ' ' || (SELECT lhs || rhs FROM m{i}) || ' ') AS s
-        FROM v{i}
+               CASE WHEN m.lhs IS NULL THEN s
+                    ELSE {_duck_merge_fold("m.lhs", "m.rhs")} END AS s
+        FROM v{i} LEFT JOIN m{i} AS m ON TRUE
     )""")
     return ",\n    ".join(parts)
 
@@ -354,8 +479,12 @@ def _bpe_vocab(
 # and b118 (and repeated bench invocations) must not re-run the merge
 # loop per query. Only the default whole-corpus path memoizes —
 # docs_override callers (a39's standing-corpus slice) manage their own
-# artifact lifetime.
-_BPE_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+# artifact lifetime. Bounded to ONE live entry (ADVICE r10 #3): the
+# value carries the checkpointed vocab HANDLE (not just the derived
+# result frame) so eviction can release the checkpoint blocks.
+_BPE_CACHE: dict[
+    tuple[str, str, int], tuple[list, DataFrame, DataFrame]
+] = {}
 
 
 def _bpe_train(
@@ -369,7 +498,8 @@ def _bpe_train(
     ONE-ROW bounded collect (argmax pair)."""
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if docs_override is None and key in _BPE_CACHE:
-        return _BPE_CACHE[key]
+        merges, final, _ckpt = _BPE_CACHE[key]
+        return merges, final
     vocab = _bpe_vocab(spark, sf_dir, docs_override)
     syms = F.col("s")
     merges: list[tuple[int, str, str, str, int]] = []
@@ -400,15 +530,24 @@ def _bpe_train(
             break
         lhs, rhs, pw = top[0]["lhs"], top[0]["rhs"], top[0]["pw"]
         merges.append((step, lhs, rhs, lhs + rhs, pw))
-        syms = F.replace(
-            syms,
-            F.lit(f" {lhs} {rhs} "),
-            F.lit(f" {lhs}{rhs} "),
-        )
-    result = (merges, vocab.select("w", "cnt", syms.alias("s")))
+        syms = _merge_symbols(syms, lhs, rhs)
+    final = vocab.select("w", "cnt", syms.alias("s"))
     if docs_override is None:
-        _BPE_CACHE[key] = result
-    return result
+        # bound the memo to ONE live entry (ADVICE r10 #3): a
+        # long-lived session touching many corpora (the pytest
+        # session's per-test tmp dirs) must not pin one checkpointed
+        # vocab per (appId, sf_dir, k) for the application lifetime —
+        # evicting a stale entry releases its checkpoint blocks via
+        # the same helper the streaming callers use
+        from kafka_streams_sandbox_spark.session import (
+            release_local_checkpoint,
+        )
+
+        for old_key in [k_ for k_ in _BPE_CACHE if k_ != key]:
+            _, _, old_ckpt = _BPE_CACHE.pop(old_key)
+            release_local_checkpoint(old_ckpt)
+        _BPE_CACHE[key] = (merges, final, vocab)
+    return merges, final
 
 
 @query("b117_bpe_merge_train", oracle=B117_ORACLE)
@@ -520,19 +659,21 @@ _B120_ITERS = 3
 _B120_LR = 5.0
 
 
+_B120_BUCKET_OF = "t -> CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT)"
+
+
 def _b120_base(docs: DataFrame):
     """Narrow per-doc frame (lang, y, n_tok, barr): bucketed token
     ids, MAP-ONLY (no shuffle), checkpointed once for the GD rounds +
     scoring pass."""
-    bucket_of = (
-        "t -> CAST(conv(substring(md5(t), 1, 2), 16, 10) AS INT)"
-    )
     return lazy_checkpoint(
         docs.select(
             "lang",
             F.col("is_target").cast("int").alias("y"),
             F.expr(f"size({TOKENS_EXPR})").alias("n_tok"),
-            F.expr(f"transform({TOKENS_EXPR}, {bucket_of})").alias("barr"),
+            F.expr(f"transform({TOKENS_EXPR}, {_B120_BUCKET_OF})").alias(
+                "barr"
+            ),
         ).filter(F.col("n_tok") > 0)
     )
 
@@ -593,6 +734,37 @@ def train_quality_classifier(
             else:
                 weights[row["b"]] -= _B120_LR * row["gw"] / n
     return weights, bias, base
+
+
+def quality_score_frame(
+    docs: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """Frozen-weights scoring of any (doc_id, lang, text) relation —
+    a41's per-batch pass, shared with b120's in-training scorer via
+    `_b120_logit` so train-time and deploy-time logits cannot drift.
+    MAP-ONLY: the 257-float artifact inlines as a literal array, the
+    logit is one higher-order aggregate over the bucketed token
+    array, and token-free docs are excluded (no evidence — b116's
+    n_tok > 0 rule). Output (doc_id, lang, logit, predicted); the
+    logit is a per-row sequential fold, so it is bit-deterministic
+    across micro-batch boundaries (what a41's duality assert pins)."""
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(f"size({TOKENS_EXPR})").alias("n_tok"),
+            F.expr(f"transform({TOKENS_EXPR}, {_B120_BUCKET_OF})").alias(
+                "barr"
+            ),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            _b120_logit(weights, bias).alias("logit"),
+        )
+        .withColumn("predicted", F.col("logit") > 0)
+    )
 
 
 @query("b120_quality_classifier")  # rows-only: iterative float fitting

@@ -168,6 +168,22 @@ def lazy_checkpoint(df, disk: bool = True, keep_in_audit: bool = False):
     spill, never pin heap); ``disk=False`` keeps Spark's default
     level for small frames.
 
+    NOT-SO-LAZY CAVEAT (r11, the a37 root cause — VERDICT r10 #1):
+    under AQE, ``localCheckpoint(eager=False)`` materializes every
+    SHUFFLE stage of the checkpointed plan synchronously inside the
+    call (`AdaptiveSparkPlanExec.doExecute()` must run
+    getFinalPhysicalPlan(), which executes query stages to re-plan) —
+    only the final result stage is deferred. Two consequences for hot
+    per-batch paths: the call itself costs the plan's shuffle wall,
+    and a SECOND checkpoint call whose plan shares un-truncated
+    upstream with the first RE-EXECUTES those stages (exchange reuse
+    is per-query; the first checkpoint's blocks don't exist until an
+    action runs its result stage). a37 paid ~330 of its ~345 s/batch
+    at 100x to exactly this (BASELINE round-11 receipts). For frames
+    consumed per micro-batch, stage SCRATCH PARQUET instead (the
+    a35/b113/a37 discipline); keep lazy_checkpoint for one-shot batch
+    queries where the whole lineage executes once anyway.
+
     ``keep_in_audit=True`` (r10, ADVICE r9 #3) opts a site OUT of the
     plan-audit identity switch. Use it ONLY for checkpoints consumed
     by a driver-executed loop DURING query construction (the

@@ -322,6 +322,25 @@ def test_selection_family_survives_hostile_docs(spark, hostile_dir):
     )
     assert sum(r["n_docs"] for r in conf) == n_tokenful
 
+    # a39 (r11, ADVICE r10 #2): frozen-merge segmentation at ingest —
+    # the standing side holds the NULLs/empties (vocab explode of a
+    # NULL token array emits no rows), the arriving slice is the
+    # planted dup pair {8, 9}; counts are never NULL and identical
+    # texts segment identically
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a39_stream_bpe_segment,
+    )
+
+    seg39 = {
+        r["doc_id"]: r
+        for r in a39_stream_bpe_segment(spark, hostile_dir).collect()
+    }
+    assert set(seg39) == {8, 9}
+    for r in seg39.values():
+        assert r["n_words"] is not None and r["n_words"] > 0
+        assert r["n_syms"] is not None and r["n_syms"] >= r["n_words"]
+    assert seg39[8]["n_syms"] == seg39[9]["n_syms"]
+
 
 def test_decontaminate_survives_hostile_docs(spark, hostile_dir):
     """r10: b119 on the hostile corpus — doc 0 (NULL text) is the

@@ -158,6 +158,134 @@ def test_b116_matches_pure_python_rederivation(spark, docs_small):
     assert got == {k: tuple(v) for k, v in agg.items()}
 
 
+def test_b121_matches_pure_python_rederivation(spark, docs_small):
+    """b121 (r11, VERDICT r10 #5): the bigram-unit DSIR form against
+    a full pure-python re-derivation — the vote arithmetic is b116's,
+    the hashed unit is the adjacent token pair, and docs with < 2
+    tokens are excluded (no bigram evidence)."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        b121_dsir_bigram_selection,
+    )
+
+    doc_ids, texts, langs, sources = docs_small
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+
+    def bigrams(text):
+        toks = [w for w in text.split() if w]
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    c_t = [0] * _DSIR_D
+    c_r = [0] * _DSIR_D
+    for text, src in zip(texts, sources):
+        tgt = src in _DSIR_TARGET
+        for g in bigrams(text):
+            (c_t if tgt else c_r)[bucket(g)] += 1
+    t_tot, r_tot = sum(c_t), sum(c_r)
+    agg: dict[tuple, list[int]] = {}
+    for doc_id, text, lang, src in zip(doc_ids, texts, langs, sources):
+        if src in _DSIR_TARGET:
+            continue
+        gs = bigrams(text)
+        if not gs:
+            continue
+        n_pos = sum(
+            1
+            for g in gs
+            if (c_t[bucket(g)] + 1) * (r_tot + _DSIR_D)
+            > (c_r[bucket(g)] + 1) * (t_tot + _DSIR_D)
+        )
+        key = (lang, 2 * n_pos > len(gs))
+        a = agg.setdefault(key, [0, 0, 0, doc_id])
+        a[0] += 1
+        a[1] += n_pos
+        a[2] += len(gs)
+        a[3] = min(a[3], doc_id)
+    got = {
+        (r["lang"], r["selected"]): (
+            r["n_docs"],
+            r["sum_pos_votes"],
+            r["sum_tokens"],
+            r["min_doc_id"],
+        )
+        for r in b121_dsir_bigram_selection(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_b121_single_token_docs_have_no_bigram_evidence(spark, tmp_path):
+    """The bigram form's distinguishing exclusion: a 1-token raw doc
+    votes in b116 but carries ZERO bigram units — b121 must drop it
+    (not emit a NULL/zero row), while multi-token docs vote normally.
+    Target mass exceeds raw mass so unseen-bucket bigrams lean RAW
+    (smoothing: (0+1)(R+D) > (0+1)(T+D) iff R > T — here R < T)."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        b121_dsir_bigram_selection,
+    )
+
+    rows = [
+        (0, "alpha beta " * 30, "en", "src0"),   # target: big mass
+        (10, "omega gamma " * 5, "en", "src9"),  # raw background
+        (100, "solo", "en", "src9"),             # 1 token: excluded
+        (101, "alpha beta alpha", "en", "src9"),  # target-shaped
+    ]
+    got = {
+        r["selected"]: (r["n_docs"], r["min_doc_id"])
+        for r in b121_dsir_bigram_selection(
+            spark, _write_planted(tmp_path, rows)
+        ).collect()
+    }
+    # docs counted: 10 (not selected) and 101 (selected); 100 absent
+    assert got[True] == (1, 101)
+    assert got[False] == (1, 10)
+
+
+def test_a41_frozen_weights_classify_unseen_arrivals(spark, tmp_path):
+    """a41's planted separation contract (r11, VERDICT r10 #4): the
+    classifier trains ONLY on the standing corpus (alpha = curated,
+    omega = raw; b120's separable plant), then arriving docs it never
+    saw — including an out-of-vocabulary mix — score through the
+    frozen weights: the alpha-shaped arrival passes, the omega-shaped
+    one fails, and token-free arrivals are excluded."""
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a41_stream_quality_classifier,
+    )
+
+    rows = [
+        # standing (doc_id % 10 < 8)
+        (0, "alpha alpha alpha", "en", "src0"),
+        (1, "alpha alpha", "en", "src1"),
+        (10, "omega omega omega", "en", "src9"),
+        (11, "omega omega", "en", "src9"),
+        # arriving (doc_id % 10 >= 8) — never seen in training
+        (8, "alpha alpha alpha alpha", "en", "src9"),
+        (18, "omega omega", "en", "src9"),
+        (28, None, "en", "src9"),  # token-free: excluded by the guard
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1] or "") for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in a41_stream_quality_classifier(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {8, 18}
+    assert got[8]["predicted"] is True and got[8]["logit"] > 0
+    assert got[18]["predicted"] is False and got[18]["logit"] < 0
+
+
 def test_b116_strict_majority_planted(spark, tmp_path):
     """A raw doc whose votes split exactly 50/50 is NOT selected
     (strict majority), and a clearly target-shaped raw doc IS.
@@ -214,6 +342,60 @@ def test_b117_merge_rows_are_ordered_and_typed(spark):
     # merge counts are non-increasing ONLY per identical pair space —
     # not globally monotonic; but every count is positive
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_b117_consecutive_pair_words_match_list_scan(spark, tmp_path):
+    """ADVICE r10 #1's planted trap: words with CONSECUTIVE
+    occurrences of the elected pair ('abab', 'ababab', and the
+    lhs == rhs run 'aaaa'). A sentinel-space replace consumes the
+    shared boundary space (' a b a b ' -> ' ab a b '), under-counts
+    the next round's pairs, and re-elects the same pair — the merge
+    table must instead match the canonical left-to-right list scan
+    (_py_bpe) exactly, duplicate-free."""
+    rows = [
+        (0, "abab abab abab ab", "en", "src9"),
+        (1, "ababab ab ab", "en", "src9"),
+        (2, "aaaa aaaa aa", "en", "src9"),
+        (3, "abab aaaa", "en", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    expect, expect_syms = _py_bpe(
+        _word_counts([r[1] for r in rows]), _BPE_MERGES
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in b117_bpe_merge_train(spark, str(tmp_path))
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expect
+    # no pair may be elected twice (the replace-semantics symptom)
+    assert len({(lhs, rhs) for _s, lhs, rhs, _m, _p in got}) == len(got)
+    # and the applied segmentation agrees symbol-for-symbol
+    wc = _word_counts([r[1] for r in rows])
+    exp_totals = (
+        sum(wc.values()),
+        sum(len(w) * c for w, c in wc.items()),
+        sum(len(expect_syms[w]) * c for w, c in wc.items()),
+    )
+    r = b118_bpe_apply(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert (
+        r[0]["n_words"],
+        r[0]["total_chars"],
+        r[0]["total_symbols"],
+    ) == exp_totals
 
 
 def test_a38_frozen_histograms_differ_from_self_trained(spark, tmp_path):
@@ -283,6 +465,11 @@ def test_a39_oov_words_segment_through_frozen_merges(spark, tmp_path):
         (1, "ab abab ababab ab", "en", "src1"),
         # arriving: OOV 'ababab' + merge-free 'xyz'
         (8, "ababab xyz", "en", "src9"),
+        # token-free arrivals (ADVICE r10 #2): NULL and empty text
+        # must be excluded by the n_words > 0 guard, not emit NULL
+        # count rows
+        (18, None, "en", "src9"),
+        (28, "", "en", "src9"),
     ]
     pq.write_table(
         pa.table(
@@ -291,7 +478,9 @@ def test_a39_oov_words_segment_through_frozen_merges(spark, tmp_path):
                 "text": pa.array([r[1] for r in rows], pa.string()),
                 "lang": pa.array([r[2] for r in rows], pa.string()),
                 "source": pa.array([r[3] for r in rows], pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                "n_chars": pa.array(
+                    [len(r[1] or "") for r in rows], pa.int64()
+                ),
             }
         ),
         str(tmp_path / "documents.parquet"),
