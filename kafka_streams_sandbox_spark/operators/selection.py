@@ -80,17 +80,23 @@ _BUCKET_HEX = "0123456789abcdef"
 # ~1e4) stays a fixture constant either way, but the hashed UNIT is
 # parameterized so b121 registers the paper-faithful bigram form
 # while b116/a38 keep the unigram anchor. Adjacent-pair strings are
-# built from the token array scan-side (element_at over a sequence —
-# no explode until the histogram pass); docs with < 2 tokens carry no
-# bigram evidence and yield an empty array (excluded by the same
-# n > 0 rule that excludes token-free docs in the unigram form).
+# built from the token array scan-side via zip-of-slices — NOT
+# element_at over a sequence: an element_at(<split-expr>, i) inside
+# the per-element lambda re-evaluates the SPLIT once per access
+# (O(tokens²) per doc — the first cut cost b121 17.2 s at sf0.1 vs
+# ~1.4 s for this form; the b62/b105 inlined-expression trap in
+# lambda clothing). slice() touches the split a constant number of
+# times per ROW. Docs with < 2 tokens carry no bigram evidence and
+# yield an empty array (excluded by the same n > 0 rule that
+# excludes token-free docs in the unigram form).
 _GRAMS_EXPR = {
     "uni": TOKENS_EXPR,
     "bi": (
         f"CASE WHEN size({TOKENS_EXPR}) >= 2 THEN "
-        f"transform(sequence(1, size({TOKENS_EXPR}) - 1), "
-        f"i -> concat(element_at({TOKENS_EXPR}, i), ' ', "
-        f"element_at({TOKENS_EXPR}, i + 1))) "
+        f"transform(arrays_zip("
+        f"slice({TOKENS_EXPR}, 1, size({TOKENS_EXPR}) - 1), "
+        f"slice({TOKENS_EXPR}, 2, size({TOKENS_EXPR}) - 1)), "
+        f"p -> concat(p['0'], ' ', p['1'])) "
         f"ELSE cast(array() as array<string>) END"
     ),
 }

@@ -58,6 +58,33 @@ def cadence(name: str, sf_dir: str) -> None:
     )
 
 
+def a36_modes(sf_dir: str) -> None:
+    """a36 verify-knob receipt (VERDICT r10 #7): the 3-round
+    compaction cadence wall with the full store==batch invariance
+    assert vs the sampled (doc_id % 16) production form."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.session import get_spark
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        span_compaction_rounds,
+    )
+
+    spark = get_spark(app_name="probe-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for mode in ("full", "sampled"):
+        t0 = time.perf_counter()
+        docs = documents_wide(spark, sf_dir).select("doc_id", "text")
+        span_compaction_rounds(spark, docs, verify=mode).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[mode] = round(time.perf_counter() - t0, 1)
+        print(f"a36 verify={mode}: {out[mode]} s", flush=True)
+    print(json.dumps({"query": "a36_span_compaction", "sf_dir": sf_dir,
+                      "wall_s": out}))
+
+
 def run(names: list[str], sf_dir: str, repeats: int = 2) -> None:
     from kafka_streams_sandbox_spark.registry import all_queries
     from kafka_streams_sandbox_spark.session import get_spark
@@ -82,6 +109,8 @@ def run(names: list[str], sf_dir: str, repeats: int = 2) -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "cadence":
         cadence(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SRC)
+    elif sys.argv[1] == "a36":
+        a36_modes(sys.argv[2] if len(sys.argv) > 2 else SRC)
     else:
         names = sys.argv[2].split(",")
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else SRC
