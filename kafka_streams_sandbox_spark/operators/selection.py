@@ -101,6 +101,16 @@ _GRAMS_EXPR = {
     ),
 }
 
+# gram COUNT without rebuilding the gram array (the scoring pass
+# needs n separately from the vote filter, and size(<grams expr>)
+# would re-run every per-pair concat just to count them). NULL text
+# counts NULL under "bi" (greatest(NULL, 0) is NULL) and NULL under
+# "uni" — both fall to the same n > 0 exclusion.
+_GRAMS_COUNT = {
+    "uni": f"size({TOKENS_EXPR})",
+    "bi": f"greatest(size({TOKENS_EXPR}) - 1, 0)",
+}
+
 
 def _duck_bucket(expr: str) -> str:
     """DuckDB: first-2-hex-chars-of-md5 → 0..255 (b57 idiom)."""
@@ -233,7 +243,7 @@ def dsir_score(
             "doc_id",
             "lang",
             F.expr(vote).cast("long").alias("n_pos"),
-            F.expr(f"size({grams})").cast("long").alias("n_tok"),
+            F.expr(_GRAMS_COUNT[gram]).cast("long").alias("n_tok"),
         )
         # token-free docs (NULL/empty/whitespace text) carry no DSIR
         # evidence and are excluded — the same population the SQL
