@@ -1026,6 +1026,22 @@ INGEST_BATCH_SECONDS: list[float] = []
 # scripts/probe_r11.py
 INGEST_STAGE_SECONDS: list[dict] = []
 INGEST_PHASE_SECONDS: list[tuple[str, float]] = []
+# failure-injection hook (r11): batch_ids to crash ONCE each, AFTER
+# the decisions write and BEFORE the state-delta writes — the torn
+# window a real executor/driver crash leaves behind (decisions
+# parquet present, state missing). The kill-and-resume test uses it
+# to certify the committed_state retry contract end-to-end: the
+# restarted stream re-runs the SAME batch_id, reads only
+# batch_id < upto state (its own torn subpaths are invisible), and
+# overwrites its outputs — so the resumed run must be bit-identical
+# to an uninterrupted one (pinned by the in-query duality assert +
+# the test's clean-run comparison). Empty in production.
+INGEST_FAIL_AFTER_DECISIONS: set[int] = set()
+# bounded restart budget for the ingest stream: a crashed micro-batch
+# is retried by restarting the availableNow query on the SAME
+# checkpoint (what a production runner does); repeated failure is a
+# real error and propagates
+_INGEST_MAX_RESTARTS = 2
 
 
 def _ingest_funnel(
@@ -1608,6 +1624,14 @@ def _ingest_funnel(
         _t = _time.perf_counter()
         dec.write.mode("overwrite").parquet(vpath)
         stage_times["write"] = round(_time.perf_counter() - _t, 1)
+        if int(batch_id) in INGEST_FAIL_AFTER_DECISIONS:
+            # injected crash in the torn window (decisions written,
+            # state not) — fires once per armed batch_id
+            INGEST_FAIL_AFTER_DECISIONS.discard(int(batch_id))
+            raise RuntimeError(
+                f"injected crash after decisions write "
+                f"(batch {batch_id})"
+            )
         # state delta derives from the WRITTEN decisions (one run per
         # batch; a retry regenerates identical subpaths — a29's rule)
         _t = _time.perf_counter()
@@ -1633,19 +1657,37 @@ def _ingest_funnel(
         )
 
     try:
-        q = (
-            spark.readStream.schema(DOCUMENTS_SCHEMA)
-            .format("parquet")
-            .option("maxFilesPerTrigger", 1)
-            .load(src_dir)
-            .writeStream.foreachBatch(ingest_batch)
-            .option(
-                "checkpointLocation", scratch_dir("kss-ckpt-")
+        # crash-resilient run loop (r11): a failed micro-batch kills
+        # the availableNow query; the runner restarts it on the SAME
+        # checkpoint and the source WAL re-plans the uncommitted batch
+        # with the SAME batch_id — committed_state + per-batch
+        # overwrite subpaths make the retry bit-identical (the a29
+        # rule, now demonstrated: the kill-and-resume test injects a
+        # crash into the torn decisions-written/state-missing window
+        # and the duality assert still passes). Bounded restarts: a
+        # deterministic failure must propagate, not loop.
+        from pyspark.errors import StreamingQueryException
+
+        ckpt_dir = scratch_dir("kss-ckpt-")
+        restarts = 0
+        while True:
+            q = (
+                spark.readStream.schema(DOCUMENTS_SCHEMA)
+                .format("parquet")
+                .option("maxFilesPerTrigger", 1)
+                .load(src_dir)
+                .writeStream.foreachBatch(ingest_batch)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            try:
+                q.awaitTermination()
+                break
+            except StreamingQueryException:
+                restarts += 1
+                if restarts > _INGEST_MAX_RESTARTS:
+                    raise
         dec_schema = (
             "doc_id bigint, n_tokens bigint, "
             + ("p_tokens bigint, bucket string, " if graded else "")

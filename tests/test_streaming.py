@@ -1522,6 +1522,40 @@ def test_span_compaction_sampled_verify_mode(spark):
     assert any(r[4] > 0 for r in full)  # changed_docs fired some round
 
 
+def test_ingest_funnel_kill_and_resume(spark):
+    """r11: the funnel family's restart contract, DEMONSTRATED (the
+    b114 kill-and-resume discipline applied to the flagship ingest
+    op). A crash is injected into the nastiest window — batch 0's
+    decisions parquet written, state deltas NOT — the availableNow
+    query dies, and _ingest_funnel's bounded restart loop re-runs the
+    same batch_id on the same checkpoint. committed_state must treat
+    the torn attempt's subpaths as invisible (batch_id < upto reads
+    only) and the overwrite subpaths must regenerate identically:
+    the resumed run's 16-row graded report must equal a clean run's
+    EXACTLY, and the in-query duality assert (stream == batch twin,
+    9 flags + bucket + p_tokens) runs inside both calls by
+    construction."""
+    from kafka_streams_sandbox_spark.streaming import windows
+
+    sf = "/root/testdata/sf0.001"
+    clean = {
+        (r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in windows.a37_stream_graded_funnel(spark, sf).collect()
+    }
+    windows.INGEST_FAIL_AFTER_DECISIONS.add(0)
+    try:
+        resumed = {
+            (r["stage"]): (r["n_docs"], r["n_tokens"])
+            for r in windows.a37_stream_graded_funnel(spark, sf).collect()
+        }
+    finally:
+        windows.INGEST_FAIL_AFTER_DECISIONS.discard(0)
+    # the injected crash actually fired (armed entry consumed) ...
+    assert 0 not in windows.INGEST_FAIL_AFTER_DECISIONS
+    # ... and the resumed run is indistinguishable from a clean one
+    assert resumed == clean
+
+
 def test_stream_graded_funnel_shape(spark):
     """a37 (r10, VERDICT r9 #4): the graded ingest funnel emits b113's
     16-row report; the in-query duality assert over the 9-flag +
