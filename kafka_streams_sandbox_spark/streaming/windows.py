@@ -2246,22 +2246,44 @@ def a39_stream_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.split(F.trim(s), F.lit(" "))).cast("long")
 
     def segment(frame: DataFrame) -> DataFrame:
-        toks = F.expr(TOKENS_EXPR)
-        return frame.select(
+        # DISTINCT-word segmentation at batch granularity (r11): the
+        # r10 form ran seg_count inline per OCCURRENCE, which was
+        # cheap for the replace chain but 15x the wall for the
+        # canonical fold (interpreted HOF lambdas allocate per
+        # element; 100x receipt: 208 s/run vs 13.4). Segmenting each
+        # distinct batch word ONCE and joining counts back is b118's
+        # vocab-level move one level down — OOV words still segment
+        # on the fly (the fold runs on whatever arrives), and a
+        # micro-batch's distinct set is far smaller than its
+        # occurrence stream. Costs the batch two narrow shuffles
+        # (distinct + per-doc sum); 100x all-in (train + stream +
+        # twin): 208 -> 34.2 s/run.
+        toks_df = frame.select(
             "doc_id",
             "lang",
-            F.size(toks).cast("long").alias("n_words"),
-            F.aggregate(
-                toks,
-                F.lit(0).cast("long"),
-                lambda acc, w: acc + seg_count(w),
-            ).alias("n_syms"),
+            F.expr(TOKENS_EXPR).alias("toks"),
             # token-free guard (ADVICE r10 #2): NULL/empty/whitespace
             # text has size(split(NULL)) = NULL — without the filter
-            # those docs emit NULL n_words/n_syms on BOTH duality
-            # sides (the assert can't catch it); b116/b120's n_tok > 0
-            # rule applied here
-        ).filter(F.col("n_words") > 0)
+            # those docs emit NULL count rows on BOTH duality sides
+            # (the assert can't catch it); b116/b120's n_tok > 0 rule
+        ).filter(F.size("toks") > 0)
+        occ = toks_df.select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("n_words"),
+            F.explode("toks").alias("w"),
+        )
+        words = (
+            occ.select("w")
+            .distinct()
+            .select("w", seg_count(F.col("w")).alias("w_syms"))
+        )
+        return (
+            occ.join(words, "w")
+            .groupBy("doc_id", "lang", "n_words")
+            .agg(F.sum("w_syms").cast("long").alias("n_syms"))
+            .select("doc_id", "lang", "n_words", "n_syms")
+        )
 
     out_dir = scratch_dir("kss-a39-")
 
