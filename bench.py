@@ -176,6 +176,20 @@ BENCH_QUERIES = [
     # round-11: DSIR at its published bigram unit (oracle-backed —
     # b116's hist-join twin over zip-unnested pairs)
     "b121_dsir_bigram_selection",
+    # round-12: production-posture BPE (oracle-backed — the same
+    # unrolled chain as b117 at 32 levels with the v0 cap; no memo,
+    # every rep pays the full vocab pass + driver loop)
+    "b122_bpe_production_train",
+    # round-12: unigram-LM (SentencePiece) trainer (rows-only —
+    # iterative EM with an Arrow DP; Spark-timed row)
+    "b123_unigram_lm_train",
+    # round-12: the Dolma attributes table + the funnel reading it
+    # (both oracle-backed). Like b117/b118's merge memo, the staged
+    # attributes parquet is built once per session — the cold first
+    # rep carries the build, warm reps measure the production path
+    # (readers hit the persisted table; DuckDB recomputes per pass).
+    "b124_quality_attributes",
+    "b125_attribute_gated_funnel",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes

@@ -104,8 +104,9 @@ _GRAMS_EXPR = {
 # gram COUNT without rebuilding the gram array (the scoring pass
 # needs n separately from the vote filter, and size(<grams expr>)
 # would re-run every per-pair concat just to count them). NULL text
-# counts NULL under "bi" (greatest(NULL, 0) is NULL) and NULL under
-# "uni" — both fall to the same n > 0 exclusion.
+# counts 0 under "bi" (Spark's greatest() SKIPS NULL args, so
+# greatest(NULL, 0) = 0 — ADVICE r11 #1) and NULL under "uni"; both
+# fall to the same n > 0 exclusion either way.
 _GRAMS_COUNT = {
     "uni": f"size({TOKENS_EXPR})",
     "bi": f"greatest(size({TOKENS_EXPR}) - 1, 0)",
@@ -411,10 +412,15 @@ def _duck_merge_fold(lhs: str, rhs: str) -> str:
             ELSE acc || ' ' || x END) || ' '"""
 
 
-def _b117_chain_sql(k: int) -> str:
+def _b117_chain_sql(k: int, cap: int | None = None) -> str:
     """Unrolled v0→vk CTE chain: vocab with space-joined symbol
     strings, one (pairs → argmax → canonical merge fold) level per
-    merge."""
+    merge. ``cap`` restricts v0 to the top-cap words by (cnt DESC,
+    w ASC) — b122's frequency-capped production posture, applied
+    identically in both engines so the chain stays hash-exact."""
+    v0_src = "wc"
+    if cap is not None:
+        v0_src = f"(SELECT * FROM wc ORDER BY cnt DESC, w LIMIT {cap})"
     parts = [
         f"""tok AS MATERIALIZED (
         SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w FROM documents
@@ -426,7 +432,7 @@ def _b117_chain_sql(k: int) -> str:
         SELECT w, cnt,
                ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
                    || ' ' AS s
-        FROM wc
+        FROM {v0_src}
     )"""
     ]
     for i in range(k):
@@ -511,7 +517,15 @@ def _bpe_train(
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run k merge rounds over the vocab; return (merge rows, vocab DF
     with the final symbol strings). Each round = one vocab scan + a
-    ONE-ROW bounded collect (argmax pair)."""
+    ONE-ROW bounded collect (argmax pair).
+
+    Invalidation contract (ADVICE r11 #4): the returned vocab frame
+    is backed by a localCheckpoint whose blocks the one-live-entry
+    memo RELEASES when a different (sf_dir, k) trains — so a returned
+    frame is only valid until the next different-key call. Every
+    current caller consumes its frame before training another corpus;
+    a caller that needs a longer-lived handle must stage it to parquet
+    itself."""
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if docs_override is None and key in _BPE_CACHE:
         merges, final, _ckpt = _BPE_CACHE[key]
@@ -801,4 +815,431 @@ def b120_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "y", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B122: production-shape BPE training (driver-side merge loop over a
+# frequency-capped vocabulary)
+# ---------------------------------------------------------------------------
+# VERDICT r11 #1: b117's per-round distributed form (one vocab scan +
+# one 1-row collect per merge) is the right shape for auditing a
+# handful of merges, but real BPE is ~30k SEQUENTIAL rounds — at that
+# count per-round JOB LATENCY (scheduling + the argmax collect), not
+# data volume, dominates, and no amount of cluster makes 30k
+# dependent Spark jobs fast. Every production trainer (Hugging Face
+# tokenizers, SentencePiece's BPE mode, the original subword-nmt)
+# therefore runs ONE distributed (word, count) pass and then the
+# whole merge loop DRIVER-SIDE over a frequency-capped vocabulary
+# with incremental pair-count maintenance. b122 registers that shape:
+#
+#   pass 1 (distributed): token explode -> groupBy(w) -> count, then
+#     top-``cap`` words by (cnt DESC, w ASC) — a bounded collect (the
+#     cap is the driver-memory contract; SentencePiece's equivalent
+#     knob caps its seed vocab the same way). The tail this drops is
+#     hapax-dominated: at 100 TB a 1e6-word cap keeps >99% of token
+#     MASS (Zipf), which is why production trainers accept it.
+#   pass 2 (driver, pure Python): the canonical Sennrich merge loop
+#     with an incremental pair index — pair counts updated only for
+#     the words containing the merged pair, candidate selection via a
+#     lazy max-heap — O(affected words) per round instead of a vocab
+#     scan, and zero Spark jobs inside the loop.
+#
+# Semantics are IDENTICAL to b117 on any corpus where the cap does
+# not bind (same canonical left-to-right scan, same (count DESC, lhs
+# ASC, rhs ASC) tie-break); the oracle is the same unrolled CTE chain
+# with the cap applied in v0, so the merge table stays hash-exact.
+# tests pin: b122 == b117's merge rows at an unbinding cap, the
+# planted consecutive-pair ('abab') contract through the production
+# loop, and the incremental pair index against the per-round recount.
+
+_B122_MERGES = 32
+_B122_VOCAB_CAP = 4096
+
+B122_ORACLE = f"""
+    WITH {_b117_chain_sql(_B122_MERGES, cap=_B122_VOCAB_CAP)}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i + 1} AS step, lhs, rhs, lhs || rhs AS merged,"
+            f" CAST(pw AS BIGINT) AS pair_count FROM m{i}"
+            for i in range(_B122_MERGES)
+        )}
+    )
+    ORDER BY step
+"""
+
+
+def bpe_merge_loop(
+    word_counts: list[tuple[str, int]], k: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The driver-side incremental BPE merge loop: canonical Sennrich
+    semantics (left-to-right non-overlapping scan, (count DESC, lhs
+    ASC, rhs ASC) tie-break) with production bookkeeping — a pair ->
+    containing-words index plus a lazily-invalidated max-heap, so each
+    round touches only the words that contain the elected pair. Pure
+    Python by design: ~30k dependent rounds cannot be Spark jobs
+    (module comment); the input is the driver-bounded capped vocab."""
+    import heapq
+
+    syms: dict[str, list[str]] = {w: list(w) for w, _ in word_counts}
+    wcnt: dict[str, int] = dict(word_counts)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, cnt in word_counts:
+        s = syms[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(w)
+
+    # lazy max-heap: every count CHANGE pushes a fresh entry; a popped
+    # entry is accepted only if it matches the current truth (stale
+    # entries from superseded counts are discarded on pop)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, k + 1):
+        best = None
+        while heap:
+            negc, lhs, rhs = heapq.heappop(heap)
+            if pair_counts.get((lhs, rhs)) == -negc:
+                best = (lhs, rhs, -negc)
+                break
+        if best is None:
+            break  # degenerate corpus: no adjacent pairs remain
+        lhs, rhs, pw = best
+        merges.append((step, lhs, rhs, lhs + rhs, pw))
+
+        touched: set[tuple[str, str]] = set()
+        for w in sorted(pair_words.get((lhs, rhs), ())):
+            cnt, s = wcnt[w], syms[w]
+            old: dict[tuple[str, str], int] = {}
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                old[p] = old.get(p, 0) + 1
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+            new: dict[tuple[str, str], int] = {}
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                new[p] = new.get(p, 0) + 1
+            for p in old.keys() | new.keys():
+                delta = new.get(p, 0) - old.get(p, 0)
+                if delta:
+                    pair_counts[p] = pair_counts.get(p, 0) + delta * cnt
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                    touched.add(p)
+                if p in new:
+                    pair_words.setdefault(p, set()).add(w)
+                elif p in old:
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(w)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c is not None:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
+def capped_vocab(
+    docs: DataFrame, cap: int = _B122_VOCAB_CAP
+) -> list[tuple[str, int]]:
+    """The one distributed pass: (word, count) over the corpus, top
+    ``cap`` by (cnt DESC, w ASC) — the bounded collect whose size is
+    the cap by construction (the driver-memory contract)."""
+    rows = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(cap)
+        .collect()  # bounded: exactly min(cap, |vocab|) rows
+    )
+    return [(r["w"], r["cnt"]) for r in rows]
+
+
+@query("b122_bpe_production_train", oracle=B122_ORACLE)
+def b122_bpe_production_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-posture BPE training (section comment): one
+    distributed (word, count) pass capped to the top
+    ``_B122_VOCAB_CAP`` words, then ``_B122_MERGES`` merge rounds
+    driver-side with incremental pair counts — zero Spark jobs in the
+    loop. Hash-exact against the capped unrolled-CTE chain."""
+    wc = capped_vocab(table(spark, sf_dir, "documents"))
+    merges = bpe_merge_loop(wc, _B122_MERGES)
+    return spark.createDataFrame(
+        [
+            (step, lhs, rhs, merged, int(pw))
+            for step, lhs, rhs, merged, pw in merges
+        ],
+        schema="step int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B123: unigram-LM tokenizer training (SentencePiece's other trainer)
+# ---------------------------------------------------------------------------
+# Kudo 2018 ("Subword Regularization") / the SentencePiece unigram
+# trainer — the tokenizer algorithm of the Llama/T5 lineage, b117's
+# sibling (VERDICT r11 #2): seed a large candidate-piece vocabulary
+# from frequent substrings, run EM rounds (segment the corpus under
+# the current piece scores, re-estimate scores from the resulting
+# piece counts), prune the vocabulary, repeat. This implementation is
+# the HARD-EM (Viterbi) variant: the E-step keeps only each word's
+# single best segmentation instead of the full forward-backward
+# lattice expectation, and pruning drops the lowest-count pieces (the
+# hard-EM proxy for Kudo's leave-one-out loss contribution) — the
+# documented simplifications; the published trainer's lattice E-step
+# changes the estimates, not the distributed shape.
+#
+# Distributed shape (b118's vocab discipline throughout — corpus text
+# is touched ONCE):
+#   pass 1 (corpus): token explode -> (word, cnt) distinct-word table,
+#     lazily checkpointed. Everything after runs on the VOCAB.
+#   seeding: per distinct word, all substrings of length <= _ULM_MAXLEN
+#     (weighted by word cnt) -> one vocab-level groupBy -> top
+#     _ULM_SEED_CAP by (freq DESC, piece ASC) + every single char —
+#     a BOUNDED collect (the cap is the driver-memory contract, the
+#     same knob SentencePiece exposes as seed_sentencepiece_size).
+#   EM round: piece scores = INTEGER costs round(-1e6 * ln(freq/tot))
+#     computed driver-side from exact integer counts (the Spark side
+#     never takes a log — the b58 float discipline: per-word DP
+#     compares integer sums, so segmentation is bit-deterministic and
+#     the pure-Python twin can re-derive it exactly);
+#     E-step = Viterbi DP per DISTINCT word — an Arrow-batched pandas
+#     UDF over the vocab table (map-only over the vocab; the score
+#     dict ships in the UDF closure, <= cap entries; at a 1e6-piece
+#     production cap, ship it as a broadcast variable instead);
+#     M-step = explode the chosen pieces weighted by word cnt -> ONE
+#     vocab-level groupBy -> bounded collect (<= |pieces| rows).
+#   prune: keep the top _ULM_VOCAB pieces by (count DESC, piece ASC),
+#     plus every single char unconditionally (reachability: any word
+#     must stay segmentable).
+#
+# Python appears ONLY as the Arrow-batched per-distinct-word DP (the
+# b44 lane: a DP with dict lookups is the genuinely-not-expressible
+# case) — never per corpus occurrence. Rows-only registration:
+# iterative float-scored fitting is not SQL-expressible (the
+# b55/b92/b120 precedent); the correctness layer is the independent
+# pure-Python EM re-derivation + planted segmentation contracts in
+# tests/test_selection.py.
+
+_ULM_MAXLEN = 8
+_ULM_SEED_CAP = 2048
+_ULM_VOCAB = 512
+_ULM_ROUNDS = 3
+_ULM_SCALE = 1_000_000
+# cost of an out-of-vocabulary single char (arrivals can carry chars
+# the standing corpus never saw — a42): a fixed large constant, worse
+# than any in-vocab piece (max in-vocab cost is SCALE * ln(total), and
+# ln(total) < 46 for any total < 1e20), but finite so OOV words still
+# segment deterministically
+_ULM_OOV_COST = _ULM_SCALE * 64
+
+
+def unigram_viterbi(
+    word: str, costs: dict[str, int], maxlen: int = _ULM_MAXLEN
+) -> list[str]:
+    """Best segmentation of ``word`` under integer piece costs —
+    minimize the summed cost; ties prefer the LONGER last piece at
+    each DP cell (deterministic, and matches the greedy-longest
+    intuition tokenizers ship). Unknown single chars pay
+    ``_ULM_OOV_COST`` so every word is reachable."""
+    L = len(word)
+    inf = float("inf")
+    best: list = [0] + [inf] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        for j in range(1, min(i, maxlen) + 1):
+            piece = word[i - j : i]
+            c = costs.get(piece)
+            if c is None:
+                if j != 1:
+                    continue
+                c = _ULM_OOV_COST  # unseen single char
+            cand = best[i - j] + c
+            if cand < best[i] or (cand == best[i] and j > back[i]):
+                best[i] = cand
+                back[i] = j
+    out: list[str] = []
+    i = L
+    while i > 0:
+        j = back[i]
+        out.append(word[i - j : i])
+        i -= j
+    out.reverse()
+    return out
+
+
+def _ulm_costs(counts: dict[str, int]) -> dict[str, int]:
+    """Integer Viterbi costs from exact piece counts: Laplace(+1)
+    smoothing (a kept single char can have count 0 after a prune
+    round), then round(-SCALE * ln(p)) — computed ONCE driver-side;
+    the distributed DP only ever compares integer sums."""
+    import math
+
+    total = sum(counts.values()) + len(counts)
+    return {
+        p: round(-_ULM_SCALE * math.log((c + 1) / total))
+        for p, c in counts.items()
+    }
+
+
+def _ulm_word_table(docs: DataFrame) -> DataFrame:
+    """(w, cnt) distinct-word table — the one corpus pass."""
+    return lazy_checkpoint(
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _ulm_seed(words: DataFrame) -> dict[str, int]:
+    """Seed piece counts: every substring of length <= _ULM_MAXLEN of
+    every distinct word (with multiplicity, weighted by word count),
+    top _ULM_SEED_CAP by (freq DESC, piece ASC) + all single chars.
+    One vocab-level explode + groupBy; two bounded collects."""
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(i, least(length(w),
+                                             i + {_ULM_MAXLEN - 1})),
+                 j -> substring(w, i, j - i + 1))))"""
+    )
+    pieces = (
+        words.select(F.col("cnt"), F.explode(subs).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    top = (
+        pieces.filter(F.length("p") > 1)
+        .orderBy(F.desc("freq"), F.asc("p"))
+        .limit(_ULM_SEED_CAP)
+        .collect()  # bounded: the seed cap
+    )
+    chars = pieces.filter(F.length("p") == 1).collect()  # bounded:
+    # the corpus alphabet (a few hundred distinct chars at any scale)
+    return {r["p"]: r["freq"] for r in (*top, *chars)}
+
+
+def _ulm_em_round(
+    words: DataFrame, costs: dict[str, int]
+) -> dict[str, int]:
+    """One hard-EM round: Viterbi-segment each DISTINCT word under
+    ``costs`` (Arrow-batched pandas UDF, map-only over the vocab),
+    then re-count pieces weighted by word count (one vocab-level
+    groupBy, bounded collect)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type: the module's `from __future__ import
+    # annotations` turns hints into strings the inferencer can't
+    # resolve for a locally-imported pandas
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def seg(ws):
+        return ws.map(lambda w: unigram_viterbi(w, costs))
+
+    rows = (
+        words.select("cnt", F.explode(seg("w")).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("freq"))
+        .collect()  # bounded: <= |costs| pieces
+    )
+    return {r["p"]: r["freq"] for r in rows}
+
+
+def _ulm_prune(counts: dict[str, int]) -> dict[str, int]:
+    """Keep the top _ULM_VOCAB pieces by (count DESC, piece ASC) plus
+    every single char (reachability floor); chars missing from the
+    round's counts (never chosen by any Viterbi path) survive at 0 —
+    the Laplace smoothing in _ulm_costs keeps their cost finite."""
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_ULM_VOCAB]
+    return {**dict(multis), **singles}
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+) -> tuple[dict[str, int], DataFrame]:
+    """Full trainer: seed -> _ULM_ROUNDS x (E-step, M-step, prune).
+    Returns (final piece counts, the checkpointed distinct-word
+    table) — the counts are the frozen artifact (driver-bounded:
+    <= _ULM_VOCAB + alphabet entries)."""
+    words = _ulm_word_table(docs)
+    counts = _ulm_seed(words)
+    for _ in range(_ULM_ROUNDS):
+        counts = _ulm_prune(_ulm_em_round(words, _ulm_costs(counts)))
+    return counts, words
+
+
+@query("b123_unigram_lm_train")  # rows-only: iterative EM fitting
+def b123_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer training over the corpus
+    (section comment): the final piece table (piece, piece_len,
+    n_occurrences) — n_occurrences is the piece's exact weighted
+    count in the last E-step's Viterbi segmentation of the corpus.
+    Driver-bounded output (<= _ULM_VOCAB + alphabet rows)."""
+    counts, _ = unigram_lm_train(table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        sorted(
+            ((p, len(p), int(c)) for p, c in counts.items()),
+            key=lambda t: (-t[2], t[0]),
+        ),
+        schema="piece string, piece_len int, n_occurrences bigint",
+    )
+
+
+def unigram_segment_frame(
+    frame: DataFrame, costs: dict[str, int]
+) -> DataFrame:
+    """Segment any (doc_id, lang, text) relation under FROZEN integer
+    piece costs -> (doc_id, lang, n_words, n_syms) — a42's per-batch
+    pass and its batch-twin, one function so they cannot drift.
+
+    a39's batch-granularity vocab move: Viterbi runs once per DISTINCT
+    word in the frame (the Arrow-batched DP is the per-word cost
+    center), counts join back to occurrences, and per-doc sums are
+    exact integers. OOV words (chars the training corpus never saw)
+    segment deterministically through the `_ULM_OOV_COST` path.
+    Token-free docs are excluded (no evidence — the family's
+    n_tok > 0 rule)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def n_syms_of(ws):
+        return ws.map(lambda w: len(unigram_viterbi(w, costs)))
+
+    toks_df = frame.select(
+        "doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks")
+    ).filter(F.size("toks") > 0)
+    occ = toks_df.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_words"),
+        F.explode("toks").alias("w"),
+    )
+    words = (
+        occ.select("w").distinct().select("w", n_syms_of("w").alias("w_syms"))
+    )
+    return (
+        occ.join(words, "w")
+        .groupBy("doc_id", "lang", "n_words")
+        .agg(F.sum("w_syms").cast("long").alias("n_syms"))
+        .select("doc_id", "lang", "n_words", "n_syms")
     )

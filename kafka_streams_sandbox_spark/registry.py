@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "kafka_streams_sandbox_spark.operators.extended",
     "kafka_streams_sandbox_spark.operators.dedup",
     "kafka_streams_sandbox_spark.operators.selection",
+    "kafka_streams_sandbox_spark.operators.attributes",
 )
 
 # Queries that MUST land inside the driver's ~50-query verification
@@ -57,60 +58,58 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-11 ordering (VERDICT r10 #3): new + changed queries
+    # --- round-12 ordering (VERDICT r11 #4): new + changed queries
     # first (the r2 stale-row rule: every touched query re-rows),
-    # then the LAST 24 r7-aged rows — after this round every row in
-    # the registry is r8-or-newer and the rotation debt is paid off.
-    # --- NEW in round 11 (no driver row exists yet) ---
-    "a41_stream_quality_classifier",   # b120's frozen-weights ingest
-                                       # twin (VERDICT r10 #4)
-    "b121_dsir_bigram_selection",      # DSIR's published bigram unit
-                                       # (VERDICT r10 #5)
-    # --- changed in round 11 ---
-    "b117_bpe_merge_train",            # canonical list-scan merge
-                                       # fold (ADVICE r10 #1) — both
-                                       # engines re-derived
-    "b118_bpe_apply",                  # same fold in the final vocab
-    "a39_stream_bpe_segment",          # fold at ingest + token-free
-                                       # guard (ADVICE r10 #2)
-    "b116_dsir_selection",             # gram-parameterized shared
-                                       # core (uni path identical)
-    "a38_stream_dsir_gate",            # same shared core
-    "b120_quality_classifier",         # _b120_base bucket-lambda
-                                       # refactor (same arithmetic)
-    "a37_stream_graded_funnel",        # rw/kept_b eager materialize +
-                                       # keyed frozen-set persists
-                                       # (VERDICT r10 #1a/#1b)
-    "a34_stream_full_funnel",          # shares _ingest_funnel's keyed
-                                       # persists
-    "a32_stream_curation_funnel",      # same shared funnel
-    "a36_span_compaction",             # verify= knob (default full
-                                       # path unchanged)
-    # --- the LAST 24 r7-aged rows (VERDICT r10 #3) ---
-    "a08_stream_tombstone_store",
-    "a09_app_interactive_query",
-    "a10_topic_ddl",
-    "a21_stream_running_stats",
-    "a22_stream_static_join",
-    "a23_stream_stream_join",
-    "a24_stream_dedup_watermark",
-    "a25_stream_quality_gate",
-    "b12_distinct_count",
-    "b13_set_operations",
-    "b40_asof_join",
-    "b41_pivot_event_counts",
-    "b75_table_profile",
-    "b78_keep_best_in_cluster",
-    "b81_lang_centroid_outliers",
-    "b82_context_packing",
-    "b83_pii_mask",
-    "b86_phash_neardup",
-    "b91_ann_ivf_scaled_cells",
-    "b92_ann_ivf_kmeans",
-    "b96_lsh_embedding_neardup_scaled",
-    "b101_exact_substring_runs",
-    "b102_gopher_repetition",
-    "b107_containment_pairs",
+    # then the 30 r8-aged rows — after this round the latest-row
+    # histogram's max age is r9.
+    # --- NEW in round 12 (no driver row exists yet) ---
+    "b122_bpe_production_train",       # driver-side merge loop over
+                                       # the capped vocab (VERDICT
+                                       # r11 #1)
+    "b123_unigram_lm_train",           # SentencePiece-style unigram
+                                       # trainer (VERDICT r11 #2)
+    "a42_stream_unigram_segment",      # its frozen-vocab ingest twin
+    "b124_quality_attributes",         # single-scan Dolma attributes
+                                       # table (VERDICT r11 #3)
+    "b125_attribute_gated_funnel",     # the funnel that reads
+                                       # attributes, not text
+    # --- changed in round 12 ---
+    "a37_stream_graded_funnel",        # visible-restart logging in
+                                       # the shared ingest run loop
+                                       # (ADVICE r11 #3)
+    "a34_stream_full_funnel",          # same shared loop
+    "a32_stream_curation_funnel",      # same shared loop
+    # --- the 30 r8-aged rows (VERDICT r11 #4) ---
+    "a30_stream_repetition_gate",
+    "a31_stream_pq_encode",
+    "b108_bigram_lm_gate",
+    "b14_rollup_agg",
+    "b16_json_extract",
+    "b24_dedup_across_sources",
+    "b35_ann_random_projection",
+    "b42_above_avg_customers",
+    "b43_grouping_sets",
+    "b45_sketch_aggregates",
+    "b46_range_join_bands",
+    "b52_unpivot_measures",
+    "b56_exact_percentiles",
+    "b57_train_holdout_split",
+    "b59_funnel_conversion",
+    "b62_contamination_overlap",
+    "b63_intradoc_repetition",
+    "b65_embedding_quantize",
+    "b66_scd2_history",
+    "b68_incremental_dedup",
+    "b69_quality_gate",
+    "b70_bigram_lm",
+    "b72_key_skew_report",
+    "b74_robust_anomalies",
+    "b76_fuzzy_match",
+    "b77_value_quartiles",
+    "b88_shard_shuffle",
+    "b89_shard_write_manifest",
+    "b90_time_grid_fill",
+    "b99_selfseed_neardup",
 )
 
 

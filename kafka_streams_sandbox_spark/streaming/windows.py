@@ -1684,10 +1684,22 @@ def _ingest_funnel(
             try:
                 q.awaitTermination()
                 break
-            except StreamingQueryException:
+            except StreamingQueryException as exc:
                 restarts += 1
                 if restarts > _INGEST_MAX_RESTARTS:
                     raise
+                # visible retry (ADVICE r11 #3): a silent restart can
+                # mask a deterministic-but-intermittent batch bug as a
+                # clean run — the duality assert catches output
+                # divergence, but not e.g. a flaky artifact build that
+                # happens to succeed on retry. Surface every restart
+                # in probe/verify output.
+                print(
+                    f"[ingest-restart {restarts}/{_INGEST_MAX_RESTARTS}] "
+                    f"micro-batch failed, re-running on the same "
+                    f"checkpoint: {exc}",
+                    flush=True,
+                )
         dec_schema = (
             "doc_id bigint, n_tokens bigint, "
             + ("p_tokens bigint, bucket string, " if graded else "")
@@ -2490,6 +2502,83 @@ def a41_stream_quality_classifier(
         quality_score_frame(docs.filter(is_new), weights, bias),
         cols,
         "a41_stream_quality_classifier",
+    )
+    return out
+
+
+@query("a42_stream_unigram_segment")  # rows-only: streaming sink
+def a42_stream_unigram_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b123's unigram-LM tokenizer in its deployment shape — a39's
+    pattern for the SentencePiece lineage (VERDICT r11 #2): the piece
+    vocabulary TRAINS ONCE on the standing corpus (doc_id % 10 < 8,
+    `unigram_lm_train` shared with b123), freezes as a driver-bounded
+    integer-cost table (<= _ULM_VOCAB + alphabet entries), and every
+    ARRIVING doc is Viterbi-segmented as it lands.
+
+    Segmentation is batch-distinct-word granularity (a39's r11 move:
+    the per-word DP is the cost center, so each distinct batch word
+    segments ONCE and counts join back; OOV words — including chars
+    the standing corpus never saw — segment deterministically through
+    the `_ULM_OOV_COST` path, which is the unigram analog of BPE's
+    segment-anything property). Per-batch cost: one Arrow-batched DP
+    over the batch's distinct words + two batch-bounded narrow
+    shuffles — nothing corpus-sized touches the stream.
+
+    Output (doc_id, lang, n_words, n_syms); duality assert == batch
+    twin over the whole arriving slice via the shared
+    `unigram_segment_frame` (bit-identical integer sums — the DP
+    compares integer costs, so micro-batch boundaries cannot move a
+    segmentation)."""
+
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _ulm_costs,
+        unigram_lm_train,
+        unigram_segment_frame,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import documents_stream
+
+    out_schema = "doc_id bigint, lang string, n_words bigint, n_syms bigint"
+    cols = ["doc_id", "lang", "n_words", "n_syms"]
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+
+    # frozen artifact: train on the standing corpus ONCE, release the
+    # word table's checkpoint blocks — only the integer cost dict
+    # survives into the stream
+    counts, words = unigram_lm_train(docs.filter(~is_new))
+    release_local_checkpoint(words)
+    costs = _ulm_costs(counts)
+    out_dir = scratch_dir("kss-a42-")
+
+    def seg_batch(bdf: DataFrame, batch_id: int) -> None:
+        unigram_segment_frame(bdf.filter(is_new), costs).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(seg_batch)
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        ).select(*cols)
+    except AnalysisException:  # zero batches -> no footer to infer
+        out = spark.createDataFrame([], out_schema)
+    assert_stream_batch_duality(
+        out,
+        unigram_segment_frame(docs.filter(is_new), costs),
+        cols,
+        "a42_stream_unigram_segment",
     )
     return out
 

@@ -6,8 +6,10 @@ Round 10's receipt: ~345 s per 50k-doc batch, flat across batches, 9x
 a34's per-batch constant — suspects (a) the three consumers racing the
 `rw` lazy checkpoint's first materialization, (b) the frozen 1.2M-row
 set joins re-exchanging per batch, (c) the duality twin's share of the
-total wall. The r11 tree fixes (a) via `materialize_checkpoint`
-(windows.py graded_decisions), (b) via `_keyed_persist` (frozen sets
+total wall. The r11 tree fixes (a) via scratch-parquet staging
+(`_stage` in windows.py graded_decisions — each shared intermediate is
+written once and re-read by footer schema, so every lineage executes
+exactly once), (b) via `_keyed_persist` (frozen sets
 persisted pre-partitioned + pre-sorted on their join keys), and
 reports (c) separately via INGEST_PHASE_SECONDS.
 

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Round-12 probes (VERDICT r11 #1/#2/#3/#5).
+
+1. `bpe_posture <k>` — settle b117's production-merge-count question
+   with a measurement: time the per-round DISTRIBUTED merge loop
+   (b117's `_bpe_train`) at k merge rounds on the 100x corpus and the
+   driver-side incremental loop (b122: one capped (word,count) pass +
+   `bpe_merge_loop`) at the same k, printing s/round for both. The
+   hypothesis under test: at real BPE's ~30k rounds, per-round JOB
+   LATENCY (vocab scan + 1-row argmax collect) dominates the
+   distributed form, while the driver loop is seconds after its one
+   corpus pass.
+
+2. `run q1,q2[,...] [sf_dir]` — best-of-2 noop-write walls (the
+   round's standard 100x receipt mode) for the new operators
+   (b122/b123/b124/b125) and the continuity re-pins.
+
+3. `cadence <query> [sf_dir]` — per-batch ingest cadence (a42 and the
+   funnel family), identical to probe_r11's cadence mode.
+
+Usage:
+  python scripts/probe_r12.py bpe_posture 500 [sf_dir]
+  python scripts/probe_r12.py run b122_bpe_production_train /tmp/kss_100x
+  python scripts/probe_r12.py cadence a42_stream_unigram_segment /tmp/kss_100x
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/tmp/kss_100x"
+
+
+def _spark():
+    from kafka_streams_sandbox_spark.session import get_spark
+
+    spark = get_spark(app_name="probe-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bpe_posture(k: int, sf_dir: str) -> None:
+    from kafka_streams_sandbox_spark.catalog import table
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _bpe_train,
+        bpe_merge_loop,
+        capped_vocab,
+    )
+    from kafka_streams_sandbox_spark.session import (
+        release_local_checkpoint,
+    )
+
+    spark = _spark()
+    out: dict = {"k": k, "sf_dir": sf_dir}
+
+    # driver-side production loop (b122's shape, cap wide enough that
+    # it does not bind on this corpus — the comparison is loop cost,
+    # not vocabulary truncation)
+    t0 = time.perf_counter()
+    wc = capped_vocab(table(spark, sf_dir, "documents"), cap=1_000_000)
+    out["vocab_pass_s"] = round(time.perf_counter() - t0, 1)
+    out["vocab_rows"] = len(wc)
+    t0 = time.perf_counter()
+    merges = bpe_merge_loop(wc, k)
+    loop_s = time.perf_counter() - t0
+    out["driver_loop_s"] = round(loop_s, 1)
+    out["driver_loop_s_per_round"] = round(loop_s / max(len(merges), 1), 4)
+    out["driver_rounds_done"] = len(merges)
+
+    # distributed per-round form (b117's shape) at the same k
+    t0 = time.perf_counter()
+    dist_merges, final = _bpe_train(spark, sf_dir, k=k)
+    dist_s = time.perf_counter() - t0
+    out["distributed_s"] = round(dist_s, 1)
+    out["distributed_s_per_round"] = round(
+        dist_s / max(len(dist_merges), 1), 3
+    )
+    out["distributed_rounds_done"] = len(dist_merges)
+    out["merge_tables_identical"] = dist_merges == merges
+    release_local_checkpoint(final)
+    print(json.dumps(out))
+
+
+def run(names: str, sf_dir: str) -> None:
+    from kafka_streams_sandbox_spark.registry import all_queries
+
+    spark = _spark()
+    qs = all_queries()
+    results = {}
+    for name in names.split(","):
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(round(time.perf_counter() - t0, 1))
+        results[name] = walls
+        print(json.dumps({name: walls}), flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "best_of_2": {
+        n: min(w) for n, w in results.items()}}))
+
+
+def cadence(name: str, sf_dir: str) -> None:
+    from kafka_streams_sandbox_spark.registry import all_queries
+    from kafka_streams_sandbox_spark.streaming import windows
+
+    spark = _spark()
+    windows.INGEST_BATCH_SECONDS.clear()
+    windows.INGEST_STAGE_SECONDS.clear()
+    windows.INGEST_PHASE_SECONDS.clear()
+    t0 = time.perf_counter()
+    all_queries()[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "sf_dir": sf_dir,
+                "total_s": round(time.perf_counter() - t0, 1),
+                "per_batch_s": list(windows.INGEST_BATCH_SECONDS),
+                "per_batch_stages": list(windows.INGEST_STAGE_SECONDS),
+                "phases": list(windows.INGEST_PHASE_SECONDS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "bpe_posture":
+        bpe_posture(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else SRC)
+    elif mode == "run":
+        run(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SRC)
+    elif mode == "cadence":
+        cadence(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SRC)
+    else:
+        raise SystemExit(f"unknown mode {mode}")

@@ -611,3 +611,289 @@ def test_b120_matches_numpy_rederivation(spark, docs_small):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# B122: production-shape trainer (driver-side incremental merge loop)
+# ---------------------------------------------------------------------------
+
+
+def test_b122_incremental_loop_matches_recount_twin(spark, docs_small):
+    """The incremental pair-index + lazy-heap loop must reproduce the
+    per-round full-recount twin (_py_bpe) merge-for-merge — on the
+    fixture corpus at a merge count deep enough to exhaust most of the
+    pair space (the regime where stale heap entries and index updates
+    actually exercise)."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        bpe_merge_loop,
+    )
+
+    _, texts, _, _ = docs_small
+    wc = _word_counts(texts)
+    k = 200  # far past the fixture's pair space: exercises exhaustion
+    expect, _ = _py_bpe(wc, k)
+    got = bpe_merge_loop(sorted(wc.items()), k)
+    assert got == expect
+
+
+def test_b122_consecutive_pair_contract():
+    """The planted 'abab' trap through the PRODUCTION loop: canonical
+    left-to-right non-overlapping semantics, no pair elected twice."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        bpe_merge_loop,
+    )
+
+    texts = ["abab abab abab ab", "ababab ab ab", "aaaa aaaa aa", "abab aaaa"]
+    wc = _word_counts(texts)
+    expect, _ = _py_bpe(wc, _BPE_MERGES)
+    got = bpe_merge_loop(sorted(wc.items()), _BPE_MERGES)
+    assert got == expect
+    assert len({(lhs, rhs) for _s, lhs, rhs, _m, _p in got}) == len(got)
+
+
+def test_b122_query_matches_python_on_capped_vocab(spark, docs_small):
+    """End-to-end b122 at sf0.001 == the pure-Python twin over the
+    identically capped vocab (the fixture vocab is far under the cap,
+    so this also pins b122 == b117 semantics when the cap is
+    unbinding)."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _B122_MERGES,
+        _B122_VOCAB_CAP,
+        b122_bpe_production_train,
+    )
+
+    _, texts, _, _ = docs_small
+    wc = _word_counts(texts)
+    capped = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_B122_VOCAB_CAP
+    ]
+    expect, _ = _py_bpe(Counter(dict(capped)), _B122_MERGES)
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in b122_bpe_production_train(spark, SF)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_b122_binding_cap_drops_tail_words(spark, tmp_path):
+    """When the cap BINDS, training must see only the top-cap words by
+    (cnt DESC, w ASC) — the tail word's pairs must not influence the
+    merge table (both engines apply the same cap, so this is the
+    semantics the oracle hash-verifies at scale)."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        bpe_merge_loop,
+        capped_vocab,
+    )
+
+    rows = [
+        (0, "xy xy xy xy zq", "en", "src9"),
+        (1, "xy xy zq pp", "en", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from kafka_streams_sandbox_spark.catalog import table as _table
+
+    docs = _table(spark, str(tmp_path), "documents")
+    wc = capped_vocab(docs, cap=2)
+    # corpus vocab is {xy:6, zq:2, pp:1} -> cap=2 keeps xy, zq
+    assert wc == [("xy", 6), ("zq", 2)]
+    merges = bpe_merge_loop(wc, 4)
+    merged_syms = {m for _s, _l, _r, m, _p in merges}
+    assert "pp" not in merged_syms  # the dropped tail word
+    expect, _ = _py_bpe(Counter({"xy": 6, "zq": 2}), 4)
+    assert merges == expect
+
+
+# ---------------------------------------------------------------------------
+# B123/a42: unigram-LM trainer — independent pure-Python EM twin
+# ---------------------------------------------------------------------------
+# Re-derives seed, integer costs, Viterbi, EM and prune from the
+# written contract (module comment in selection.py) without importing
+# the trainer's internals — the b55/b92 independent-re-derivation
+# layer for an operator whose float-EM fitting has no SQL oracle.
+
+
+def _twin_viterbi(word, costs, maxlen=8, oov=1_000_000 * 64):
+    L = len(word)
+    best = [0] + [float("inf")] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        for j in range(1, min(i, maxlen) + 1):
+            piece = word[i - j : i]
+            c = costs.get(piece)
+            if c is None:
+                if j != 1:
+                    continue
+                c = oov
+            cand = best[i - j] + c
+            if cand < best[i] or (cand == best[i] and j > back[i]):
+                best[i], back[i] = cand, j
+    out, i = [], L
+    while i > 0:
+        out.append(word[i - back[i] : i])
+        i -= back[i]
+    return list(reversed(out))
+
+
+def _twin_unigram_train(texts, maxlen=8, seed_cap=2048, vocab=512, rounds=3):
+    import math
+
+    wc = _word_counts(texts)
+    # seed: all substrings <= maxlen with multiplicity, weighted
+    seed: Counter = Counter()
+    for w, cnt in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + maxlen) + 1):
+                seed[w[i:j]] += cnt
+    multis = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_cap]
+    counts = dict(multis)
+    counts.update({p: c for p, c in seed.items() if len(p) == 1})
+
+    def costs_of(cs):
+        total = sum(cs.values()) + len(cs)
+        return {
+            p: round(-1_000_000 * math.log((c + 1) / total))
+            for p, c in cs.items()
+        }
+
+    for _ in range(rounds):
+        costs = costs_of(counts)
+        new: Counter = Counter()
+        for w, cnt in wc.items():
+            for p in _twin_viterbi(w, costs, maxlen):
+                new[p] += cnt
+        multis = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:vocab]
+        counts = dict(multis)
+        counts.update({p: c for p, c in new.items() if len(p) == 1})
+    return counts
+
+
+def test_b123_matches_pure_python_twin_on_fixture(spark, docs_small):
+    from kafka_streams_sandbox_spark.operators.selection import (
+        b123_unigram_lm_train,
+    )
+
+    _, texts, _, _ = docs_small
+    expect = _twin_unigram_train(texts)
+    got = {
+        r["piece"]: r["n_occurrences"]
+        for r in b123_unigram_lm_train(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_b123_planted_morphemes_split_long_words(spark, tmp_path):
+    """Planted corpus: 'alphabeta'/'betaalpha' (9 chars) exceed the
+    8-char piece ceiling so they MUST segment; the frequent morphemes
+    'alpha'/'beta' must be the chosen pieces — and the trained table
+    must equal the independent twin's exactly."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _ulm_costs,
+        b123_unigram_lm_train,
+        unigram_lm_train,
+        unigram_viterbi,
+    )
+    from kafka_streams_sandbox_spark.catalog import table as _table
+
+    texts = ["alpha beta alphabeta betaalpha"] * 20 + ["alpha beta"] * 10
+    rows = list(enumerate(texts))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["src9"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    expect = _twin_unigram_train(texts)
+    got = {
+        r["piece"]: r["n_occurrences"]
+        for r in b123_unigram_lm_train(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    counts, _ = unigram_lm_train(_table(spark, str(tmp_path), "documents"))
+    costs = _ulm_costs(counts)
+    assert unigram_viterbi("alphabeta", costs) == ["alpha", "beta"]
+    assert unigram_viterbi("betaalpha", costs) == ["beta", "alpha"]
+
+
+def test_unigram_viterbi_oov_chars_segment_deterministically():
+    from kafka_streams_sandbox_spark.operators.selection import (
+        unigram_viterbi,
+    )
+
+    costs = {"ab": 5, "a": 10, "b": 10}
+    # 'z' is OOV: must fall back to the single-char OOV path
+    assert unigram_viterbi("abz", costs) == ["ab", "z"]
+    assert unigram_viterbi("zzz", costs) == ["z", "z", "z"]
+
+
+def test_unigram_segment_frame_matches_twin(spark, tmp_path):
+    """The a42 per-batch core (distinct-word Arrow DP + count join)
+    must reproduce the twin's per-doc (n_words, n_syms) — including a
+    doc carrying an OOV word."""
+    from kafka_streams_sandbox_spark.operators.selection import (
+        unigram_segment_frame,
+    )
+    from kafka_streams_sandbox_spark.catalog import table as _table
+
+    texts = [
+        "alphabeta alpha beta",
+        "betaalpha qqq",  # 'q' never in the cost table -> OOV path
+        "alpha alpha alpha",
+    ]
+    rows = list(enumerate(texts))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["src9"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    costs = {"alpha": 100, "beta": 120, "a": 900, "b": 900, "l": 900,
+             "p": 900, "h": 900, "e": 900, "t": 900}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_syms"])
+        for r in unigram_segment_frame(
+            _table(spark, str(tmp_path), "documents"), costs
+        ).collect()
+    }
+    expect = {}
+    for doc_id, text in rows:
+        ws = text.split()
+        expect[doc_id] = (
+            len(ws),
+            sum(len(_twin_viterbi(w, costs)) for w in ws),
+        )
+    assert got == expect
