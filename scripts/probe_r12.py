@@ -44,7 +44,51 @@ def _spark():
     return spark
 
 
-def bpe_posture(k: int, sf_dir: str) -> None:
+def build_widevocab(out_dir: str, n_docs: int = 100_000,
+                    n_vocab: int = 20_000, wpd: int = 50) -> None:
+    """A documents corpus whose VOCABULARY is deep enough to sustain
+    ~1000+ BPE merge rounds. The driver corpora (and their 100x
+    rescales) carry a ~31-word vocabulary, so the merge loop exhausts
+    every adjacent pair after ~89 elections — fine for the s/round
+    comparison, but VERDICT r11 #1 asks for the ~500-1000-round
+    regime real trainers run in. Deterministic 8-char pseudo-words
+    (seeded Zipf-ish draw over n_vocab words) give ~7 electable pairs
+    per distinct word: 20k words sustain >100k rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4242)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array([
+        "".join(rng.choice(letters, 8)) for _ in range(n_vocab)
+    ])
+    # Zipf-ish weights so pair counts are skewed like real text
+    w = 1.0 / np.arange(1, n_vocab + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(rng.choice(vocab, wpd, p=w)) for _ in range(n_docs)
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(["wide"] * n_docs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    print(json.dumps({"built": out_dir, "n_docs": n_docs,
+                      "n_vocab": n_vocab, "words_per_doc": wpd}))
+
+
+def bpe_posture(k: int, sf_dir: str, k_driver: int | None = None) -> None:
+    """k = distributed-form merge rounds; k_driver (default k) lets the
+    driver loop probe the full production depth (~30k) while the
+    distributed form — whose per-round cost is the finding — runs a
+    shorter, affordable count."""
     from kafka_streams_sandbox_spark.catalog import table
     from kafka_streams_sandbox_spark.operators.selection import (
         _bpe_train,
@@ -56,7 +100,8 @@ def bpe_posture(k: int, sf_dir: str) -> None:
     )
 
     spark = _spark()
-    out: dict = {"k": k, "sf_dir": sf_dir}
+    k_driver = k if k_driver is None else k_driver
+    out: dict = {"k": k, "k_driver": k_driver, "sf_dir": sf_dir}
 
     # driver-side production loop (b122's shape, cap wide enough that
     # it does not bind on this corpus — the comparison is loop cost,
@@ -66,23 +111,39 @@ def bpe_posture(k: int, sf_dir: str) -> None:
     out["vocab_pass_s"] = round(time.perf_counter() - t0, 1)
     out["vocab_rows"] = len(wc)
     t0 = time.perf_counter()
-    merges = bpe_merge_loop(wc, k)
+    merges = bpe_merge_loop(wc, k_driver)
     loop_s = time.perf_counter() - t0
     out["driver_loop_s"] = round(loop_s, 1)
-    out["driver_loop_s_per_round"] = round(loop_s / max(len(merges), 1), 4)
+    out["driver_loop_s_per_round"] = round(loop_s / max(len(merges), 1), 6)
     out["driver_rounds_done"] = len(merges)
+    print(json.dumps(out), flush=True)  # driver numbers survive a
+    # distributed-phase crash (the k>~100 analyzer ceiling below)
 
-    # distributed per-round form (b117's shape) at the same k
+    # distributed per-round form (b117's shape) at k rounds. Expected
+    # to FAIL for k past ~100: the symbol column nests one
+    # _merge_symbols layer per round into a single expression tree,
+    # and Catalyst's Resolution batch hits its 100-iteration fixed-
+    # point ceiling analyzing it — the structural ceiling recorded in
+    # BASELINE round 12, on top of the ~1 s/round job latency.
     t0 = time.perf_counter()
-    dist_merges, final = _bpe_train(spark, sf_dir, k=k)
-    dist_s = time.perf_counter() - t0
-    out["distributed_s"] = round(dist_s, 1)
-    out["distributed_s_per_round"] = round(
-        dist_s / max(len(dist_merges), 1), 3
-    )
-    out["distributed_rounds_done"] = len(dist_merges)
-    out["merge_tables_identical"] = dist_merges == merges
-    release_local_checkpoint(final)
+    try:
+        dist_merges, final = _bpe_train(spark, sf_dir, k=k)
+    except Exception as exc:  # noqa: BLE001 — the ceiling is the datum
+        out["distributed_error"] = str(exc).split("\n")[0][:200]
+        out["distributed_failed_after_s"] = round(
+            time.perf_counter() - t0, 1
+        )
+    else:
+        dist_s = time.perf_counter() - t0
+        out["distributed_s"] = round(dist_s, 1)
+        out["distributed_s_per_round"] = round(
+            dist_s / max(len(dist_merges), 1), 3
+        )
+        out["distributed_rounds_done"] = len(dist_merges)
+        out["merge_tables_identical"] = (
+            dist_merges == merges[: len(dist_merges)]
+        )
+        release_local_checkpoint(final)
     print(json.dumps(out))
 
 
@@ -91,10 +152,11 @@ def run(names: str, sf_dir: str) -> None:
 
     spark = _spark()
     qs = all_queries()
+    reps = int(os.environ.get("KSS_PROBE_REPS", "2"))
     results = {}
     for name in names.split(","):
         walls = []
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -102,7 +164,7 @@ def run(names: str, sf_dir: str) -> None:
             walls.append(round(time.perf_counter() - t0, 1))
         results[name] = walls
         print(json.dumps({name: walls}), flush=True)
-    print(json.dumps({"sf_dir": sf_dir, "best_of_2": {
+    print(json.dumps({"sf_dir": sf_dir, "best_of_n": {
         n: min(w) for n, w in results.items()}}))
 
 
@@ -134,8 +196,14 @@ def cadence(name: str, sf_dir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1]
-    if mode == "bpe_posture":
-        bpe_posture(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else SRC)
+    if mode == "build_widevocab":
+        build_widevocab(sys.argv[2] if len(sys.argv) > 2 else "/tmp/kss_widevocab")
+    elif mode == "bpe_posture":
+        bpe_posture(
+            int(sys.argv[2]),
+            sys.argv[3] if len(sys.argv) > 3 else SRC,
+            int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        )
     elif mode == "run":
         run(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SRC)
     elif mode == "cadence":
