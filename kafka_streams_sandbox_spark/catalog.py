@@ -116,6 +116,49 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     return cached
 
 
+def _scan_width(path: str) -> int:
+    """Effective maximum scan parallelism of a parquet source — the
+    ROW-GROUP count, not the split count (round 12's 300x finding):
+
+    Spark sizes file splits as max(openCost, bytes/defaultParallelism)
+    and `df.rdd.getNumPartitions()` reports that SPLIT count — but
+    parquet cannot be read below row-group granularity (each row group
+    is assigned to the one split containing its midpoint; the rest run
+    empty). A 170 MB single file written with pyarrow's default 1Mi-row
+    row groups carries 1.5M rows in TWO row groups: the split probe
+    said 32, actual parallelism was 2, and every scan-side-heavy
+    operator (b27's shingle fingerprint pass: 22 -> 453 s, b112's
+    paragraph explode) fell off a cliff while post-shuffle operators
+    scaled fine. Measured same-session at 300x: the identical fp pass
+    reads 451.2 s through the split probe vs 47.8 s repartitioned.
+
+    Single file -> parquet footer row-group count (a metadata read).
+    Directory -> file count x (per-file row groups of one sample);
+    at real scale a corpus is thousands of files and this returns
+    something >> target, making the widen a no-op exactly as the
+    callers document.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+    try:
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        if not parts:
+            return 1
+        # sample one part for its row-group count; parts are written
+        # by the same writer, so one footer is representative
+        return len(parts) * max(
+            pq.ParquetFile(parts[0]).metadata.num_row_groups, 1
+        )
+    except OSError:
+        return 1
+
+
 _WIDE_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -140,7 +183,16 @@ def embeddings_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     emb = table(spark, sf_dir, "embeddings")
-    if emb.rdd.getNumPartitions() < target:
+    # effective scan parallelism = min(split count, row-group count):
+    # splits bound packing of many small files, row groups bound the
+    # splitting of one large file (see _scan_width)
+    if (
+        min(
+            emb.rdd.getNumPartitions(),
+            _scan_width(f"{sf_dir}/embeddings.parquet"),
+        )
+        < target
+    ):
         emb = emb.repartition(target)
     _WIDE_EMB_CACHE[key] = emb
     return emb
@@ -166,7 +218,15 @@ def documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = table(spark, sf_dir, "documents")
-    if docs.rdd.getNumPartitions() < target:
+    # effective scan parallelism = min(splits, row groups) — see
+    # _scan_width and embeddings_wide
+    if (
+        min(
+            docs.rdd.getNumPartitions(),
+            _scan_width(f"{sf_dir}/documents.parquet"),
+        )
+        < target
+    ):
         docs = docs.repartition(target)
     _WIDE_DOCS_CACHE[key] = docs
     return docs

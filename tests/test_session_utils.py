@@ -71,3 +71,63 @@ def test_lazy_checkpoint_honors_audit_switch(spark):
     finally:
         session.set_lazy_checkpoints_disabled(False)
     assert "ExistingRDD" in plan_string(session.lazy_checkpoint(df))
+
+
+def test_scan_width_counts_row_groups_not_splits(spark, tmp_path):
+    """Round 12's 300x finding: a large single-file parquet written
+    with big row groups reports ~defaultParallelism SPLITS via
+    df.rdd.getNumPartitions() while parquet can only parallelize to
+    its ROW-GROUP count — the b27 fp pass read 451 s vs 48 s on the
+    identical 300x data. `_scan_width` must report row groups for a
+    single file, and `documents_wide` must widen when min(splits,
+    row groups) < target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.catalog import (
+        _scan_width,
+        documents_wide,
+    )
+
+    n = 10_000
+    path = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["alpha beta gamma"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["t"] * n, pa.string()),
+                "n_chars": pa.array([16] * n, pa.int64()),
+            }
+        ),
+        str(path),
+        row_group_size=5_000,  # 2 row groups regardless of file size
+    )
+    assert _scan_width(str(path)) == 2
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert target > 2  # the premise of the widen
+    wide = documents_wide(spark, str(tmp_path))
+    # the 2-row-group scan must have been widened to the session
+    # target even though its SPLIT count may exceed it
+    assert wide.rdd.getNumPartitions() == target
+
+
+def test_scan_width_directory(tmp_path):
+    """Directory sources: nfiles x row-groups-per-file (one sampled
+    footer); the caller min()s this with the split count so packed
+    small-file dirs still widen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.catalog import _scan_width
+
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"x": pa.array(range(100), pa.int64())}),
+            str(d / f"part-{i}.parquet"),
+        )
+    assert _scan_width(str(d)) == 3
+    assert _scan_width(str(tmp_path / "missing.parquet")) == 1
