@@ -133,16 +133,34 @@ def _scan_width(path: str) -> int:
     reads 451.2 s through the split probe vs 47.8 s repartitioned.
 
     Single file -> parquet footer row-group count (a metadata read).
-    Directory -> file count x (per-file row groups of one sample);
-    at real scale a corpus is thousands of files and this returns
-    something >> target, making the widen a no-op exactly as the
-    callers document.
+    Directory -> SUM of per-part footer row-group counts (still
+    metadata-only: each footer read touches a few KB). Summing, not
+    ``len(parts) * sample``, because a heterogeneous layout (one
+    consolidated many-group part next to many single-group parts)
+    makes any one sample unrepresentative in either direction — an
+    overestimate silently suppresses a needed widen, which is the
+    exact 300x trap this probe exists to close (r12 ADVICE).
+
+    Non-local URIs (s3://, hdfs://, ...) can't be footer-probed with
+    local file APIs; return a large sentinel so the caller's
+    ``min(splits, width)`` degrades to the plain split-count gate —
+    at real scale a corpus is thousands of files and the widen must
+    be a no-op, not a forced full shuffle (r12 ADVICE). Same sentinel
+    on any unreadable/corrupt footer (pyarrow raises ArrowInvalid —
+    NOT OSError — for a zero-byte placeholder part, which Spark
+    itself tolerates since zero-length splits yield no partitions):
+    a broken footer must not crash plan-time, and pessimistically
+    returning 1 would force a shuffle, so degrade to splits-only.
     """
     import pyarrow.parquet as pq
 
-    if os.path.isfile(path):
-        return max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+    _REMOTE_SENTINEL = 1 << 30
+
+    if "://" in path and not path.startswith("file://"):
+        return _REMOTE_SENTINEL
     try:
+        if os.path.isfile(path):
+            return max(pq.ParquetFile(path).metadata.num_row_groups, 1)
         parts = [
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -150,13 +168,22 @@ def _scan_width(path: str) -> int:
         ]
         if not parts:
             return 1
-        # sample one part for its row-group count; parts are written
-        # by the same writer, so one footer is representative
-        return len(parts) * max(
-            pq.ParquetFile(parts[0]).metadata.num_row_groups, 1
-        )
+        total = 0
+        for p in parts:
+            try:
+                total += pq.ParquetFile(p).metadata.num_row_groups
+            except Exception:
+                # ArrowInvalid (zero-byte placeholder from an
+                # interrupted write) — Spark tolerates the part, so
+                # skip its footer rather than crash plan-time.
+                continue
+        return max(total, 1) if total else _REMOTE_SENTINEL
     except OSError:
         return 1
+    except Exception:
+        # ArrowInvalid on a single-file probe and friends: never
+        # fail plan-time, never force a shuffle — splits-only gate.
+        return _REMOTE_SENTINEL
 
 
 _WIDE_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}

@@ -101,7 +101,15 @@ def bpe_posture(k: int, sf_dir: str, k_driver: int | None = None) -> None:
 
     spark = _spark()
     k_driver = k if k_driver is None else k_driver
-    out: dict = {"k": k, "k_driver": k_driver, "sf_dir": sf_dir}
+    # the merge-table identity check below prefix-compares the
+    # distributed merges against merges[:len(dist_merges)]; that is
+    # only meaningful when the driver list is at least as long as the
+    # distributed one (r12 ADVICE: a shorter k_driver made identical
+    # semantics report False) — clamp and say so in the output
+    if k_driver < k:
+        k_driver = k
+    out: dict = {"k": k, "k_driver": k_driver, "sf_dir": sf_dir,
+                 "merge_check": "common-prefix only (first k rounds)"}
 
     # driver-side production loop (b122's shape, cap wide enough that
     # it does not bind on this corpus — the comparison is loop cost,

@@ -114,9 +114,11 @@ def test_scan_width_counts_row_groups_not_splits(spark, tmp_path):
 
 
 def test_scan_width_directory(tmp_path):
-    """Directory sources: nfiles x row-groups-per-file (one sampled
-    footer); the caller min()s this with the split count so packed
-    small-file dirs still widen."""
+    """Directory sources: SUM of per-part footer row-group counts
+    (r13: summed, not nfiles x one sampled footer — a heterogeneous
+    layout made the sample overestimate and silently suppress a
+    needed widen); the caller min()s this with the split count so
+    packed small-file dirs still widen."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -131,3 +133,76 @@ def test_scan_width_directory(tmp_path):
         )
     assert _scan_width(str(d)) == 3
     assert _scan_width(str(tmp_path / "missing.parquet")) == 1
+
+
+def test_scan_width_heterogeneous_directory_sums_footers(tmp_path):
+    """One consolidated 4-row-group part next to two single-group
+    parts: the old nfiles*sample estimate reads 3*4=12 or 3*1=3
+    depending on listdir order; the true width is 4+1+1=6. Summing
+    footers is order-independent and exact (r12 ADVICE low)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.catalog import _scan_width
+
+    d = tmp_path / "het.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array(range(400), pa.int64())}),
+        str(d / "part-big.parquet"),
+        row_group_size=100,  # 4 row groups
+    )
+    for i in range(2):
+        pq.write_table(
+            pa.table({"x": pa.array(range(50), pa.int64())}),
+            str(d / f"part-small{i}.parquet"),
+        )
+    assert _scan_width(str(d)) == 6
+
+
+def test_scan_width_tolerates_zero_byte_part(tmp_path):
+    """A zero-byte placeholder part (interrupted write) raises
+    pyarrow ArrowInvalid — NOT OSError — on footer read; Spark itself
+    tolerates the part (zero-length splits yield no partitions), so
+    plan-time must not crash (r12 ADVICE medium). The bad footer is
+    skipped and the healthy parts still sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.catalog import _scan_width
+
+    d = tmp_path / "empties.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array(range(100), pa.int64())}),
+        str(d / "part-ok.parquet"),
+    )
+    (d / "part-empty.parquet").touch()
+    assert _scan_width(str(d)) == 1  # the one healthy footer
+
+    # an all-corrupt directory degrades to the splits-only gate
+    # (large sentinel), never a forced shuffle and never a crash
+    d2 = tmp_path / "allbad.parquet"
+    d2.mkdir()
+    (d2 / "part-empty.parquet").touch()
+    assert _scan_width(str(d2)) >= 1 << 20
+
+    # single-file probe on a corrupt file: same degradation
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"not parquet at all")
+    assert _scan_width(str(bad)) >= 1 << 20
+
+
+def test_scan_width_remote_uri_sentinel(tmp_path):
+    """s3://-style paths can't be footer-probed with local file APIs;
+    returning 1 forced min(splits, 1) < target to repartition EVERY
+    remote scan — a full shuffle at exactly the scale where the widen
+    must be a no-op (r12 ADVICE low). Remote schemes get a large
+    sentinel so the gate degrades to splits-only."""
+    from kafka_streams_sandbox_spark.catalog import _scan_width
+
+    assert _scan_width("s3://bucket/corpus/documents.parquet") >= 1 << 20
+    assert _scan_width("hdfs://nn:8020/corpus.parquet") >= 1 << 20
+    # file:// is local-ish but os.path won't see it either way the
+    # key property is: no forced shuffle
+    assert _scan_width("file:///nonexistent/x.parquet") >= 1
