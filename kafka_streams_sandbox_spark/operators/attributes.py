@@ -60,6 +60,7 @@ from kafka_streams_sandbox_spark.catalog import documents_wide
 from kafka_streams_sandbox_spark.functions.tokens import (
     DUCK_TRIGRAMS_EXPR,
     TOKENS_EXPR,
+    token_set_fingerprint,
 )
 from kafka_streams_sandbox_spark.operators.pipeline import (
     _B69_MAX_REPETITION,
@@ -98,6 +99,8 @@ from kafka_streams_sandbox_spark.session import (
 _ATTR_COLS = [
     "doc_id",
     "lang",
+    "source",
+    "fingerprint",
     "n_tokens",
     "repetition_ratio",
     "q_verdict",
@@ -248,8 +251,15 @@ _B124_SQL_BODY = f"""base AS MATERIALIZED (
                CAST(COUNT(*) AS BIGINT) AS dsir_tok
         FROM d_votes GROUP BY doc_id
     ),
+    f_fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != ''))), ' ')) AS fingerprint
+        FROM base
+    ),
     attrs AS (
-        SELECT b.doc_id, b.lang,
+        SELECT b.doc_id, b.lang, b.source, f_fp.fingerprint,
                q.n_tokens, q.repetition_ratio,
                CASE WHEN q.n_tokens < {_B69_MIN_TOKENS} THEN 'too_short'
                     WHEN q.repetition_ratio > {_B69_MAX_REPETITION}
@@ -265,6 +275,7 @@ _B124_SQL_BODY = f"""base AS MATERIALIZED (
                d.dsir_pos, d.dsir_tok,
                2 * d.dsir_pos > d.dsir_tok AS dsir_selected
         FROM base b
+        JOIN f_fp USING (doc_id)
         JOIN q USING (doc_id)
         JOIN g USING (doc_id)
         LEFT JOIN l USING (doc_id)
@@ -327,7 +338,16 @@ def build_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("predicted").alias("clf_predicted"),
     )
     return (
-        base.select("doc_id", "lang")
+        base.select(
+            "doc_id",
+            "lang",
+            "source",
+            # the b24 exact-dedup join key rides in the table (r13:
+            # VERDICT r12 #1 — the attribute-reading funnel's
+            # dedup_exact stage groups on this column instead of
+            # re-tokenizing the corpus; ONE definition, tokens.py)
+            token_set_fingerprint().alias("fingerprint"),
+        )
         .join(quality, "doc_id")
         .join(gopher, "doc_id")
         .join(lm, "doc_id", "left")

@@ -2095,8 +2095,62 @@ def b77_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def attribute_decision_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b100's flat gate + exact-dedup decision frame, read PURELY
+    from the staged b124 attributes table (r13, VERDICT r12 #1): the
+    quality gate is the persisted ``q_verdict`` scalar, the LM gate
+    the persisted ``passes_lm`` boolean, and the exact-dedup keeper
+    window groups on the persisted ``fingerprint`` — zero
+    ``documents`` FileScans (plan-pinned, tests/test_plans.py). At
+    100 TB this is the Dolma payoff: re-running the gate cascade
+    after a rule change costs one ~70-byte/row scalars scan instead
+    of the corpus-wide tokenize+trigram+bigram text passes.
+
+    Stage-rule identity with the text-scanning twin is by
+    construction — every persisted column was computed by the SAME
+    shared core the twin calls (build_attributes composes
+    quality_verdict / bigram_lm_verdict / token_set_fingerprint), so
+    b126 == b100 row-for-row (contract test + the sf0.01/sf0.001
+    twin-equality receipt in BASELINE.md)."""
+    from kafka_streams_sandbox_spark.operators.attributes import (
+        attributes_path,
+    )
+
+    attrs = spark.read.parquet(attributes_path(spark, sf_dir))
+    w_fp = Window.partitionBy("fingerprint")
+    return (
+        attrs.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "fingerprint",
+            "repetition_ratio",
+            (F.col("q_verdict") == "pass").alias("q_pass"),
+            "passes_lm",
+        )
+        .withColumn(
+            "lm_pass",
+            F.col("q_pass") & F.coalesce("passes_lm", F.lit(False)),
+        )
+        .drop("passes_lm")
+        .withColumn(
+            "keep_id",
+            F.min(F.when(F.col("lm_pass"), F.col("doc_id"))).over(w_fp),
+        )
+        .withColumn(
+            "ex_keep",
+            F.col("lm_pass") & (F.col("doc_id") == F.col("keep_id")),
+        )
+    )
+
+
 def _curation_capstone(
-    spark: SparkSession, sf_dir: str, graded: bool
+    spark: SparkSession,
+    sf_dir: str,
+    graded: bool,
+    from_attributes: bool = False,
 ) -> DataFrame:
     """The full LLM-curation funnel (r7, VERDICT r6 Next #6): b71
     chains quality -> exact dedup -> mixture -> split but never
@@ -2176,18 +2230,39 @@ def _curation_capstone(
         # ran > 10 min vs ~15 s with the barrier. raw_q is narrow
         # (5 scalar cols) and has two consumers (the para input's
         # semi join + the decision-frame join).
-        raw_q = lazy_checkpoint(
-            trig.select(
+        if from_attributes:
+            # b127 (r13, VERDICT r12 #1): the raw-text quality frame
+            # is the persisted attributes scalars — the corpus-wide
+            # tokenize+trigram pass this checkpoint used to absorb
+            # never runs, and no barrier is needed (the staged
+            # parquet IS the materialization; re-scanning ~70-byte
+            # rows per consumer is cheaper than a checkpoint write)
+            from kafka_streams_sandbox_spark.operators.attributes import (
+                attributes_path,
+            )
+
+            raw_q = spark.read.parquet(
+                attributes_path(spark, sf_dir)
+            ).select(
                 "doc_id",
                 "source",
-                F.size("toks").alias("n_tokens"),
-                (
-                    F.lit(1.0)
-                    - F.size(F.array_distinct("tg")).cast("double")
-                    / F.size("tg")
-                ).alias("repetition_ratio"),
-            ).withColumn("q_pass", q_pass)
-        )
+                "n_tokens",
+                "repetition_ratio",
+                (F.col("q_verdict") == "pass").alias("q_pass"),
+            )
+        else:
+            raw_q = lazy_checkpoint(
+                trig.select(
+                    "doc_id",
+                    "source",
+                    F.size("toks").alias("n_tokens"),
+                    (
+                        F.lit(1.0)
+                        - F.size(F.array_distinct("tg")).cast("double")
+                        / F.size("tg")
+                    ).alias("repetition_ratio"),
+                ).withColumn("q_pass", q_pass)
+            )
         para = paragraph_dedup_rewrite(
             docs.join(
                 raw_q.filter(F.col("q_pass")).select("doc_id"),
@@ -2280,6 +2355,16 @@ def _curation_capstone(
             )
             .transform(lazy_checkpoint)
         )
+    elif from_attributes:
+        # b126 (r13, VERDICT r12 #1): the whole gate + exact-dedup
+        # decision frame reads the staged attributes scalars —
+        # quality verdict, LM verdict, and the b24 fingerprint are
+        # persisted columns, so zero documents FileScans until the
+        # near-dup stage's survivor text semi-join (plan-pinned via
+        # attribute_decision_frame). No checkpoint: the staged
+        # parquet is the materialization.
+        srcdocs = docs
+        base = attribute_decision_frame(spark, sf_dir)
     else:
         srcdocs = docs
         # b108's gate verdict over the RAW corpus model (shared core);
@@ -2514,6 +2599,51 @@ def b113_curation_graded_mixture(  # banding-based (b27's label)
     LM buckets, the lot — in pure Python
     (tests/test_ann_contracts.py)."""
     return _curation_capstone(spark, sf_dir, graded=True)
+
+
+@query("b126_attribute_curation_funnel")  # rows-only: near-dup stage
+def b126_attribute_curation_funnel(  # is banding-based (b27's label)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b100's funnel with its gate + exact-dedup stages READING THE
+    b124 ATTRIBUTES TABLE instead of re-scanning text (r13, VERDICT
+    r12 #1 — the Dolma integration): quality = the persisted
+    ``q_verdict``, LM gate = the persisted ``passes_lm``, exact dedup
+    = a window over the persisted ``fingerprint``
+    (``attribute_decision_frame``; plan-pinned to zero documents
+    FileScans). Text is touched only where the funnel genuinely needs
+    content — the near-dup banding and the span rewrite run over the
+    survivors' text exactly as in b100.
+
+    Twin equality: output == b100 row-for-row at both SFs (contract
+    test tests/test_funnel_attrs.py + the BASELINE.md receipt) — by
+    construction, since every persisted column came from the same
+    shared core the twin calls. At 100 TB, re-running the funnel
+    after a gate-threshold change costs one scalars scan + the
+    survivor-only text stages instead of five corpus text passes."""
+    return _curation_capstone(
+        spark, sf_dir, graded=False, from_attributes=True
+    )
+
+
+@query("b127_attribute_graded_funnel")  # rows-only: near-dup stage
+def b127_attribute_graded_funnel(  # is banding-based (b27's label)
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b113's CCNet funnel with its RAW-TEXT quality frame reading
+    the b124 attributes table (r13, VERDICT r12 #1). Only the first
+    gate can come from attributes in the graded form — every later
+    signal (LM model, fingerprints, banding) is computed over the
+    PARAGRAPH-DEDUPED text by CCNet sequencing, and raw-corpus
+    attributes cannot stand in for paragraph-rewritten signals (the
+    docstring rule that bounds this integration). Still real: the
+    replaced stage was the corpus-wide tokenize+trigram pass.
+
+    Twin equality: output == b113 row-for-row at both SFs (contract
+    test + BASELINE.md receipt)."""
+    return _curation_capstone(
+        spark, sf_dir, graded=True, from_attributes=True
+    )
 
 
 # ---------------------------------------------------------------------------
