@@ -431,7 +431,14 @@ def b125_attribute_gated_funnel(
     >= {_B69_MIN_TOKENS} tokens, so its lm/dsir columns are non-NULL
     by construction — the cascade never gates on a NULL (short docs
     exit at '1_too_short' first)."""
-    attrs = spark.read.parquet(attributes_path(spark, sf_dir))
+    return gate_cascade(spark.read.parquet(attributes_path(spark, sf_dir)))
+
+
+def gate_cascade(attrs: DataFrame) -> DataFrame:
+    """b125's first-failing-gate cascade over ANY attributes relation
+    — pure column predicates, factored out (r13) so the a43
+    ingest-appended store runs the IDENTICAL funnel report as the
+    at-rest b125 (one gate definition, the shared-core discipline)."""
     gate = (
         F.when(F.col("q_verdict") == "too_short", "1_too_short")
         .when(F.col("q_verdict") == "too_repetitive", "2_trigram_repetition")

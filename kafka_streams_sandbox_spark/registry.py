@@ -58,58 +58,64 @@ _OPERATOR_MODULES = (
 # Maintain this list every round: add each query you touch; prune once
 # its fresh driver row lands.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # --- round-12 ordering (VERDICT r11 #4): new + changed queries
+    # --- round-13 ordering (VERDICT r12 #3): new + changed queries
     # first (the r2 stale-row rule: every touched query re-rows),
-    # then the 30 r8-aged rows — after this round the latest-row
-    # histogram's max age is r9.
-    # --- NEW in round 12 (no driver row exists yet) ---
-    "b122_bpe_production_train",       # driver-side merge loop over
-                                       # the capped vocab (VERDICT
-                                       # r11 #1)
-    "b123_unigram_lm_train",           # SentencePiece-style unigram
-                                       # trainer (VERDICT r11 #2)
-    "a42_stream_unigram_segment",      # its frozen-vocab ingest twin
-    "b124_quality_attributes",         # single-scan Dolma attributes
-                                       # table (VERDICT r11 #3)
-    "b125_attribute_gated_funnel",     # the funnel that reads
-                                       # attributes, not text
-    # --- changed in round 12 ---
-    "a37_stream_graded_funnel",        # visible-restart logging in
-                                       # the shared ingest run loop
-                                       # (ADVICE r11 #3)
-    "a34_stream_full_funnel",          # same shared loop
-    "a32_stream_curation_funnel",      # same shared loop
-    # --- the 30 r8-aged rows (VERDICT r11 #4) ---
-    "a30_stream_repetition_gate",
-    "a31_stream_pq_encode",
-    "b108_bigram_lm_gate",
-    "b14_rollup_agg",
-    "b16_json_extract",
-    "b24_dedup_across_sources",
-    "b35_ann_random_projection",
-    "b42_above_avg_customers",
-    "b43_grouping_sets",
-    "b45_sketch_aggregates",
-    "b46_range_join_bands",
-    "b52_unpivot_measures",
-    "b56_exact_percentiles",
-    "b57_train_holdout_split",
-    "b59_funnel_conversion",
-    "b62_contamination_overlap",
-    "b63_intradoc_repetition",
-    "b65_embedding_quantize",
-    "b66_scd2_history",
-    "b68_incremental_dedup",
-    "b69_quality_gate",
-    "b70_bigram_lm",
-    "b72_key_skew_report",
-    "b74_robust_anomalies",
-    "b76_fuzzy_match",
-    "b77_value_quartiles",
-    "b88_shard_shuffle",
-    "b89_shard_write_manifest",
-    "b90_time_grid_fill",
-    "b99_selfseed_neardup",
+    # then the 37 r9-aged rows — after this round the latest-row
+    # histogram's max age is r10.
+    # --- NEW in round 13 (no driver row exists yet) ---
+    "b126_attribute_curation_funnel",  # b100 with gates reading the
+                                       # b124 attributes (VERDICT
+                                       # r12 #1)
+    "b127_attribute_graded_funnel",    # b113's quality frame from
+                                       # attributes
+    "a43_stream_attribute_append",     # ingest-side attribute
+                                       # appender (store stays
+                                       # current)
+    # --- changed in round 13 ---
+    "b124_quality_attributes",         # +source/fingerprint columns
+                                       # (oracle extended to match)
+    "b125_attribute_gated_funnel",     # cascade factored into
+                                       # gate_cascade (shared w/ a43)
+    "a03_stream_peek",                 # bounded driver tap (VERDICT
+                                       # r12 wrong-item #1)
+    # --- the 37 r9-aged rows (VERDICT r12 #3) ---
+    "a33_stream_lm_gate",
+    "b103_temperature_mixture",
+    "b105_winnowing_fingerprints",
+    "b106_ivfpq_ann",
+    "b109_winnowing_coverage",
+    "b111_lm_bucket_mixture",
+    "b115_winnowing_coverage_capped",
+    "b15_scalar_functions",
+    "b17_latest_per_user",
+    "b18_table_filter_key_eq_value",
+    "b19_tumbling_window_agg",
+    "b20_sessionization",
+    "b21_exact_dedup",
+    "b23_text_stats",
+    "b26_ngram_jaccard_pairs",
+    "b27_minhash_lsh_dedup",
+    "b28_simhash_dedup",
+    "b29_language_id",
+    "b30_quality_score",
+    "b31_token_count",
+    "b32_fingerprint",
+    "b33_cosine_topk",
+    "b34_ann_ivf_label",
+    "b39_embedding_neardup",
+    "b39_lsh_embedding_neardup",
+    "b44_cosine_topk_arrow",
+    "b48_hybrid_search",
+    "b50_salted_agg",
+    "b51_sliding_window_agg",
+    "b53_rolling_hash",
+    "b58_tfidf_top_terms",
+    "b64_stratified_sample",
+    "b67_mixture_sample",
+    "b71_corpus_curation",
+    "b79_stopword_prune",
+    "b94_semantic_dedup_exact",
+    "b98_incremental_neardup",
 )
 
 

@@ -123,11 +123,25 @@ def peek(
     sink: Callable[[str], None] | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
+    sample_rows: int = 20,
 ):
     """A3 — mapValues debug tap (KStreamsToKTable.java:85): a real
-    foreachBatch observer query printing every table update, off the
-    data path (the reference discards the mapValues result; this
-    discards nothing — it is a second, side-effect-only sink).
+    foreachBatch observer query printing table updates, off the data
+    path (the reference discards the mapValues result; this discards
+    nothing — it is a second, side-effect-only sink).
+
+    Reference-vs-scale tradeoff (r13, VERDICT r12 wrong-item #1): the
+    reference prints EVERY update — fine for its console demo, but an
+    unbounded ``batch.collect()`` in an enabled debug tap is a driver
+    OOM at 100 TB (a single micro-batch can carry a corpus-sized
+    changelog). The tap therefore collects at most ``sample_rows``
+    rows per batch (``limit(N)`` executes distributed; only N rows
+    cross to the driver) and reports the batch's TOTAL count in a
+    trailer line, so the observable signal (which keys are flowing,
+    how many) survives while the driver transfer is O(N). Tests that
+    need every line inject a ``sink`` and a ``sample_rows`` large
+    enough for their fixture — semantics, not scale, is what they
+    pin.
 
     Returns the *started* StreamingQuery — the caller owns tracking
     and shutdown (StreamsApp appends it to its query list). ``sink``
@@ -136,8 +150,17 @@ def peek(
     emit = sink if sink is not None else print
 
     def _show(batch: DataFrame, batch_id: int) -> None:
-        for row in batch.collect():
+        shown = 0
+        for row in batch.limit(sample_rows).collect():
             emit(f"[{tag}] batch={batch_id} {row.asDict()}")
+            shown += 1
+        total = batch.count()
+        if total > shown:
+            emit(
+                f"[{tag}] batch={batch_id} ... {total - shown} more "
+                f"updates ({total} total; sample capped at "
+                f"{sample_rows})"
+            )
 
     writer = (
         df.writeStream.outputMode("update")

@@ -2732,3 +2732,209 @@ def span_compaction_rounds(
         "round int, label string, arrived_docs bigint, corpus_docs bigint,"
         " changed_docs bigint, removed_tokens bigint, kept_tokens bigint",
     )
+
+
+@query("a43_stream_attribute_append")  # rows-only: streaming sink
+def a43_stream_attribute_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INGEST-SIDE ATTRIBUTE APPENDER (r13, VERDICT r12 #1's
+    closing piece): the b124 Dolma attributes store stays CURRENT as
+    docs arrive — the standing corpus (doc_id % 10 < 8) seeds the
+    store once, and every arriving micro-batch computes its docs'
+    attribute rows and appends them as a per-batch delta, so any
+    attribute-gated consumer (b125/b126's cascade) always sees the
+    whole corpus without ever re-scanning text.
+
+    Frozen-artifact discipline (the a33/a38/a41 pattern, composed):
+    the corpus-relative signals score arrivals against artifacts
+    TRAINED ONCE on the standing corpus — the bigram-LM counts model
+    + threshold scalar (a33's `bigram_lm_frozen_score`/
+    `frozen_lm_threshold`), the DSIR histograms (a38's
+    `dsir_histograms`), and the classifier's 257 floats (a41's
+    `train_quality_classifier`) — while the pure per-doc signals
+    (b69 quality verdict, b102 Gopher metrics, the b24 fingerprint)
+    use the same shared cores b124 composes. Every appended row is
+    therefore a pure function of (own text, frozen artifacts): no
+    state read, which is exactly what makes blind append-only writes
+    correct (contrast a26's dedup state, which must read-then-write).
+
+    Committed-state discipline (a35/a29): each batch overwrites its
+    own ``batch_id=N`` subpath (a crashed attempt's retry regenerates
+    the identical delta), and readers assemble seed + committed
+    deltas through ``committed_state``'s explicit-path rule — never a
+    recursive glob that could pick up a torn write.
+
+    In-query duality assert: the appended rows must equal the
+    one-pass batch twin over the arriving slice — same frozen
+    artifacts, same cores — on the FULL attribute frame including
+    the raw doubles (repetition_ratio, lm_score, clf_logit: each is
+    a per-doc integer-sum-then-divide or sequential fold, so
+    micro-batch boundaries cannot move even the last ulp). A second
+    assert pins store completeness: exactly one row per corpus doc.
+
+    Returns the b125 gate cascade over the COMPLETE store
+    (``gate_cascade`` — the literal shared function b125 calls), the
+    demonstration the store exists for: the funnel report covering
+    seed + arrivals, computed from scalars only. At 100 TB the
+    cascade re-run costs one attributes scan regardless of how many
+    ingest batches have landed.
+    """
+    from pyspark import StorageLevel
+    from kafka_streams_sandbox_spark.catalog import documents_wide
+    from kafka_streams_sandbox_spark.functions.tokens import TOKENS_EXPR
+    from kafka_streams_sandbox_spark.operators.attributes import (
+        gate_cascade,
+    )
+    from kafka_streams_sandbox_spark.operators.pipeline import (
+        bigram_lm_counts,
+        bigram_lm_frozen_score,
+        frozen_lm_threshold,
+        quality_verdict,
+    )
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _DSIR_TARGET,
+        dsir_histograms,
+        dsir_score,
+        quality_score_frame,
+        train_quality_classifier,
+    )
+    from kafka_streams_sandbox_spark.operators.text import (
+        repetition_metrics,
+    )
+    from kafka_streams_sandbox_spark.sources.replay import DOCUMENTS_SCHEMA
+
+    label = "a43_stream_attribute_append"
+    fingerprint = token_set_fingerprint()
+    docs = documents_wide(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    corpus = docs.filter(~is_new)
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # ---- frozen artifacts, built once before the stream ----
+    corpus_t = corpus.withColumn(
+        "is_target", F.col("source").isin(*_DSIR_TARGET)
+    )
+    # the counts model is joined by every micro-batch's scoring pass:
+    # persist pre-partitioned on the join keys (the r11 keyed-persist
+    # rule) so only the small batch side exchanges per batch
+    model = (
+        bigram_lm_counts(
+            corpus.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+            .filter(F.size(F.col("toks")) >= 2)
+        )
+        .repartition(n_shuf, "ph", "nh")
+        .sortWithinPartitions("ph", "nh")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    model.count()
+    threshold = frozen_lm_threshold(model)
+    c_t, c_r, t_tot, r_tot = dsir_histograms(corpus_t)
+    weights, bias, clf_base = train_quality_classifier(corpus_t)
+    release_local_checkpoint(clf_base)
+
+    attr_cols = [
+        "doc_id", "lang", "source", "fingerprint", "n_tokens",
+        "repetition_ratio", "q_verdict", "top2_frac", "top3_frac",
+        "dup5_cov", "dup10_cov", "passes_repetition", "n_bigrams",
+        "lm_score", "passes_lm", "dsir_pos", "dsir_tok",
+        "dsir_selected", "clf_logit", "clf_predicted",
+    ]
+    attr_schema = (
+        "doc_id bigint, lang string, source string, fingerprint string,"
+        " n_tokens bigint, repetition_ratio double, q_verdict string,"
+        " top2_frac double, top3_frac double, dup5_cov double,"
+        " dup10_cov double, passes_repetition boolean, n_bigrams bigint,"
+        " lm_score double, passes_lm boolean, dsir_pos bigint,"
+        " dsir_tok bigint, dsir_selected boolean, clf_logit double,"
+        " clf_predicted boolean"
+    )
+
+    def attr_rows(bdf: DataFrame) -> DataFrame:
+        """One doc's attribute row from (own text, frozen artifacts)
+        — b124's column set via the same shared cores, with the three
+        corpus-relative signals in their frozen (train-once) form."""
+        quality = quality_verdict(bdf).select(
+            "doc_id",
+            "n_tokens",
+            "repetition_ratio",
+            F.col("verdict").alias("q_verdict"),
+        )
+        gopher = repetition_metrics(bdf).select(
+            "doc_id", "top2_frac", "top3_frac", "dup5_cov", "dup10_cov",
+            "passes_repetition",
+        )
+        lm = bigram_lm_frozen_score(
+            bdf.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+            .filter(F.size(F.col("toks")) >= 2),
+            model,
+            threshold,
+        ).select("doc_id", "n_bigrams", "lm_score", "passes_lm")
+        dsir = dsir_score(bdf, c_t, c_r, t_tot, r_tot).select(
+            "doc_id",
+            F.col("n_pos").alias("dsir_pos"),
+            F.col("n_tok").alias("dsir_tok"),
+            F.col("selected").alias("dsir_selected"),
+        )
+        clf = quality_score_frame(bdf, weights, bias).select(
+            "doc_id",
+            F.col("logit").alias("clf_logit"),
+            F.col("predicted").alias("clf_predicted"),
+        )
+        return (
+            bdf.select(
+                "doc_id", "lang", "source",
+                fingerprint.alias("fingerprint"),
+            )
+            .join(quality, "doc_id")
+            .join(gopher, "doc_id")
+            .join(lm, "doc_id", "left")
+            .join(dsir, "doc_id", "left")
+            .join(clf, "doc_id", "left")
+            .select(*attr_cols)
+        )
+
+    store = scratch_dir(f"kss-{label}-store-")
+    # seed: the standing corpus's attributes, scored against the SAME
+    # frozen artifacts the arrivals will use, so seed + deltas form
+    # one internally-consistent dataset
+    attr_rows(corpus).write.mode("overwrite").parquet(f"{store}/seed")
+
+    src_dir = stage_seq_files(docs, label)
+
+    def append_batch(bdf: DataFrame, batch_id: int) -> None:
+        attr_rows(bdf).write.mode("overwrite").parquet(
+            f"{store}/batch_id={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", scratch_dir("kss-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    model.unpersist()
+
+    full_store = committed_state(
+        spark, store, attr_schema, upto=1 << 30, seed=True
+    )
+    # duality: appended rows == one-pass batch twin (full frame,
+    # raw doubles included — module docstring)
+    assert_stream_batch_duality(
+        full_store.filter(is_new),
+        attr_rows(docs.filter(is_new)),
+        attr_cols,
+        label,
+    )
+    # completeness: the store covers the corpus exactly once
+    n_docs, n_store = docs.count(), full_store.count()
+    if n_store != n_docs:
+        raise AssertionError(
+            f"{label}: store has {n_store} rows for {n_docs} docs"
+        )
+    return gate_cascade(full_store)

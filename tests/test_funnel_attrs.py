@@ -44,6 +44,32 @@ def test_b127_equals_text_scanning_twin(spark):
     )
 
 
+def test_a43_store_covers_corpus_and_matches_cascade_shape(spark):
+    """a43's own run carries the semantic weight (in-query duality of
+    every appended row vs the one-pass twin + store-completeness
+    assert — a non-error run IS the certificate); here we pin the
+    report surface: the cascade covers every document exactly once
+    and uses b125's gate vocabulary (the shared gate_cascade)."""
+    from kafka_streams_sandbox_spark.catalog import table
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        a43_stream_attribute_append,
+    )
+
+    rows = a43_stream_attribute_append(spark, SF).collect()
+    n_docs = table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    gates = {r["gate"] for r in rows}
+    assert gates <= {
+        "1_too_short",
+        "2_trigram_repetition",
+        "3_gopher_repetition",
+        "4_lm_atypical",
+        "5_dsir_offtarget",
+        "6_keep",
+    }
+    assert "6_keep" in gates
+
+
 def test_gate_decision_frame_plan_reads_attributes_not_text(spark):
     """The gate + exact-dedup decision frame (quality verdict, LM
     verdict, fingerprint keeper window) must scan ONLY the staged
