@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "b28_simhash_dedup",
     "b29_language_id",
     "b33_cosine_topk",
+    # b34 is a FIXTURE ANCHOR kept only for cross-round metric
+    # continuity: its fixed 10-cell geometry is a documented cost
+    # cliff (5.7x DuckDB at sf0.1 — similarity.py posture rule);
+    # b91/b92 below are the scale shapes a real workload uses
     "b34_ann_ivf_label",
     "b35_ann_random_projection",
     # rows-only (no oracle): adds a Spark-timed row without touching

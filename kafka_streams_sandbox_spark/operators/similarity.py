@@ -185,6 +185,19 @@ def b34_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     b35@8planes; the remedy needs no new machinery — compose the
     label cell with the hash sub-bucket, or feed real k-means
     centroid ids in as `label`.
+
+    POSTURE RULE (r13, VERDICT r12 watch-item #2): b34 is a FIXTURE
+    ANCHOR, not a production shape — its 10 fixed label-cells are the
+    documented cost cliff above (in-cell rerank is sum(|cell|^2), and
+    at sf0.1 it already runs 5.7x DuckDB's wall for exactly that
+    reason: DuckDB pays the same quadratic rerank but with no
+    shuffle/task floor under it). Do NOT tune b34; route any
+    real workload to the registered scale shapes — b91 (hash
+    sub-bucketed cells: 0.9 s on the same sf0.1 data, 3.2x faster
+    than the anchor) or b92 (learned k-means IVF, the FAISS
+    production geometry). b34 stays in the bench headline set ONLY
+    for cross-round metric continuity (BASELINE.md r13 note); its
+    ratio row measures the anchor's cliff, not engine quality.
     """
     v = _vectors(spark, sf_dir)
     q = v.select(
