@@ -897,3 +897,92 @@ def test_unigram_segment_frame_matches_twin(spark, tmp_path):
             sum(len(_twin_viterbi(w, costs)) for w in ws),
         )
     assert got == expect
+
+
+def test_ulm_loss_prune_keeps_irreplaceable_pieces():
+    """r13 (VERDICT r12 #5): the loss-contribution prune must keep
+    the piece whose REMOVAL hurts segmentation most, not the piece
+    with the biggest raw count — a frequent piece that is cheaply
+    composable from other kept pieces ranks below a piece over rare
+    chars. The expected ranking is re-derived independently here
+    (masked-Viterbi contribution per piece)."""
+    import math
+
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _ULM_OOV_COST,
+        _ulm_costs,
+        _ulm_loss_prune,
+        unigram_viterbi,
+    )
+
+    # "ab": huge count but 'a'/'b' are cheap -> tiny loss if dropped.
+    # "qz": small count but 'q'/'z' are rare singles -> costly alt.
+    counts = {"a": 5000, "b": 5000, "ab": 900, "qz": 40, "q": 2, "z": 2}
+
+    def contribution(p):
+        costs = _ulm_costs(counts)
+        own = costs[p]
+        costs[p] = _ULM_OOV_COST * len(p) + 1
+        alt = sum(
+            costs.get(s, _ULM_OOV_COST) for s in unigram_viterbi(p, costs)
+        )
+        return counts[p] * (alt - own)
+
+    expect_winner = max(["ab", "qz"], key=contribution)
+    assert expect_winner == "qz"  # the scenario is actually separating
+    pruned = _ulm_loss_prune(counts, keep=1)
+    # singles always survive (reachability floor); exactly one multi
+    assert {p for p in pruned if len(p) == 1} == {"a", "b", "q", "z"}
+    assert {p for p in pruned if len(p) > 1} == {"qz"}
+
+
+def test_ulm_trainer_defaults_unchanged_and_schedule_lands_on_vocab(
+    spark, tmp_path
+):
+    """Parameterizing the trainer (r13) must not move the b123/a42
+    fixture posture: default args == the pre-r13 constant path (same
+    piece table). The loss-prune schedule must land exactly on the
+    requested inventory (multi-char pieces <= vocab) while keeping
+    every single char."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_sandbox_spark.operators.selection import (
+        _ULM_ROUNDS,
+        _ULM_SEED_CAP,
+        _ULM_VOCAB,
+        unigram_lm_train,
+    )
+
+    texts = ["walker walking talked talker walked talking"] * 6
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 6, pa.string()),
+                "source": pa.array(["t"] * 6, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    default_counts, _ = unigram_lm_train(docs)
+    explicit_counts, _ = unigram_lm_train(
+        docs,
+        seed_cap=_ULM_SEED_CAP,
+        vocab=_ULM_VOCAB,
+        rounds=_ULM_ROUNDS,
+        loss_prune=False,
+    )
+    assert default_counts == explicit_counts
+
+    loss_counts, _ = unigram_lm_train(docs, vocab=4, loss_prune=True)
+    multis = [p for p in loss_counts if len(p) > 1]
+    singles = {p for p in loss_counts if len(p) == 1}
+    assert 0 < len(multis) <= 4
+    # singles = the chars some Viterbi path chose (chars covered only
+    # by multi-char pieces drop out of the EM counts — the same rule
+    # as the top-K path); all must come from the corpus alphabet
+    assert singles and singles <= {c for t in texts for c in t if c != " "}
