@@ -99,6 +99,76 @@ def committed_state(
     return spark.read.parquet(*paths)
 
 
+def compact_committed_state(
+    spark: SparkSession, root: str, schema: str, upto: int
+) -> dict:
+    """At-rest COMPACTION of a committed-state root (r13, VERDICT r12
+    #8): fold ``seed`` + every committed ``batch_id < upto`` delta
+    into ONE new seed and drop the folded deltas, so the standing
+    state's file count stays bounded as ingest batches accumulate
+    (the content already grows only with ADMITTED volume — the
+    documented bound; this bounds the file/footprint overhead of the
+    per-batch delta layout: K batches = K subdirs = K+1 footer reads
+    per state assembly, and small-delta parquet files waste block
+    space).
+
+    Crash discipline under the family's single-writer cadence
+    (foreachBatch is serial; compaction runs BETWEEN batches, a36's
+    at-rest slot): (1) the fold is fully materialized into a temp
+    subpath FIRST — committed_state never reads it (not ``seed``,
+    not ``batch_id=``-prefixed), so a crash here leaves the old
+    layout intact; (2) folded deltas + old seed are removed; (3) the
+    temp renames to ``seed`` (one local-fs/HDFS-atomic rename). A
+    crash inside (2)-(3) is recovered by re-running the same steps —
+    the temp still holds the complete fold, and partially-removed
+    deltas cannot double-count because the recovery path replaces
+    ``seed`` wholesale from the temp. Concurrent readers are excluded
+    by the cadence, not by locking. Returns {files_before,
+    files_after, rows} for the cadence receipts.
+    """
+    import glob
+    import os
+    import shutil
+
+    tmp = f"{root}/compact-tmp"
+    if os.path.isdir(tmp) and not os.path.isdir(f"{root}/seed"):
+        # recovery: a prior compaction crashed between delta removal
+        # and the rename — the temp holds the complete fold; finish
+        # the swap BEFORE reading state (reading now would see an
+        # empty root and fold emptiness over the good temp)
+        os.rename(tmp, f"{root}/seed")
+    state = committed_state(spark, root, schema, upto, seed=True)
+    rows = state.count()
+    parts = glob.glob(f"{root}/*/*.parquet") + glob.glob(
+        f"{root}/*/*/*.parquet"
+    )
+    files_before = len(parts)
+    # size the folded seed at ~128 MB/file (standard compaction
+    # target), capped at the session parallelism: K tiny deltas fold
+    # to ONE file; a corpus-scale state keeps enough files to scan
+    # wide (and at real scale the fold's input splits already exceed
+    # the cap, so coalesce only ever shrinks)
+    bytes_before = sum(os.path.getsize(p) for p in parts)
+    n_out = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        bytes_before // (128 << 20) + 1,
+    ))
+    state.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    for p in sorted(glob.glob(f"{root}/*")):
+        base = os.path.basename(p)
+        if base == "seed" or (
+            base.startswith("batch_id=") and int(base.split("=", 1)[1]) < upto
+        ):
+            shutil.rmtree(p)
+    os.rename(tmp, f"{root}/seed")
+    files_after = len(glob.glob(f"{root}/seed/*.parquet"))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": int(rows),
+    }
+
+
 def run_to_memory(df: DataFrame, mode: str) -> str:
     """Run a streaming DF availableNow into a memory-sink view."""
     name = f"win_{uuid.uuid4().hex[:8]}"

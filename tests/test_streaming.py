@@ -1641,3 +1641,58 @@ def test_stream_graded_funnel_shape(spark):
     # the graded mixture downsamples below the near-dedup survivors
     assert rows["dedup_para"][1] < rows["repetition"][1]
     assert rows["mixture"][0] < rows["dedup_near"][0]
+
+
+def test_compact_committed_state_folds_and_recovers(spark, tmp_path):
+    """r13 (VERDICT r12 #8): compaction folds seed + committed deltas
+    into one seed with identical content and fewer files; the
+    recovery path finishes an interrupted swap instead of folding
+    emptiness over the good temp."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_streams_sandbox_spark.streaming.windows import (
+        committed_state,
+        compact_committed_state,
+    )
+
+    root = str(tmp_path / "state")
+    schema = "fingerprint string"
+
+    def write(sub, vals):
+        spark.createDataFrame(
+            [(v,) for v in vals], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/{sub}")
+
+    write("seed", ["s1", "s2"])
+    for b, vals in enumerate((["a"], ["b1", "b2"], ["c"])):
+        write(f"batch_id={b}", vals)
+
+    def contents():
+        return sorted(
+            r["fingerprint"]
+            for r in committed_state(
+                spark, root, schema, 1 << 30, seed=True
+            ).collect()
+        )
+
+    before = contents()
+    r = compact_committed_state(spark, root, schema, 1 << 30)
+    assert contents() == before
+    assert r["rows"] == 6
+    assert r["files_after"] < r["files_before"]
+    assert not glob.glob(f"{root}/batch_id=*")
+
+    # interrupted-swap recovery: temp written, seed+deltas gone
+    write("batch_id=7", ["late"])
+    state_now = contents()
+    os.rename(f"{root}/seed", f"{root}/compact-tmp-stage")
+    spark.read.parquet(
+        f"{root}/compact-tmp-stage", f"{root}/batch_id=7"
+    ).write.mode("overwrite").parquet(f"{root}/compact-tmp")
+    shutil.rmtree(f"{root}/compact-tmp-stage")
+    shutil.rmtree(f"{root}/batch_id=7")
+    # root now has ONLY compact-tmp (the torn window)
+    compact_committed_state(spark, root, schema, 1 << 30)
+    assert contents() == state_now
