@@ -194,6 +194,13 @@ BENCH_QUERIES = [
     # (readers hit the persisted table; DuckDB recomputes per pass).
     "b124_quality_attributes",
     "b125_attribute_gated_funnel",
+    # round-13: the attribute-reading funnel twins (rows-only —
+    # near-dup banding; Spark-timed rows). They ride the same staged
+    # attributes memo as b124/b125; the interesting delta is
+    # b126-vs-b100 and b127-vs-b113 wall (gates from scalars vs
+    # corpus text re-scans).
+    "b126_attribute_curation_funnel",
+    "b127_attribute_graded_funnel",
     "b88_shard_shuffle",
     "b90_time_grid_fill",
     # b89_shard_write_manifest excluded: a side-effecting sink (writes
