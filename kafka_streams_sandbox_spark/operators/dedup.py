@@ -559,21 +559,35 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     ).select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     candidates = cand_small.unionByName(cand_star).distinct()
     # distinct: same pair can surface from several bands
-    # Verify: shingle ONLY candidate-participating docs (semi join on
-    # the candidate id set), each side's array built once scan-side,
-    # then fetch the arrays into the pair rows through two merge-
-    # pinned equi-joins. Two properties matter here, both measured at
-    # the 10x/100x probes:
+    # Verify (r13 — the 1000x DISK-WALL fix, BASELINE round-13):
+    # shingle ONLY candidate-participating docs (semi join on the
+    # candidate id set), each side's distinct-hashed array built once
+    # scan-side, then fetched into the pair rows through two joins.
+    # Properties, all measured:
     #   * the jaccard expression must consume the arrays as
-    #     JOIN-OUTPUT ATTRIBUTES, never as projection aliases over the
-    #     join — CollapseProject inlines aliased shingle expressions
-    #     into every reference inside the jaccard arithmetic, and the
-    #     re-evaluated post-join form measured 75 s vs 8 s for the
-    #     identical result;
-    #   * merge-pinned: the array-carrying sides must never ride a
-    #     static BroadcastHashJoin (file stats under-estimate array
-    #     rows 10-20x — the b39_lsh 100x OOM class); SMJ sorts spill,
-    #     and only O(candidate-docs) rows carry arrays through them.
+    #     JOIN-OUTPUT ATTRIBUTES, never as projection aliases over
+    #     the join — CollapseProject inlines aliased shingle
+    #     expressions into every reference (75 s vs 8 s at 10x), and
+    #     the r13 A/B re-measured the per-PAIR re-derivation
+    #     alternative at 297.8 s vs 87.8 s on the 100x corpus;
+    #   * never a static BroadcastHashJoin for an array side (file
+    #     stats under-estimate array rows 10-20x — the b39_lsh 100x
+    #     OOM class);
+    #   * join 1 is merge-pinned: its sorted inputs are the BARE pair
+    #     ids and the O(candidate-docs) array rows — both bounded;
+    #   * join 2 must NOT sort its pair side. The r6-r12 form merge-
+    #     pinned it, and SMJ sorts the pair rows ALREADY CARRYING
+    #     sh_a: at the 1000x tier's boilerplate density (49.1M
+    #     pre-distinct candidates, measured) that is ~120 GB of sort
+    #     input whose merge passes filled ~235 GB of disk and killed
+    #     the run. A shuffled-HASH join keeps the payload linear: the
+    #     doc-side arrays are the per-partition-bounded BUILD side
+    #     (hash-partitioned on doc_b — at any corpus size each task
+    #     holds docs/partitions arrays, the same bound the b44 Arrow
+    #     kernel budgets), and the pair rows STREAM through untouched
+    #     — one shuffle write/read of pairs x sh_a, no sort, no merge
+    #     passes. Same joins, same arithmetic -> bit-identical pairs
+    #     (pre/post equality pinned at both SFs).
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -587,7 +601,7 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     ).join(candidates.hint("merge"), "doc_a")
     verified = sh_cand.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    ).join(half.hint("merge"), "doc_b")
+    ).hint("shuffle_hash").join(half, "doc_b")
     return verified.select(
         "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
