@@ -121,15 +121,27 @@ def test_lsh_neardup_has_no_nested_loop(queries, spark, sf_dir):
 
 
 def test_minhash_verify_joins_are_merge_pinned(queries, spark, sf_dir):
-    """b27's verify joins carry per-pair shingle ARRAYS; a static
+    """b27's verify joins carry shingle ARRAYS; a static
     BroadcastHashJoin build of an array-carrying side is the
     file-stats-underestimate OOM class (measured at the r5 10x probe:
-    a 2 GB in-JVM hash relation from 105k candidate rows). Both
-    fetch joins are merge-pinned; no nested loop anywhere."""
+    a 2 GB in-JVM hash relation from 105k candidate rows). r13
+    (the 1000x disk wall, BASELINE round-13): join 1 stays
+    merge-pinned (its sorted sides are bounded — bare pair ids +
+    O(candidate-docs) array rows), but join 2 must be a
+    SHUFFLED-HASH join so the pair rows carrying sh_a STREAM instead
+    of being sorted (~120 GB of sort input at the 1000x tier's
+    measured 49M-candidate density, ~235 GB of spill, dead box). No
+    nested loop anywhere."""
     df = queries["b27_minhash_lsh_dedup"](spark, sf_dir)
     assert has_operator(df, "SortMergeJoin"), plan_string(df)
+    assert has_operator(df, "ShuffledHashJoin"), plan_string(df)
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan_string(df)
     assert not has_operator(df, "CartesianProduct"), plan_string(df)
+    # exactly ONE merge join (join 1): a second SMJ means join 2
+    # regressed to sorting the array-carrying pair rows (simple-mode
+    # plan: each operator appears once)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("SortMergeJoin") == 1, simple
 
 
 def test_ann_corpus_self_joins_are_merge_pinned(queries, spark, sf_dir):
