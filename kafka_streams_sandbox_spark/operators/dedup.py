@@ -743,7 +743,14 @@ def b39_lsh_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    pairs = v.join(half.hint("merge"), v.vec_id == F.col("vec_b")).select(
+    # join 2: the pair rows already carry `ea` — stream them through
+    # a shuffled-hash join (build = the per-partition-bounded vector
+    # side) instead of sorting them with their arrays; b27's r13
+    # 1000x disk-wall class, applied family-wide (bit-identical
+    # outputs pinned pre/post at both SFs)
+    pairs = v.hint("shuffle_hash").join(
+        half, v.vec_id == F.col("vec_b")
+    ).select(
         "vec_a",
         "vec_b",
         (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
@@ -805,7 +812,14 @@ def b96_lsh_embedding_neardup_scaled(  # probabilistic, geometry n-scaled
     half = v.join(candidates.hint("merge"), v.vec_id == F.col("vec_a")).select(
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    pairs = v.join(half.hint("merge"), v.vec_id == F.col("vec_b")).select(
+    # join 2: the pair rows already carry `ea` — stream them through
+    # a shuffled-hash join (build = the per-partition-bounded vector
+    # side) instead of sorting them with their arrays; b27's r13
+    # 1000x disk-wall class, applied family-wide (bit-identical
+    # outputs pinned pre/post at both SFs)
+    pairs = v.hint("shuffle_hash").join(
+        half, v.vec_id == F.col("vec_b")
+    ).select(
         "vec_a",
         "vec_b",
         (dot("ea", "e") / (F.col("na") * F.col("nrm"))).alias("cos_sim"),
@@ -1076,7 +1090,8 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
     pairs = (
-        v.join(half.hint("merge"), v.vec_id == F.col("vec_b"))
+        # join 2 streams the pair rows (b27's r13 disk-wall class)
+        v.hint("shuffle_hash").join(half, v.vec_id == F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
