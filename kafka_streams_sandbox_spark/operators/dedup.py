@@ -32,7 +32,7 @@ from kafka_streams_sandbox_spark.functions.tokens import (
     token_set_fingerprint,
 )
 from kafka_streams_sandbox_spark.registry import query
-from kafka_streams_sandbox_spark.session import lazy_checkpoint
+from kafka_streams_sandbox_spark.session import lazy_checkpoint, scratch_dir
 
 # ---------------------------------------------------------------------------
 # B21: exact dedup (hash-groupBy)
@@ -284,6 +284,14 @@ _PRIME = 4294967291
 # C(512,2) ~ 131k structs per bucket row),
 # so behavior there is byte-identical.
 _BUCKET_CAP = 512
+
+# density-adaptive verify threshold (r13): above this many candidate
+# pairs the pair-rows-carry-arrays verify exceeds a single node's
+# execution-memory/spill budget (both array forms measured dead at
+# the 1000x tier's 49.1M candidates; see minhash_verified_pairs) and
+# the verify switches to the per-pair text-carry form. Identical
+# outputs either way — the switch is physical, not semantic.
+_PAIR_ARRAY_BUDGET = 16_000_000
 
 
 # MinHash permutations are universal hashes h_i(x) = (a_i*x + b_i)
@@ -557,53 +565,117 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     cand_star = sized.filter(
         (F.col("bsz") > _BUCKET_CAP) & (F.col("doc_id") != F.col("mn"))
     ).select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    candidates = cand_small.unionByName(cand_star).distinct()
-    # distinct: same pair can surface from several bands
-    # Verify (r13 — the 1000x DISK-WALL fix, BASELINE round-13):
-    # shingle ONLY candidate-participating docs (semi join on the
-    # candidate id set), each side's distinct-hashed array built once
-    # scan-side, then fetched into the pair rows through two joins.
-    # Properties, all measured:
-    #   * the jaccard expression must consume the arrays as
-    #     JOIN-OUTPUT ATTRIBUTES, never as projection aliases over
-    #     the join — CollapseProject inlines aliased shingle
-    #     expressions into every reference (75 s vs 8 s at 10x), and
-    #     the r13 A/B re-measured the per-PAIR re-derivation
-    #     alternative at 297.8 s vs 87.8 s on the 100x corpus;
-    #   * never a static BroadcastHashJoin for an array side (file
-    #     stats under-estimate array rows 10-20x — the b39_lsh 100x
-    #     OOM class);
-    #   * join 1 is merge-pinned: its sorted inputs are the BARE pair
-    #     ids and the O(candidate-docs) array rows — both bounded;
-    #   * join 2 must NOT sort its pair side. The r6-r12 form merge-
-    #     pinned it, and SMJ sorts the pair rows ALREADY CARRYING
-    #     sh_a: at the 1000x tier's boilerplate density (49.1M
-    #     pre-distinct candidates, measured) that is ~120 GB of sort
-    #     input whose merge passes filled ~235 GB of disk and killed
-    #     the run. A shuffled-HASH join keeps the payload linear: the
-    #     doc-side arrays are the per-partition-bounded BUILD side
-    #     (hash-partitioned on doc_b — at any corpus size each task
-    #     holds docs/partitions arrays, the same bound the b44 Arrow
-    #     kernel budgets), and the pair rows STREAM through untouched
-    #     — one shuffle write/read of pairs x sh_a, no sort, no merge
-    #     passes. Same joins, same arithmetic -> bit-identical pairs
-    #     (pre/post equality pinned at both SFs).
+    # distinct: same pair can surface from several bands. STAGED to
+    # scratch parquet (r13): the candidate lineage (banding + window
+    # + pair explode + distinct) previously re-executed once per
+    # consumer (the id semi-join and both verify joins); the staged
+    # table runs it exactly once AND its footer row count is the
+    # free statistic the density-adaptive verify below keys on.
+    spark = docs.sparkSession
+    cand_stage = scratch_dir("kss-mvp-cand-")
+    cand_small.unionByName(cand_star).distinct().write.mode(
+        "overwrite"
+    ).parquet(cand_stage)
+    candidates = spark.read.parquet(cand_stage)
+    n_cand = candidates.count()  # metadata-only on fresh parquet
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = docs.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", F.expr(char_ngrams_hashed_expr(5)).alias("sh")
+    # DENSITY-ADAPTIVE verify (r13 — the 1000x finding, BASELINE
+    # round-13). Each verified pair needs both docs' distinct-hashed
+    # shingle sets co-located; the question is what the PAIR rows
+    # carry to get there, and the answer flips with candidate
+    # density. All three forms compute the identical arithmetic on
+    # the identical arrays — bit-identical outputs (pinned pre/post
+    # at both SFs), so the switch is a pure physical-plan choice:
+    #
+    # * ARRAY-CARRY (normal density, the fast path): each side's
+    #   array builds once per DOC and joins into the pair rows.
+    #   Join 1 is merge-pinned (sorted sides: bare pair ids +
+    #   O(candidate-docs) array rows — both bounded; never a static
+    #   BroadcastHashJoin: file stats under-estimate array rows
+    #   10-20x, the b39_lsh 100x OOM class). Join 2 must NOT sort
+    #   its pair side (the r6-r12 SMJ sorted pair rows already
+    #   carrying sh_a: ~120 GB of sort input at the 1000x tier's
+    #   measured 49.1M-candidate density — dead box at ~235 GB of
+    #   spill), so the pair rows STREAM through a shuffled-hash
+    #   join against the per-partition-bounded doc-side build.
+    #   Measured: 87.8 -> 58.7 s at 100x.
+    # * TEXT-CARRY (extreme density): above ~16M candidates even the
+    #   streamed array payload dies — the SHJ hash build itself
+    #   cannot acquire memory at the session's partition count
+    #   (measured at 1000x: "Can't acquire 134217728 bytes ... to
+    #   build hash relation"), and any sort touching the pair rows
+    #   is disk death. So the pair rows carry the ~300-byte TEXT
+    #   (8x smaller than its shingle array) and each side's
+    #   shingles re-derive ONCE PER PAIR behind a Generate barrier
+    #   (explode of a 1-element array — Projects do not collapse
+    #   across Generate, which is what stops the measured
+    #   75s-vs-8s inline re-evaluation trap). Per-pair CPU loses at
+    #   normal density (297.8 s vs 58.7 s at 100x) and wins at
+    #   extreme density by being the only form that COMPLETES.
+    #
+    # The threshold is a documented budget constant, not a tuned
+    # magic number: pair-array payload ~ n_cand x ~2.4 KB crosses
+    # the box's execution-memory + spill budget in the tens of
+    # millions of pairs; 16M (~40 GB payload) sits under every
+    # measured wall with margin. Real open-vocabulary corpora stay
+    # far below it (sf0.1: 947 candidates); the boilerplate-mass
+    # regime (this fixture's 31-word vocabulary at 5M docs, or a
+    # template-heavy crawl) is exactly when you want the switch.
+    sh_expr = char_ngrams_hashed_expr(5)
+    if n_cand <= _PAIR_ARRAY_BUDGET:
+        sh_cand = docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", F.expr(sh_expr).alias("sh")
+        )
+        half = sh_cand.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        ).join(candidates.hint("merge"), "doc_a")
+        verified = sh_cand.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        ).hint("shuffle_hash").join(half, "doc_b")
+        return verified.select(
+            "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
+        ).filter(F.col("jaccard") >= 0.8)
+    txt = docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", "text", F.size(F.expr(sh_expr)).alias("nsh")
     )
-    half = sh_cand.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    half = txt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("nsh").alias("nsh_a"),
     ).join(candidates.hint("merge"), "doc_a")
-    verified = sh_cand.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    ).hint("shuffle_hash").join(half, "doc_b")
-    return verified.select(
-        "doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard")
+    paired = txt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("nsh").alias("nsh_b"),
+    ).join(half.hint("merge"), "doc_b")
+    inter = F.expr(
+        "size(array_intersect("
+        + sh_expr.replace("text", "text_a")
+        + ", "
+        + sh_expr.replace("text", "text_b")
+        + "))"
+    )
+    barrier = paired.select(
+        "doc_a",
+        "doc_b",
+        "nsh_a",
+        "nsh_b",
+        # Generate barrier: one evaluation of each derivation per pair
+        F.explode(F.array(inter)).alias("inter"),
+    )
+    return barrier.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.8)
 
 
