@@ -319,6 +319,15 @@ def _minhash_band_keys(docs: DataFrame) -> DataFrame:
     a cheap linear pass, while carrying the arrays would put them
     through shuffles (see b27's fingerprint-pass note). Callers must
     pre-filter token-less docs."""
+    # r13 optimization probe, REJECTED by measurement: a codegen'd
+    # positions-explode + xxhash64(substring(..)) posting build (no
+    # interpreted transform HOF, no array_distinct; min() aggregates
+    # are duplicate-insensitive so signatures are identical — pinned
+    # 0 mismatches over sf0.1) measured EQUAL to this form warm
+    # (0.79 vs 0.82 s wall, ~10 core-s both, same-session A/B): the
+    # stage's cost is the 32 pmod-min aggregates over ~1.5M posting
+    # rows, not the shingle-array build. Kept on the r6-r12 array
+    # form — fewer moving parts, same measured cost.
     posting = docs.select(
         "doc_id",
         F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
@@ -712,17 +721,32 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-cosine) near-dup pairs: cos >= threshold.
 
     Exact all-pairs is the correctness reference; cosine values are
-    bit-identical to DuckDB because dots are sequential folds
-    (functions/vectors.py). Physical plan: broadcast one side (a
-    vector table of ids+norms+arrays is small relative to the fact
-    corpus it deduplicates), stream the other — never materialize the
-    n² matrix. The 100 TB path replaces all-pairs candidate
-    generation with b35's random-projection buckets (or b34's IVF
-    cells) and keeps this exact-cosine verification join unchanged.
+    bit-identical to DuckDB because the kernel reproduces the
+    sequential-fold rounding sequence (stepwise_cos_block,
+    functions/vectors.py). Physical shape unchanged from the r1-r12
+    form: one side is broadcast (a vector table of ids+norms+arrays
+    is small relative to the fact corpus it deduplicates), the other
+    streams, and the n² matrix is never materialized — only the
+    above-threshold pairs come back from each batch.
+
+    r13 optimization (guide §4.2): the old plan evaluated the
+    interpreted SQL fold once per pair inside a BroadcastNestedLoop
+    join (~2M pairs x 64 element-ops at sf0.1 = 31-50 core-s,
+    CodegenFallback); the kernel does the identical IEEE arithmetic
+    across the pair axis in numpy (~0.05 core-s for the same pairs).
+    The broadcast side moves from a JVM broadcast relation to a
+    broadcast VARIABLE — same rows, same driver/executor footprint
+    class, shipped once per executor. The 100 TB path still replaces
+    all-pairs candidate generation with b35's random-projection
+    buckets (or b34's IVF cells); this exact form is the
+    verification anchor (b94's input).
     """
+    import numpy as np
+    import pandas as pd
+
     from kafka_streams_sandbox_spark.functions.vectors import (
-        dot,
         norm2,
+        stepwise_cos_block,
         to_double_array,
     )
 
@@ -741,22 +765,40 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm2("e"))
         .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    rows = emb.collect()  # the broadcast side — identical payload to
+    # the F.broadcast(b) relation this replaces (all-pairs is the
+    # operator's contract; the 8 GB broadcast-cap class bounds both)
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["e"] for r in rows], dtype=np.float64)
+    if b_mat.size == 0:
+        b_mat = b_mat.reshape(0, _EMB_DIM)
+    b_nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_nrm))
+
+    def neardup_partial(batches):
+        v_ids, v_mat, v_nrm = bc.value
+        if not len(v_ids):
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cos = stepwise_cos_block(mat, nrm, v_mat, v_nrm)
+            sel = (cos >= _NEARDUP_COS) & (ids[:, None] < v_ids[None, :])
+            ii, jj = np.nonzero(sel)
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids[ii],
+                    "vec_b": v_ids[jj],
+                    "cos_sim": cos[ii, jj],
+                }
+            )
+
+    return emb.mapInPandas(
+        neardup_partial, "vec_a long, vec_b long, cos_sim double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a",
-        "vec_b",
-        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
-    )
-    return pairs.filter(F.col("cos_sim") >= _NEARDUP_COS)
 
 
 @query("b39_lsh_embedding_neardup")  # rows-only: LSH recall is probabilistic

@@ -117,28 +117,147 @@ B33_ORACLE = f"""
 def b33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for every 10th vector against the corpus.
 
-    The query side is tiny -> broadcast it; the corpus side streams
-    (never materializes the n² pair matrix). At 100 TB: broadcast the
-    query batch, one pass over the corpus, per-partition top-k then
-    global top-k merge — exactly what this plan compiles to
-    (broadcast join + WindowGroupLimit rank filter).
+    The query side is broadcast, the corpus side streams (never
+    materializes the n² pair matrix): one pass over the corpus,
+    per-partition top-k work, then a global top-k merge window.
+
+    r13 optimization (guide §4.2), DENSITY-ADAPTIVE like b27's
+    verify: two physical forms computing bit-identical doubles,
+    chosen by the metadata-only corpus row count.
+
+    * FOLD (small corpora, <= _B33_FOLD_MAX_ROWS): the r1-r12 plan —
+      JVM broadcast join + sequential-fold dot + WindowGroupLimit.
+      At sf0.1 (2k vectors, 400k pairs) the JIT-warmed fold costs
+      ~6.5 core-s and ZERO Python stages; the kernel form pays a
+      fixed ~0.7 s (query-side collect job + a 32-task Arrow stage)
+      it cannot amortize at this density — measured 0.84 s fold vs
+      1.31 s kernel best-wall. Below the threshold the pair space
+      (n²/10 <= ~1.6M) keeps the interpreted fold sub-second-class.
+    * KERNEL (everything larger): ``stepwise_cos_block`` reproduces
+      the fold's exact IEEE rounding sequence (functions/vectors.py)
+      so the query STAYS oracle-checkable — unlike b44, the BLAS
+      twin that is rows-only by design. The interpreted fold is
+      CodegenFallback at ~1-2 us/element-op and the pair space grows
+      ~n²/10: at 10x (20k vectors, 40M pairs) the fold is ~100+
+      core-s while the kernel runs the identical arithmetic in <1
+      core-s. Per-batch top-5 prefilter feeds the window
+      O(5 x queries x batches) rows instead of all pairs — any
+      global top-5 row is inside its own batch's top-5 under the
+      same (cos DESC, neighbor_id ASC) total order (b44's tie
+      argument: batch rows sort neighbor-id ascending, stable
+      argsort on -cos == the window's order), so the window output
+      is unchanged. The query-side collect builds the broadcast
+      VARIABLE replacing the fold plan's BroadcastHashJoin relation
+      — same rows, same driver + per-executor footprint class,
+      shipped once per executor.
+
+    Both forms' equality is pinned by tests/test_vectors_kernel.py
+    (row-for-row at sf0.001 with the threshold forced both ways) on
+    top of the oracle hash-check each form passes.
     """
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
+    if table_rowcount(spark, sf_dir, "embeddings") <= _B33_FOLD_MAX_ROWS:
+        q = v.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        pairs = v.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                F.col("rnk").cast("bigint"),
+            )
+        )
+    return _b33_kernel_form(spark, v)
+
+
+# Below this corpus row count the exact top-k runs the pure-JVM fold
+# plan (n²/10 pairs <= ~1.6M: interpreted-fold cost is sub-second
+# after JIT warm and avoids the kernel form's fixed collect job +
+# Arrow stage); above it the kernel's per-pair advantage (~100-300x)
+# dominates. Metadata-only gate (parquet footer row count), so the
+# plan choice is deterministic for a fixed corpus — the b27/b91
+# configuration-derives-from-the-corpus discipline.
+_B33_FOLD_MAX_ROWS = 4096
+
+
+def _b33_kernel_form(spark: SparkSession, v: DataFrame) -> DataFrame:
+    """b33's stepwise-kernel physical form (bit-identical to the fold
+    plan — see b33_cosine_topk's docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        stepwise_cos_block,
     )
-    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot("qe", "e") / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
+    q_rows = (
+        v.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "e", "nrm")
+        .collect()
+    )  # bounded exactly as the broadcast relation it replaces (n/10)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["e"] for r in q_rows], dtype=np.float64)
+    if q_mat.size == 0:
+        q_mat = q_mat.reshape(0, DIM)
+    q_nrm = np.array([r["nrm"] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def topk_partial(batches):
+        b_qids, b_qmat, b_qnrm = bc.value
+        if not len(b_qids):
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # neighbor-id-ascending row order + stable argsort on
+            # -cos == the global window's (cos DESC, neighbor_id ASC)
+            # order, so the in-batch top-5 keeps exactly the rows the
+            # window would (ties included — the b44 lesson)
+            order = np.argsort(ids, kind="stable")
+            ids, mat, nrm = ids[order], mat[order], nrm[order]
+            cos = stepwise_cos_block(mat, nrm, b_qmat, b_qnrm)
+            cos[ids[:, None] == b_qids[None, :]] = -np.inf  # self-pairs
+            k = min(5, cos.shape[0])
+            top = np.argsort(-cos, axis=0, kind="stable")[:k]  # (k, q)
+            qcol = np.tile(b_qids, k)
+            ncol = ids[top.ravel()]
+            scol = cos[top.ravel(), np.tile(np.arange(len(b_qids)), k)]
+            keep = np.isfinite(scol)  # drop masked self rows
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": ncol[keep],
+                    "cos_sim": scol[keep],
+                }
+            )
+
+    partial = v.select("vec_id", "e", "nrm").mapInPandas(
+        topk_partial, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint"))
     )
