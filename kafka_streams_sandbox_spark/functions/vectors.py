@@ -42,6 +42,39 @@ def dot(a: str, b: str) -> Column:
     )
 
 
+def guarded_norm_rows(df, keep_cols, emb_col: str = "embedding", dim: int = 64):
+    """``(keep_cols..., e, nrm)`` with the standard degenerate-vector
+    guard (NULL / wrong-dim dropped at the scan; 0 < nrm < Inf), where
+    ``e`` (the double-widened array) and ``nrm`` (the sequential-fold
+    L2 norm) are each computed exactly ONCE per row.
+
+    r13 optimization (guide §4.4's duplicated-derived-column class):
+    the plain ``withColumn("nrm", norm2("e")).filter(...)`` form lets
+    CollapseProject + predicate inlining re-derive the whole
+    64-element interpreted fold once per filter conjunct PLUS once in
+    the projection — the executed scan Filter carried TWO
+    ``SQRT(aggregate(transform(...)))`` trees and the Project a third,
+    each also re-running the e-transform (captured in
+    plans/r13/b39_before.txt). Generate barriers fix it the same way
+    b27's text-carry verify does: Projects and pushed predicates do
+    not collapse across a Generate, so ``explode(array(expr))`` makes
+    the expr a generated ATTRIBUTE its consumers reference instead of
+    re-deriving (plans/r13/b35_after.txt: one fold, one transform).
+    Row-for-row identical output — explode of a 1-element array is an
+    identity on rows, values, and order of the kept columns.
+    """
+    base = df.filter(
+        F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
+    )
+    return (
+        base.select(
+            *keep_cols, F.explode(F.array(to_double_array(emb_col))).alias("e")
+        )
+        .select(*keep_cols, "e", F.explode(F.array(norm2("e"))).alias("nrm"))
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
+    )
+
+
 def stepwise_cos_block(a_mat, a_nrm, b_mat, b_nrm):
     """(len_a x len_b) cosine matrix, bit-identical to the SQL
     ``dot(a, b) / (nrm_a * nrm_b)`` fold (and therefore to the DuckDB

@@ -350,16 +350,20 @@ def b81_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise poison the centroid sums AND claim the rnk=1
     # outlier slots with NULL cos_sim (Spark sorts NULLs first ASC,
     # DuckDB last — an oracle divergence on top of the wrong answer)
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == _DIM))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            to_double_array("embedding").alias("e"),
-        )
-        .withColumn("enrm", norm2("e"))
-        .filter((F.col("enrm") > 0) & (F.col("enrm") < F.lit(float("inf"))))
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        guarded_norm_rows,
     )
+
+    # e/enrm computed once per row behind Generate barriers — the
+    # plain withColumn+filter form re-derived the interpreted norm
+    # fold 3x per row (guide §4.4 class; see guarded_norm_rows)
+    emb = guarded_norm_rows(
+        table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        ["doc_id"],
+        dim=_DIM,
+    ).withColumnsRenamed({"nrm": "enrm"})
     v = docs.join(emb, "doc_id")
     comp = (
         v.select("lang", F.posexplode("e").alias("pos", "val"))

@@ -745,9 +745,8 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kafka_streams_sandbox_spark.functions.vectors import (
-        norm2,
+        guarded_norm_rows,
         stepwise_cos_block,
-        to_double_array,
     )
 
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
@@ -756,14 +755,8 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrong-dim / zero-norm / NaN- or Inf-component rows are
     # excluded, not NaN-ranked (0 < nrm < Inf covers the last three —
     # NaN orders above Inf in both engines; tests/test_hostile_vectors.py)
-    emb = (
-        embeddings_wide(spark, sf_dir)
-        .filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
-        )
-        .select("vec_id", to_double_array("embedding").alias("e"))
-        .withColumn("nrm", norm2("e"))
-        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
+    emb = guarded_norm_rows(
+        embeddings_wide(spark, sf_dir), ["vec_id"], dim=_EMB_DIM
     )
     rows = emb.collect()  # the broadcast side — identical payload to
     # the F.broadcast(b) relation this replaces (all-pairs is the

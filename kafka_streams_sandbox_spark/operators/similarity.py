@@ -39,14 +39,12 @@ def guarded_unit_vectors(emb: DataFrame) -> DataFrame:
     guards + unit normalization over an ARBITRARY embeddings frame —
     shared by the batch readers and a31's per-micro-batch encode so
     ingest-time filtering is the same code, not a rewrite."""
-    return (
-        emb.filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
-        )
-        .select("vec_id", to_double_array("embedding").alias("e"))
-        .withColumn("nrm", norm2("e"))
-        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
-        .select("vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue"))
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        guarded_norm_rows,
+    )
+
+    return guarded_norm_rows(emb, ["vec_id"], dim=DIM).select(
+        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("ue")
     )
 
 
@@ -66,17 +64,12 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupy the top-k of every bucket-mate query
     (tests/test_hostile_vectors.py)."""
     from kafka_streams_sandbox_spark.catalog import embeddings_wide
+    from kafka_streams_sandbox_spark.functions.vectors import (
+        guarded_norm_rows,
+    )
 
-    return (
-        embeddings_wide(spark, sf_dir)
-        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
-        .select(
-            "vec_id",
-            "label",
-            to_double_array("embedding").alias("e"),
-        )
-        .withColumn("nrm", norm2("e"))
-        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
+    return guarded_norm_rows(
+        embeddings_wide(spark, sf_dir), ["vec_id", "label"], dim=DIM
     )
 
 
