@@ -217,10 +217,14 @@ def run_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     sample cuts the inflated-best tail substantially for ~1-2 min of
     extra wall clock."""
     best = float("inf")
-    for _ in range(runs):
+    for rep in range(runs):
+        # label the rep's jobs so the UI/eventlog attributes every job
+        # to its query (guide §1.5); thread-local, cleared after
+        spark.sparkContext.setJobDescription(f"bench:{fn.__name__}:rep{rep}")
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - start)
+    spark.sparkContext.setJobDescription(None)
     return best
 
 
