@@ -78,6 +78,15 @@ REVERIFY_FIRST: tuple[str, ...] = (
                                        # gate_cascade (shared w/ a43)
     "a03_stream_peek",                 # bounded driver tap (VERDICT
                                        # r12 wrong-item #1)
+    # --- changed in the r13 OPTIMIZATION round (stepwise cosine
+    # kernel + guarded_norm_rows barrier; b33/b34/b39_embedding/b94
+    # are already re-rowed below in the r9-aged block) ---
+    "b81_lang_centroid_outliers",      # norm barrier on centroid input
+    "b35_ann_random_projection",       # _vectors barrier
+    "b91_ann_ivf_scaled_cells",        # _vectors barrier
+    "b92_ann_ivf_kmeans",              # guarded_unit_vectors barrier
+    "b93_semantic_dedup",              # _vectors barrier
+    "b96_lsh_embedding_neardup_scaled",  # _vectors barrier
     # --- the 37 r9-aged rows (VERDICT r12 #3) ---
     "a33_stream_lm_gate",
     "b103_temperature_mixture",
