@@ -116,6 +116,38 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     return cached
 
 
+def parquet_path_rowcount(path: str):
+    """Total row count of a LOCAL parquet file/directory from footer
+    metadata alone — no Spark job (r14, guide §1/§5: an unfiltered
+    count() on fresh parquet is already metadata-only work, but it
+    still schedules one job per call; freshly-staged scratch tables
+    are read right back by the stager, which can take the number from
+    the footers it just wrote). Returns None when the path cannot be
+    footer-probed (remote URI, unreadable footer) — callers fall back
+    to a Spark count(). Matches Spark's count() exactly: parquet row
+    counts are footer facts, not estimates."""
+    import pyarrow.parquet as pq
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            try:
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            except Exception:
+                # zero-byte placeholder part (interrupted write):
+                # Spark tolerates it; its count contribution is 0
+                continue
+        return total
+    except Exception:
+        return None
+
+
 def _scan_width(path: str) -> int:
     """Effective maximum scan parallelism of a parquet source — the
     ROW-GROUP count, not the split count (round 12's 300x finding):

@@ -97,6 +97,18 @@ def stepwise_cos_block(a_mat, a_nrm, b_mat, b_nrm):
     Vectorizing the PAIR axis while looping the 64-dim axis in Python
     is what makes this ~100-300x cheaper per pair than the
     interpreted HOF (HOFs are CodegenFallback: ~1-2 us/element-op).
+
+    DOT-OVERFLOW IS OUT OF CONTRACT (ADVICE r13 low): if a 64-term
+    dot OVERFLOWS to +-Inf/NaN while both norms still pass the
+    0 < nrm < Inf guard (needs |components| ~ 1.3e154), the kernel
+    callers' selection semantics diverge from the JVM fold's — Spark
+    orders NaN above +Inf and NaN >= threshold is true, while numpy
+    NaN comparisons are false and the isfinite self-pair masks drop
+    +Inf too. The guard bounds every REAL embedding corpus far below
+    that range (finite norm => components < ~1.3e154 individually,
+    and fixture/production vectors are O(1)); adversarial vectors
+    engineered to overflow the dot but not the norm are documented
+    out of contract rather than masked around.
     """
     import numpy as np
 

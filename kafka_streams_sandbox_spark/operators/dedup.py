@@ -306,18 +306,15 @@ def _minhash_band_keys(docs: DataFrame) -> DataFrame:
     rows each, band slice hashed to one 64-bit key. Shared by b27
     (near-dup banding) and b95 (minhash-blocked fuzzy ER).
 
-    Signature as 32 plain min() aggregates over exploded shingle
-    hashes: every permutation update is straight-line codegen (no
-    per-element array rebuild — the HOF fold form allocs a k-array
-    per shingle and measured 3x slower; the per-permutation
-    transform(array_min(...)) form re-built the shingle array 32x
-    after project-collapse, 64 s vs 2.6 s at sf0.1). A doc's
-    shingles never span partitions, so map-side partial aggregation
-    collapses the exploded postings before the shuffle — the
-    exchange moves one row per doc. Shingles re-derive map-side and
-    collapse to minima before the doc_id exchange — re-shingling is
-    a cheap linear pass, while carrying the arrays would put them
-    through shuffles (see b27's fingerprint-pass note). Callers must
+    Signature form history: r6-r13 ran 32 plain min() aggregates over
+    exploded shingle hashes (straight-line codegen beats the HOF fold
+    form 3x and the transform(array_min) form 25x — see git history);
+    since r14 the 32 permutation-min reductions run in a numpy kernel
+    over the scan-side shingle ARRAY (minhash_sig_kernel — exact
+    int64, signature-identical, pinned by tests/test_int_kernels.py),
+    which removes the posting explode, the doc_id exchange, and the
+    32-expression aggregate machinery outright: signatures are
+    map-only from the scan into the band-key explode. Callers must
     pre-filter token-less docs."""
     # r13 optimization probe, REJECTED by measurement: a codegen'd
     # positions-explode + xxhash64(substring(..)) posting build (no
@@ -326,25 +323,23 @@ def _minhash_band_keys(docs: DataFrame) -> DataFrame:
     # 0 mismatches over sf0.1) measured EQUAL to this form warm
     # (0.79 vs 0.82 s wall, ~10 core-s both, same-session A/B): the
     # stage's cost is the 32 pmod-min aggregates over ~1.5M posting
-    # rows, not the shingle-array build. Kept on the r6-r12 array
-    # form — fewer moving parts, same measured cost.
-    posting = docs.select(
-        "doc_id",
-        F.explode_outer(F.expr(char_ngrams_hashed_expr(5))).alias("h"),
-    ).withColumn("h", F.expr(f"pmod(h, {_PRIME})"))
-    sig = (
-        posting.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.expr(f"pmod({2 * i + 1} * h + {7919 * i + 13}, {_PRIME})")
-                ).alias(f"m{i}")
-                for i in range(_MINHASH_K)
-            ]
-        )
-        .select(
-            "doc_id", F.array(*[f"m{i}" for i in range(_MINHASH_K)]).alias("sig")
-        )
+    # rows, not the shingle-array build.
+    #
+    # r14 (guide §4.2/§2.4): so the 32 min-AGGREGATES themselves move
+    # to numpy (minhash_sig_kernel) — exact integer arithmetic,
+    # signature-identical (pinned by tests/test_int_kernels.py), and
+    # the posting explode + doc_id Exchange + 32-expression
+    # hash-aggregate disappear from the plan outright: the signature
+    # is now map-only from the scan into the band-key explode
+    # (plans/r14/b27_sig_{before,after}.txt).
+    from kafka_streams_sandbox_spark.functions.intkernels import (
+        minhash_sig_kernel,
+    )
+
+    sig = docs.select(
+        "doc_id", F.expr(char_ngrams_hashed_expr(5)).alias("hs")
+    ).mapInPandas(
+        minhash_sig_kernel(_MINHASH_K, _PRIME), "doc_id long, sig array<bigint>"
     )
     return sig.select(
         "doc_id",
@@ -586,7 +581,15 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
         "overwrite"
     ).parquet(cand_stage)
     candidates = spark.read.parquet(cand_stage)
-    n_cand = candidates.count()  # metadata-only on fresh parquet
+    # r14: the density statistic comes straight from the footers the
+    # write above just produced — same number as count() (parquet row
+    # counts are footer facts), one fewer Spark job per invocation
+    # (this helper sits inside b27/b95/b98/b99 and all four funnels).
+    from kafka_streams_sandbox_spark.catalog import parquet_path_rowcount
+
+    n_cand = parquet_path_rowcount(cand_stage)
+    if n_cand is None:  # non-local staging root — fall back to the job
+        n_cand = candidates.count()
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -694,6 +697,11 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
 _EMB_DIM = 64
 _NEARDUP_COS = 0.3  # corpus is random vectors (max pairwise cos ≈ 0.48);
 # a production semantic-dedup threshold is ~0.95 — the plan is identical.
+# Per-task transient budget for b39's kernel: the corpus axis is
+# processed in blocks of ~this many matrix ELEMENTS (doubles), so the
+# (batch x corpus-block) cosine transient stays ~32 MB + same-size
+# stepwise temporaries per task at ANY corpus size (ADVICE r13 medium).
+_B39_BLOCK_ELEMS = 1 << 22
 
 B39_ORACLE = f"""
     WITH v AS (
@@ -740,6 +748,15 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs candidate generation with b35's random-projection
     buckets (or b34's IVF cells); this exact form is the
     verification anchor (b94's input).
+
+    CONSTRUCTION-CONTRACT NOTE (ADVICE r13 low): since the r13 kernel
+    form, calling this function runs an EAGER Spark job (the guarded
+    corpus collect that builds the broadcast variable) where every
+    query function used to be lazy until an action — a plan-only
+    consumer (explain(), scripts/capture_plans.py) pays one
+    embeddings scan. Accepted as the documented cost of the broadcast
+    VARIABLE design (b104/b106's bounded collects set the precedent);
+    the registry makes no lazy-construction promise.
     """
     import numpy as np
     import pandas as pd
@@ -778,16 +795,31 @@ def b39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["e"]), dtype=np.float64)
             nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-            cos = stepwise_cos_block(mat, nrm, v_mat, v_nrm)
-            sel = (cos >= _NEARDUP_COS) & (ids[:, None] < v_ids[None, :])
-            ii, jj = np.nonzero(sel)
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids[ii],
-                    "vec_b": v_ids[jj],
-                    "cos_sim": cos[ii, jj],
-                }
-            )
+            # r14 (ADVICE r13 medium): never materialize the full
+            # (arrow-batch x corpus) cosine matrix — at a 10k-row
+            # batch against a 100x/1000x corpus that is multi-GB per
+            # task plus same-size temporaries per dimension step.
+            # Chunk the broadcast-corpus axis so the transient stays
+            # ~_B39_BLOCK_ELEMS doubles (~32 MB) regardless of corpus
+            # size. Per-pair verdicts depend only on the pair, so the
+            # emitted row SET is identical to the unchunked form
+            # (rows surface in corpus-block order instead of matrix
+            # row-major — every consumer and the driver canon sort).
+            blk = max(1, _B39_BLOCK_ELEMS // max(1, len(ids)))
+            for lo in range(0, len(v_ids), blk):
+                vb_ids = v_ids[lo : lo + blk]
+                cos = stepwise_cos_block(
+                    mat, nrm, v_mat[lo : lo + blk], v_nrm[lo : lo + blk]
+                )
+                sel = (cos >= _NEARDUP_COS) & (ids[:, None] < vb_ids[None, :])
+                ii, jj = np.nonzero(sel)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids[ii],
+                        "vec_b": vb_ids[jj],
+                        "cos_sim": cos[ii, jj],
+                    }
+                )
 
     return emb.mapInPandas(
         neardup_partial, "vec_a long, vec_b long, cos_sim double"
@@ -1216,6 +1248,10 @@ def b93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Single fold over the hashed tokens updating all 64 bit-counters at
 # once (an earlier per-bit form re-ran the token split 64× per row);
 # the finish lambda turns the counter signs into the 64-bit signature.
+# Since r14 the registered b28 computes the counters in a numpy kernel
+# (functions/intkernels.simhash_from_token_hashes — exact integer
+# arithmetic, bit-identical); this SQL form stays as the reference
+# twin the kernel is pinned against (tests/test_int_kernels.py).
 SIMHASH_EXPR = f"""
     aggregate(
         transform({TOKENS_EXPR}, t -> xxhash64(t)),
@@ -1242,6 +1278,10 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is pure ``bit_count(xor)`` — no joins at all after
     the single (chunk, ckey) shuffle.
     """
+    from kafka_streams_sandbox_spark.functions.intkernels import (
+        simhash_from_token_hashes,
+    )
+
     docs = documents_wide(spark, sf_dir)
     # token-less docs (NULL/empty/whitespace-only) all fold to
     # simhash 0 and would pairwise-match at hamming 0 — a quadratic
@@ -1249,8 +1289,23 @@ def b28_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token test: trim() strips only ASCII spaces, so the cheaper
     # length(trim(text)) > 0 form lets tab/newline-only docs through
     # (tests/test_hostile_inputs.py).
-    sig = docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0")).select(
-        "doc_id", F.expr(SIMHASH_EXPR).alias("simhash")
+    #
+    # r14 optimization (guide §4.2): the signature fold (SIMHASH_EXPR)
+    # is an interpreted zip_with over 64 counters PER TOKEN
+    # (CodegenFallback, ~64 element-ops/token — measured ~20 warm
+    # core-s at sf0.1, the family's dominant stage); the token hash
+    # itself is codegen'd native xxhash64. So the hash stays in the
+    # JVM and only the counter arithmetic moves to numpy
+    # (simhash_from_token_hashes) — exact integer math, bit-identical
+    # signatures at any evaluation order, zero hash-parity surface
+    # (pinned vs the SQL fold by tests/test_int_kernels.py).
+    sig = (
+        docs.filter(F.expr(f"size({TOKENS_EXPR}) > 0"))
+        .select(
+            "doc_id",
+            F.expr(f"transform({TOKENS_EXPR}, t -> xxhash64(t))").alias("th"),
+        )
+        .mapInPandas(simhash_from_token_hashes, "doc_id long, simhash long")
     )
     chunks = sig.select(
         "doc_id",
@@ -2443,31 +2498,36 @@ def _winnow_posting_live(spark: SparkSession, sf_dir: str):
     duplication evidence)."""
     from pyspark import StorageLevel
 
+    from kafka_streams_sandbox_spark.functions.intkernels import (
+        winnow_prints_kernel,
+    )
+
     docs = documents_wide(spark, sf_dir)
-    th = (
+    # r14 optimization (guide §4.2): the whole per-doc chain —
+    # per-char token poly hash, 4-gram poly fold, 4-window minima,
+    # distinct — ran as interpreted SQL HOFs (CodegenFallback; the
+    # window-min alone allocates a 4-slice per gram). Every step is
+    # exact int64 arithmetic mod the b53 prime, and Spark's
+    # split('')/ascii() iterate Unicode code points exactly like
+    # Python ord() (probed incl. astral chars — see
+    # functions/intkernels.py), so the chain moves to one numpy
+    # mapInPandas emitting the DISTINCT (doc_id, pr) posting rows
+    # directly — identical posting SET per doc (pinned vs the SQL
+    # chain by tests/test_int_kernels.py; the pure-Python twin in
+    # tests/test_ann_contracts.py pins the rule itself). The old
+    # explode_outer trap note no longer applies: the kernel output is
+    # already exploded. The SQL exprs above (_TOKHASH_SPARK,
+    # _gram4_spark) stay as the reference twin for the pin test.
+    toks = (
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
         .filter(F.size("toks") > 0)
-        .select("doc_id", F.expr(_TOKHASH_SPARK).alias("th"))
     )
-    g = th.select("doc_id", F.expr(_gram4_spark()).alias("gh"))
-    prints = g.select(
-        "doc_id",
-        F.expr(
-            f"""array_distinct(CASE WHEN size(gh) < {_WIN_W}
-                THEN array(array_min(gh))
-                ELSE transform(sequence(1, size(gh) - {_WIN_W - 1}),
-                     i -> array_min(slice(gh, i, {_WIN_W}))) END)"""
-        ).alias("prints"),
-    )
-    # explode_OUTER, not explode: plain explode lets constraint
-    # inference push `size(prints) > 0 AND isnotnull(prints)` to the
-    # scan with the whole token-hash -> gram-hash -> winnow chain
-    # INLINED into an interpreted per-row Filter (the b62 recompute
-    # trap — measured as a >10-min hang at sf0.001 vs ~2 s). Prints
-    # are never empty anyway (>= 1 token -> >= 1 gram -> >= 1 print).
     posting = lazy_checkpoint(
-        prints.select("doc_id", F.explode_outer("prints").alias("pr"))
+        toks.mapInPandas(
+            winnow_prints_kernel(_WIN_B2, _WIN_N, _WIN_W),
+            "doc_id long, pr long",
+        )
     )
     # lazy DISK_ONLY checkpoint: the posting has TWO consumers (df
     # counts + bucket collect) and each would otherwise re-run the

@@ -136,10 +136,13 @@ def b58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL documents, like the oracle. At 100 TB cap the vocabulary by
     min-df pruning before the broadcast.
     """
+    from kafka_streams_sandbox_spark.catalog import table_rowcount
+
     docs = table(spark, sf_dir, "documents")
-    # N = corpus size. df.count() on parquet is a metadata-only job
-    # (row counts come from file footers — no data scan at any scale).
-    n_docs = docs.count()
+    # N = corpus size — the session-cached footer-metadata count
+    # (identical to docs.count(); r14 saves the repeated one-job
+    # count per invocation, the b35 table_rowcount idiom).
+    n_docs = table_rowcount(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
     )
@@ -2423,11 +2426,16 @@ def _curation_capstone(
         )
     pairs = minhash_verified_pairs(nd_in).select("doc_a", "doc_b")
     labels, _rounds = min_label_components(pairs)
+    # No checkpoint (r14): `labels` is already the component loop's
+    # materialized DISK_ONLY checkpoint, so both consumers (the rewrite
+    # id anti-join + the final frame join) re-run only a trivial
+    # filter/project over its blocks — a second checkpoint here bought
+    # lineage truncation that lineage already has, for one extra block
+    # write per funnel run.
     near_drop = (
         labels.filter(F.col("label") != F.col("node"))
         .select(F.col("node").alias("doc_id"))
         .withColumn("near_dropped", F.lit(True))
-        .transform(lazy_checkpoint)
     )
     rw_ids = ex_ids.join(near_drop.select("doc_id"), "doc_id", "left_anti")
     # b97's rewrite over the DEDUPED corpus: duplicated spans are

@@ -151,6 +151,12 @@ def b33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_sandbox_spark.catalog import table_rowcount
 
     v = _vectors(spark, sf_dir)
+    # The gate keys on the UNFILTERED parquet rowcount — intentionally
+    # PRE-guard (ADVICE r13 low): the point of the gate is being
+    # metadata-only (one footer read, no data scan), and a corpus with
+    # many guard-dropped rows only picks the kernel form a bit early —
+    # both forms are pinned row-identical, so the choice is purely
+    # physical.
     if table_rowcount(spark, sf_dir, "embeddings") <= _B33_FOLD_MAX_ROWS:
         q = v.filter(F.col("vec_id") % 10 == 0).select(
             F.col("vec_id").alias("query_id"),
